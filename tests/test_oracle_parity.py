@@ -1,0 +1,71 @@
+"""Mirror of the driver's correctness gate: for every registered query with
+an oracle, run the Spark plan and the DuckDB SQL on the same parquet and
+compare row-count, schema (column names), and values order-insensitively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iceberg_classifier_spark.plans.registry import load_all_queries
+
+REGISTRY = load_all_queries()
+ORACLE_QUERIES = sorted(n for n, qd in REGISTRY.items() if qd.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, qd in REGISTRY.items() if qd.oracle is None)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            # lists (array columns) → tuple of rounded floats for sortability
+            def conv(v):
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return tuple(
+                        round(float(x), 6) if isinstance(x, (int, float, np.floating)) else x
+                        for x in v
+                    )
+                return v
+
+            df[c] = s.map(conv)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    qd = REGISTRY[name]
+    got = normalize(qd.fn(spark, sf_dir).toPandas())
+    exp = normalize(duck.execute(qd.oracle).df())
+    assert list(got.columns) == list(exp.columns), f"{name}: schema mismatch"
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(e):
+            assert np.allclose(g, e, rtol=1e-9, atol=1e-9, equal_nan=True), (
+                f"{name}.{c}: max abs diff {np.nanmax(np.abs(g - e))}"
+            )
+        else:
+            mism = (g.astype(str) != e.astype(str)).sum()
+            assert mism == 0, f"{name}.{c}: {mism} mismatched cells"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
