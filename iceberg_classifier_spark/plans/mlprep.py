@@ -1,1 +1,141 @@
-"""Placeholder — filled in as operators land."""
+"""CV preparation + metric queries (reference's sklearn surface).
+
+Pseudo-probabilities for metric/stacking checks are derived from embedding
+elements with the rational squash p = 0.5 + x/(2(1+|x|)) — exactly-rounded
+IEEE arithmetic (no libm), so Spark and DuckDB produce bit-identical
+values before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.operators import metrics
+from iceberg_classifier_spark.operators.folds import (
+    stratified_split,
+    with_stratified_folds,
+)
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+K_FOLDS = 8  # reference main.py:250 (K=8)
+_SCALE = 20.0
+
+
+def squash(x: Column) -> Column:
+    return 0.5 + x / (2.0 * (1.0 + F.abs(x)))
+
+
+def pseudo_prob(model_j: int) -> Column:
+    """Deterministic stand-in for model j's predicted probability."""
+    x = _SCALE * F.element_at(F.col("embedding").cast("array<double>"), 8 * model_j + 1)
+    return squash(x)
+
+
+def duck_pseudo_prob(model_j: int) -> str:
+    return (
+        f"(0.5 + (20.0 * CAST(embedding[{8 * model_j + 1}] AS DOUBLE)) / "
+        f"(2.0 * (1.0 + abs(20.0 * CAST(embedding[{8 * model_j + 1}] AS DOUBLE)))))"
+    )
+
+
+@query(
+    "stratified_folds",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST((row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+                % {K_FOLDS} AS INTEGER) AS fold
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def stratified_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified K-fold assignment (ref StratifiedKFold,
+    main.py:252). One shuffle on label; no global sort, no seed."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return with_stratified_folds(e, "label", "vec_id", K_FOLDS).orderBy("vec_id")
+
+
+@query(
+    "fold_balance",
+    oracle=f"""
+    WITH f AS (
+      SELECT label,
+             CAST((row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+                  % {K_FOLDS} AS INTEGER) AS fold
+      FROM embeddings
+    )
+    SELECT fold, label, count(*) AS n
+    FROM f GROUP BY fold, label ORDER BY fold, label
+    """,
+)
+def fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification sanity: fold × label counts differ by ≤1 per stratum."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        with_stratified_folds(e, "label", "vec_id", K_FOLDS)
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("fold", "label")
+    )
+
+
+@query(
+    "train_val_split",
+    oracle="""
+    SELECT vec_id, label,
+           CASE WHEN (row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+                     % 4 = 0
+                THEN 'val' ELSE 'train' END AS split
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 75/25 train/val split (ref StratifiedShuffleSplit)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return stratified_split(e, "label", "vec_id", val_fraction=0.25).orderBy("vec_id")
+
+
+@query(
+    "log_loss",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n,
+           round(avg(-(CAST(label % 2 AS DOUBLE) * ln(p)
+                       + (1 - CAST(label % 2 AS DOUBLE)) * ln(1 - p))), 6)
+             AS avg_log_loss
+    FROM (
+      SELECT label,
+             least(greatest({duck_pseudo_prob(0)}, 1e-15), 1 - 1e-15) AS p
+      FROM embeddings
+    )
+    GROUP BY label ORDER BY label
+    """,
+)
+def log_loss_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary log-loss aggregate with sklearn clipping (ref main.py:313-314),
+    grouped by stratum — a single map-combinable pass."""
+    e = load(spark, sf_dir, "embeddings")
+    y = (F.col("label") % 2).cast("double")
+    return (
+        e.select("label", metrics.log_loss_expr(y, pseudo_prob(0)).alias("ll"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("ll"), 6).alias("avg_log_loss"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "submission",
+    oracle=f"""
+    SELECT vec_id AS id, round({duck_pseudo_prob(0)}, 6) AS is_iceberg
+    FROM embeddings ORDER BY id
+    """,
+)
+def submission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaggle-style (id, is_iceberg) submission frame (ref main.py:320-324);
+    sinks.write_submission handles the single-file CSV export."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("id"), F.round(pseudo_prob(0), 6).alias("is_iceberg")
+    ).orderBy("id")
