@@ -1,1 +1,295 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Every variant is built around a BLOCKING equi-join (shingle inverted index,
+LSH band buckets, simhash bands, label blocks) so the candidate-pair stage
+is a shuffle-join on a bucket key — never an all-pairs cross join. That is
+the property that survives 100 TB: candidate volume scales with true
+collision density, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions import arrays as A
+from iceberg_classifier_spark.functions import text as T
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+JACCARD_MIN = 0.05
+COSINE_MIN = 0.3
+N_MINHASH = 32
+N_BANDS = 8  # 8 bands × 4 rows
+SIMHASH_MAX_HAMMING = 8
+
+_DUCK_TOKS = "string_split(trim(text), ' ')"
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len({_DUCK_TOKS}) - 2, 0)), "
+    f"i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i+1] || ' ' || {_DUCK_TOKS}[i+2]))"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(n_chars) AS n_chars
+    FROM documents GROUP BY text ORDER BY keep_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest id.
+
+    Scale: at 100 TB group on the rolling fingerprint + length first (tiny
+    keys), verify raw text only within colliding groups.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("keep_id", "n_copies", "n_chars")
+        .orderBy("keep_id")
+    )
+
+
+def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, inter, na, nb) via the shingle inverted index."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(T.shingles(T.tokens("text"), 3)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(p.inter AS BIGINT) AS inter,
+           round(CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter), 6)
+             AS jaccard
+    FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= {JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard near-dup pairs via inverted-index join (the
+    exact-verification half of MinHash dedup)."""
+    p = _shingle_pairs(spark, sf_dir)
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        p.where(jac >= JACCARD_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: 32 xxhash64 min-hashes per doc, 8
+    bands × 4 rows; docs sharing any band bucket become candidates, then
+    candidates are verified with the estimated Jaccard (= fraction of equal
+    minhashes). Engine-specific hashing → rows-only check.
+
+    Scale: signatures are per-row; the only shuffle is the equi-join on
+    (band, band_hash) whose fan-out is controlled by band width.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", T.shingles(T.tokens("text"), 3).alias("sh"))
+    # 32 minhashes: min over shingles of xxhash64(seed_i, shingle)
+    def hash_with_seed(i):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = sh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), hash_with_seed(i)))
+                for i in range(N_MINHASH)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda eq: eq == 1,
+        )
+    ).cast("double") / F.lit(N_MINHASH)
+    return (
+        cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: per-token xxhash64, signed bit-count
+    aggregation → signature; 4×16-bit band blocking; hamming ≤ 8 via
+    bit_count(xor). Engine-specific hashing → rows-only check."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+    h = F.xxhash64("tok")
+    # per-bit signed votes, then sign → bit
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{k}")
+            for k in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**k).cast("long")
+        if k < 63
+        else F.when(F.col(f"v{k}") > 0, F.lit(-(2**63))).otherwise(0)  # sign bit
+        for k in range(64)
+    ]
+    sig = votes.select(
+        "doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {COSINE_MIN}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked equi-join + cosine ≥ 0.3.
+
+    Scale: blocking key keeps the join quadratic only within a block; for
+    unlabeled corpora swap the block key for an LSH bucket (ann_lsh_topk).
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = A.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= COSINE_MIN)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,124 @@
-"""Placeholder — filled in as operators land."""
+"""Approximate-nearest-neighbor search over the embedding column.
+
+Baseline: exact brute-force cosine top-k for a query set (broadcast the
+queries, stream the corpus — one pass, no shuffle until the tiny per-query
+top-k). Scale path: random-hyperplane LSH bucketing so each query probes
+one bucket instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions import arrays as A
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+N_QUERIES = 8
+TOP_K = 5
+N_PLANES = 8
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS cos
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+           round(cos, 6) AS cos_sim
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+            <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    headline=True,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine: broadcast the query set against the corpus scan.
+
+    Scale: corpus is read once, queries ride along broadcast; the window
+    ranks |queries|×|corpus| scored rows partitioned by query — at large
+    corpus size replace the window with per-partition top-k + merge
+    (AQE keeps the final shuffle tiny).
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos = A.cosine(F.col("qv"), F.col("v"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k: 8 sign bits → bucket; queries probe only
+    their own bucket. Hyperplanes are derived from xxhash64 (engine-specific)
+    → rows-only check; recall is traded for a |corpus|/2^8 candidate set.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def plane_term(p):
+        # deterministic pseudo-random hyperplane w[j] from xxhash64(p, j)
+        return lambda x, j: x * (
+            (F.xxhash64(F.lit(p), j) % 1000).cast("double") / 500.0
+        )
+
+    def bucket(vcol):
+        bits = []
+        for p in range(N_PLANES):
+            dot = F.aggregate(
+                F.zip_with(vcol, F.sequence(F.lit(0), F.size(vcol) - 1), plane_term(p)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(0))
+        return sum(bits[1:], bits[0])
+
+    eb = e.withColumn("bucket", bucket(F.col("v")))
+    q = eb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cand = F.broadcast(q).join(eb, "bucket").where(F.col("query_id") != F.col("vec_id"))
+    cos = A.cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,146 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over ``documents`` — the LLM-data-pipeline surface.
+
+All per-document (shuffle-free, codegen'd); oracles mirror the exact same
+integer/string ops so hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions import text as T
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_DUCK_TOKS = "string_split(trim(text), ' ')"  # docs are single-space separated
+
+
+def _duck_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter({_DUCK_TOKS}, t -> list_contains([{words}], t)))"
+
+
+def _duck_lang_guess() -> str:
+    langs = sorted(T.STOPWORDS)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN h_{l} = {best} AND {best} > 0 THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return case
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_duck_hits(l)} AS h_{l}" for l in sorted(T.STOPWORDS))}
+      FROM documents
+    )
+    SELECT doc_id, lang, {_duck_lang_guess()} AS lang_guess,
+           CAST({_duck_lang_guess()} = lang AS BOOLEAN) AS is_match
+    FROM h ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-profile language ID (LLM-pipeline op). The synthetic
+    corpus is English-token soup, so the guess is usually 'en'; the gate
+    verifies the deterministic computation, not model quality."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    guess = T.lang_guess(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS n_chars_actual,
+             len({_DUCK_TOKS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST({_duck_hits('en')} AS DOUBLE) / len({_DUCK_TOKS}) AS stopword_ratio,
+             CAST(list_sum(list_transform({_DUCK_TOKS}, t -> length(t))) AS DOUBLE)
+               / len({_DUCK_TOKS}) AS mean_token_len
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(mean_token_len, 6) AS mean_token_len,
+           round(1.0 / (1.0 + exp(-(0.02 * n_tokens + 2.0 * stopword_ratio
+                                    - 5.0 * punct_ratio - 1.0))), 6) AS quality
+    FROM q ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc quality features (length / punctuation / stopword-density) and a
+    logistic composite score — per-row, one pass."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tokens = F.size(toks)
+    punct = T.punct_ratio("text")
+    stop = T.stopword_hits(toks, "en").cast("double") / n_tokens
+    mtl = T.mean_token_len(toks).cast("double")
+    quality = 1.0 / (
+        1.0 + F.exp(-(0.02 * n_tokens + 2.0 * stop - 5.0 * punct - 1.0))
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(mtl, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{T.WORDISH_RE}')) AS BIGINT)
+             AS n_wordish_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (per-row regexp_count)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws("text").cast("bigint").alias("n_ws_tokens"),
+        T.token_count_wordish("text").cast("bigint").alias("n_wordish_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(1, length(text)),
+                                         i -> ord(substr(text, CAST(i AS INTEGER), 1)))),
+             (acc, c) -> (acc * {T.FP_BASE} + c) % {T.FP_MOD}) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash content fingerprint — integer fold, exactly
+    portable across engines (used as a shard-stable dedup key)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint")).orderBy(
+        "doc_id"
+    )
