@@ -1,0 +1,113 @@
+"""MLlib classification pipeline — the Spark-native counterpart of the
+reference's Keras transfer-CNN + sklearn CV (main.py:166-317).
+
+The CNN backbone is a feature extractor feeding a sigmoid head; here the
+feature extractor is the engineered vector-statistics block (band stats,
+iso/size features, raw embedding elements via VectorAssembler) and the head
+is MLlib LogisticRegression / GBTClassifier. The K-fold CV driver
+reproduces myAngleCV's structure (main.py:248-317): per-fold fit →
+out-of-fold predictions → test predictions averaged over folds.
+
+Scale: each fold's fit is a full distributed MLlib job; OOF assembly is a
+union of per-fold prediction frames (no collect of features to the driver).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import GBTClassifier, LogisticRegression
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions import arrays as A
+from iceberg_classifier_spark.operators.folds import with_stratified_folds
+
+
+def engineered_features(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-row feature block mirroring the reference's inputs: the image
+    statistics + iso/size features (main-newInput.py:79-82) + the raw
+    vector elements (stand-in for CNN activations)."""
+    v = F.col(vec_col).cast("array<double>")
+    mean = A.vmean(v)
+    std = A.vstd(v)
+    return df.select(
+        "*",
+        mean.alias("f_mean"),
+        std.alias("f_std"),
+        F.array_min(v).alias("f_min"),
+        F.array_max(v).alias("f_max"),
+        A.vsize_frac(v, 0.0).alias("f_size"),
+        F.size(F.filter(v, lambda x: x > mean + 2 * std))
+        .cast("double")
+        .alias("f_iso_active"),
+    )
+
+
+def build_pipeline(feature_cols: list[str], model: str = "logreg") -> Pipeline:
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features_raw")
+    scaler = StandardScaler(
+        inputCol="features_raw", outputCol="features", withMean=True, withStd=True
+    )
+    if model == "logreg":
+        clf = LogisticRegression(
+            featuresCol="features", labelCol="y", maxIter=50, regParam=0.01
+        )
+    elif model == "gbt":
+        clf = GBTClassifier(
+            featuresCol="features_raw", labelCol="y", maxIter=10, maxDepth=3, seed=7
+        )
+        return Pipeline(stages=[assembler, clf])
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    return Pipeline(stages=[assembler, scaler, clf])
+
+
+def prob_of_one(model: PipelineModel, df: DataFrame) -> DataFrame:
+    out = model.transform(df)
+    return out.withColumn("prob", vector_to_array(F.col("probability"))[1])
+
+
+@dataclass
+class CVResult:
+    oof: DataFrame  # (id, y, fold, prob) out-of-fold predictions
+    test_pred: DataFrame  # (id, prob) averaged over folds
+
+
+def kfold_cv(
+    train: DataFrame,
+    test: DataFrame,
+    feature_cols: list[str],
+    id_col: str,
+    k: int = 4,
+    model: str = "logreg",
+) -> CVResult:
+    """myAngleCV (main.py:248-317) on MLlib: stratified folds, per-fold fit,
+    OOF preds on the held-out fold, test preds averaged over the K models."""
+    folds = with_stratified_folds(train, "y", id_col, k).cache()
+    pipe = build_pipeline(feature_cols, model)
+    oof_parts: list[DataFrame] = []
+    test_parts: list[DataFrame] = []
+    for j in range(k):
+        tr = folds.where(F.col("fold") != j)
+        ho = folds.where(F.col("fold") == j)
+        m = pipe.fit(tr)
+        oof_parts.append(
+            prob_of_one(m, ho).select(id_col, "y", "fold", "prob")
+        )
+        test_parts.append(
+            prob_of_one(m, test).select(id_col, F.col("prob").alias(f"p{j}"))
+        )
+    oof = oof_parts[0]
+    for part in oof_parts[1:]:
+        oof = oof.unionByName(part)
+    tp = test_parts[0]
+    for j, part in enumerate(test_parts[1:], start=1):
+        tp = tp.join(part, id_col)
+    avg = sum(F.col(f"p{j}") for j in range(1, k)) + F.col("p0")
+    test_pred = tp.select(F.col(id_col), (avg / k).alias("prob"))
+    folds.unpersist()
+    return CVResult(oof=oof, test_pred=test_pred)

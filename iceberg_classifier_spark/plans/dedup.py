@@ -100,6 +100,7 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= {JACCARD_MIN}
     ORDER BY doc_a, doc_b
     """,
+    headline=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup pairs via inverted-index join (the

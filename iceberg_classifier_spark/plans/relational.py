@@ -282,6 +282,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,
+    headline=True,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization: lag → gap flag → running sum → agg.

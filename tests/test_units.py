@@ -1,0 +1,194 @@
+"""Operator unit tests on tiny hand-built frames (SURVEY §5 strategy #1)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_grid_ops_match_numpy(spark):
+    from iceberg_classifier_spark.functions import grid as G
+
+    rng = np.random.default_rng(1)
+    g = rng.random((6, 5))
+    df = spark.createDataFrame([(g.flatten().tolist(),)], "a: array<double>")
+    got_fh = df.select(G.flip_h("a", 6, 5).alias("x")).first()["x"]
+    got_fv = df.select(G.flip_v("a", 6, 5).alias("x")).first()["x"]
+    got_cr = df.select(G.crop("a", 6, 5, 1, 2, 3, 2).alias("x")).first()["x"]
+    assert np.allclose(got_fh, np.fliplr(g).flatten())
+    assert np.allclose(got_fv, np.flipud(g).flatten())
+    assert np.allclose(got_cr, g[1:4, 2:4].flatten())
+
+
+def test_ten_crop_matches_reference_semantics(spark):
+    """crops = corners+center of img and np.fliplr(img) (10-crop.py:240-255)."""
+    from iceberg_classifier_spark.functions import grid as G
+
+    rng = np.random.default_rng(2)
+    g = rng.random((8, 8))
+    df = spark.createDataFrame([(g.flatten().tolist(),)], "a: array<double>")
+    crops = df.select(G.ten_crop("a", 8, 8, 4, 4).alias("x")).first()["x"]
+    f = np.fliplr(g)
+
+    def corners(img):
+        return [
+            img[:4, :4], img[:4, 4:], img[4:, :4], img[4:, 4:], img[2:6, 2:6]
+        ]
+
+    expected = [c.flatten() for c in corners(g) + corners(f)]
+    assert len(crops) == 10
+    for got, exp in zip(crops, expected):
+        assert np.allclose(got, exp)
+
+
+def test_vector_stats_match_numpy(spark):
+    from iceberg_classifier_spark.functions import arrays as A
+
+    v = [0.5, -1.25, 3.0, 0.0, 2.5]
+    df = spark.createDataFrame([(v,)], "a: array<double>")
+    row = df.select(
+        A.vmean("a").alias("m"),
+        A.vstd("a").alias("s"),
+        A.vminmax_scale("a").alias("mm"),
+        A.vsize_frac("a", 0.0).alias("fr"),
+    ).first()
+    assert row["m"] == pytest.approx(np.mean(v))
+    assert row["s"] == pytest.approx(np.std(v))
+    assert np.allclose(row["mm"], (np.array(v) - min(v)) / (max(v) - min(v)))
+    assert row["fr"] == pytest.approx(np.mean(np.array(v) < 0))
+
+
+def test_iso_mask_matches_reference(spark):
+    """iso: p = arr > mean+2*std; return p * arr (main-newInput.py:79-81)."""
+    from iceberg_classifier_spark.functions import arrays as A
+
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=16)
+    df = spark.createDataFrame([(v.tolist(),)], "a: array<double>")
+    got = np.array(df.select(A.viso_mask("a").alias("x")).first()["x"])
+    exp = (v > v.mean() + 2 * v.std()) * v
+    assert np.allclose(got, exp)
+
+
+def test_stacking_modes_match_pandas_reference(spark):
+    """sub_stacking.py:40-90 semantics on a hand-built ensemble."""
+    import pandas as pd
+
+    from iceberg_classifier_spark.operators.stacking import stack
+
+    probs = {
+        1: [0.9, 0.95, 0.85],  # unanimous high
+        2: [0.1, 0.05, 0.15],  # unanimous low
+        3: [0.4, 0.9, 0.6],  # mixed
+    }
+    rows = [(i, j, p) for i, ps in probs.items() for j, p in enumerate(ps)]
+    subs = spark.createDataFrame(rows, "id long, model_id int, prob double")
+    base = spark.createDataFrame(
+        [(1, 0.7), (2, 0.3), (3, 0.55)], "id long, prob double"
+    )
+
+    def as_map(df):
+        return {r["id"]: r["prob"] for r in df.collect()}
+
+    m = as_map(stack(subs, "Mean"))
+    assert m[3] == pytest.approx(np.mean(probs[3]))
+    m = as_map(stack(subs, "PushOut+Median"))
+    assert m[1] == 1.0 and m[2] == 0.0 and m[3] == pytest.approx(np.median(probs[3]))
+    m = as_map(stack(subs, "MinMax+Mean"))
+    assert m[1] == pytest.approx(max(probs[1]))
+    assert m[2] == pytest.approx(min(probs[2]))
+    assert m[3] == pytest.approx(np.mean(probs[3]))
+    m = as_map(stack(subs, "MinMax+BestBase", base=base))
+    assert m[1] == pytest.approx(max(probs[1]))
+    assert m[2] == pytest.approx(min(probs[2]))
+    assert m[3] == pytest.approx(0.55)
+
+
+def test_log_loss_matches_sklearn_formula(spark):
+    from iceberg_classifier_spark.operators.metrics import log_loss
+
+    y = [1.0, 0.0, 1.0, 0.0]
+    p = [0.9, 0.2, 0.6, 0.4]
+    df = spark.createDataFrame(list(zip(y, p)), "y double, p double")
+    exp = -np.mean([yi * math.log(pi) + (1 - yi) * math.log(1 - pi) for yi, pi in zip(y, p)])
+    assert log_loss(df, "y", "p") == pytest.approx(exp)
+
+
+def test_stratified_folds_balanced(spark):
+    from iceberg_classifier_spark.operators.folds import with_stratified_folds
+
+    rows = [(i, i % 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, label int")
+    f = with_stratified_folds(df, "label", "id", 4)
+    per = f.groupBy("label", "fold").count().collect()
+    by_label = {}
+    for r in per:
+        by_label.setdefault(r["label"], []).append(r["count"])
+    for counts in by_label.values():
+        assert max(counts) - min(counts) <= 1
+
+
+def test_sar_json_ingest(spark, tmp_path):
+    from iceberg_classifier_spark.sources.sar_json import ffill_inc_angle, read_sar_json
+
+    recs = [
+        {"id": "a1", "band_1": [1.0] * 4, "band_2": [2.0] * 4,
+         "inc_angle": 39.5, "is_iceberg": 1},
+        {"id": "a2", "band_1": [0.5] * 4, "band_2": [1.5] * 4,
+         "inc_angle": "na", "is_iceberg": 0},
+        {"id": "a3", "band_1": [0.1] * 4, "band_2": [0.2] * 4,
+         "inc_angle": 41.25, "is_iceberg": 1},
+    ]
+    p = tmp_path / "train.json"
+    p.write_text(json.dumps(recs))
+    df = read_sar_json(spark, str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["a2"]["inc_angle"] is None
+    assert rows["a1"]["inc_angle"] == 39.5
+    filled = {r["id"]: r["inc_angle"] for r in ffill_inc_angle(df).collect()}
+    assert filled["a2"] == 39.5  # padded from a1
+    assert rows["a1"]["band_1"] == [1.0] * 4
+
+
+def test_write_submission_single_csv(spark, tmp_path):
+    from iceberg_classifier_spark.sources.sinks import write_submission
+
+    df = spark.createDataFrame([(1, 0.9), (2, 0.1)], "id long, is_iceberg double")
+    out = write_submission(df.orderBy("id"), str(tmp_path / "sub.csv"))
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "id,is_iceberg"
+    assert len(lines) == 3
+
+
+def test_multimodal_decode_stub_raises():
+    from iceberg_classifier_spark.plans.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
+    """MinHash est_jaccard should correlate with exact jaccard pairs."""
+    from iceberg_classifier_spark.plans.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    # every LSH candidate with decent estimate should be a known exact pair
+    strong = {k: v for k, v in est.items() if v >= 0.25}
+    if strong:
+        hits = sum(1 for k in strong if k in exact)
+        assert hits / len(strong) >= 0.5
