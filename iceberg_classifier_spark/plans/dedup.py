@@ -58,12 +58,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, inter, na, nb) via the shingle inverted index."""
+    """(doc_a, doc_b, inter, na, nb) via the shingle inverted index.
+
+    The token array is materialized in its own projection BEFORE shingling:
+    element_at over a raw `split(text)` expression makes Catalyst re-split
+    the text for every shingle element (O(tokens²) splits/doc, measured 10×
+    slowdown); over a projected attribute it splits once per row.
+    """
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(T.shingles(T.tokens("text"), 3)).alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    toks = d.select("doc_id", T.tokens("text").alias("toks"))
+    shing = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
+    sh = shing.select("doc_id", F.explode("sh").alias("shingle"))
+    # per-doc shingle count needs no explode+groupBy — it's just array size
+    sizes = shing.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -130,7 +137,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_hash) whose fan-out is controlled by band width.
     """
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", T.shingles(T.tokens("text"), 3).alias("sh"))
+    toks = d.select("doc_id", T.tokens("text").alias("toks"))
+    sh = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
     # 32 minhashes: min over shingles of xxhash64(seed_i, shingle)
     def hash_with_seed(i):
         return lambda s: F.xxhash64(F.lit(i), s)
