@@ -44,6 +44,7 @@ def load_all_queries() -> dict[str, QueryDef]:
     """Import every query module (side-effect: fills REGISTRY)."""
     from iceberg_classifier_spark.plans import (  # noqa: F401
         relational,
+        relational2,
         vectors,
         mlprep,
         stacking,
