@@ -45,6 +45,7 @@ def load_all_queries() -> dict[str, QueryDef]:
     from iceberg_classifier_spark.plans import (  # noqa: F401
         relational,
         relational2,
+        relational3,
         vectors,
         mlprep,
         stacking,
