@@ -58,31 +58,50 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, inter, na, nb) via the shingle inverted index.
+    """(doc_a, doc_b, inter, na, nb) via shingle posting lists.
+
+    Instead of a self-join on the exploded (doc_id, shingle) table — which
+    computes AND shuffles the shingle explosion twice — group once by
+    shingle into a doc_id-sorted posting list (each entry carrying the
+    doc's shingle count), then emit the i<j pairs map-side with two nested
+    explodes. Two shuffles total (postings, then pair-count groupBy), one
+    shingle computation, and no separate size-lookup joins.
 
     The token array is materialized in its own projection BEFORE shingling:
     element_at over a raw `split(text)` expression makes Catalyst re-split
     the text for every shingle element (O(tokens²) splits/doc, measured 10×
     slowdown); over a projected attribute it splits once per row.
+
+    Scale: posting-list length = shingle document frequency; stop-shingles
+    (df above a cap) should be dropped or length-capped at 100 TB — they
+    contribute pairs that the Jaccard threshold would reject anyway.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     shing = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
-    sh = shing.select("doc_id", F.explode("sh").alias("shingle"))
-    # per-doc shingle count needs no explode+groupBy — it's just array size
-    sizes = shing.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sh = shing.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    posting = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("lst")
+    )
+    # nested explode keeps peak row width at one posting list (no flattened
+    # all-pairs array); sort_array guarantees doc_a < doc_b
+    pairs = (
+        posting.select(F.posexplode("lst").alias("i", "a"), "lst")
+        .select("a", F.explode(F.expr("slice(lst, i + 2, size(lst))")).alias("b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_sh").alias("nb"),
+        )
+    )
+    return pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
 
 
 @query(

@@ -56,13 +56,19 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # normalize each vector ONCE before the pair join: cosine then reduces
+    # to a single dot product per (query, corpus) pair instead of
+    # dot + 2 norms — 3× less per-pair fold work on the |q|×|corpus| hot path
+    en = e.select("vec_id", "v", A.vnorm("v").alias("nrm")).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn")
     )
-    cos = A.cosine(F.col("qv"), F.col("v"))
+    q = en.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
+    )
+    cos = A.vdot(F.col("qvn"), F.col("vn"))
     scored = (
         F.broadcast(q)
-        .crossJoin(e)
+        .crossJoin(en)
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
