@@ -321,3 +321,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), ed AS (
+      SELECT doc_a, doc_b FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)
+            >= {JACCARD_MIN}
+    ), sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ed
+      UNION ALL SELECT doc_b, doc_a FROM ed
+    ), nodes AS (SELECT DISTINCT src AS node FROM sym)
+    , walk AS (
+      WITH RECURSIVE w(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.dst, w.lbl FROM w JOIN sym s ON s.src = w.node
+      ) SELECT * FROM w
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk
+    GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard near-dup pair graph: every doc
+    in a near-dup pair gets the min doc_id of its component as cluster_id
+    (the canonical "keep one per cluster" dedup output).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own and its neighbors' labels; converges in graph-diameter rounds
+    (near-dup components are tiny cliques, so 2-4 rounds in practice, with
+    a hard cap). Per round: one shuffle join edges⋈labels + one groupBy —
+    the GraphX/GraphFrames pattern without the dependency.
+
+    Scale: label frames stay (node, lbl) longs; the convergence check is a
+    single-scalar agg per round, not a collect of the frame. At 100 TB use
+    large-star/small-star (alternating) to cut rounds on high-diameter
+    graphs.
+    """
+    p = _shingle_pairs(spark, sf_dir)
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    ed = p.where(jac >= JACCARD_MIN).select("doc_a", "doc_b")
+    sym = ed.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        ed.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = sym.persist()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    prev_sum = None
+    for _ in range(20):  # hard cap; diameter of near-dup clusters is tiny
+        nbr = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+        )
+        labels = labels.persist()
+        cur_sum = labels.agg(F.sum("lbl")).first()[0]  # scalar convergence probe
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")

@@ -128,3 +128,69 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+N_CELLS = 16
+N_PROBE = 2
+
+
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is partitioned into N_CELLS cells
+    by nearest centroid; each query probes only its N_PROBE nearest cells,
+    so scored candidates drop from |corpus| to ~|corpus|·nprobe/ncells.
+
+    Centroids are a deterministic farthest-spread-free sample: every
+    (n/N_CELLS)-th vector by vec_id — no k-means iterations, so the whole
+    op is two broadcast joins and one window (rows-only check: recall is
+    approximate by design; the exact baseline is ann_bruteforce_topk).
+
+    Scale: cell assignment is a broadcast join (centroids are tiny) + per-row
+    argmin — no shuffle; the probe join is an equi-join on cell id. At 100 TB
+    add a k-means refinement loop over the same broadcast pattern and store
+    cell id as a partition column so probes prune parquet partitions.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()  # one tiny job; at scale read from table stats instead
+    step = max(n // N_CELLS, 1)
+    cents = (
+        e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < N_CELLS))
+        .select(
+            (F.col("vec_id") / step).cast("int").alias("cell"),
+            F.col("v").alias("cv"),
+        )
+    )
+    # nearest-centroid assignment: broadcast centroids, argmin by cosine
+    cos_cv = A.cosine(F.col("v"), F.col("cv"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "v", "cell", cos_cv.alias("ccos"))
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    corpus = (
+        assigned.withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    queries = (
+        assigned.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell"
+        )
+    )
+    cos = A.cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        F.broadcast(queries)
+        .join(corpus, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )

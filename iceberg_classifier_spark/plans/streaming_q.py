@@ -25,3 +25,50 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow trigger — must equal the batch answer exactly (streaming
     correctness property), which is what the SQL oracle asserts."""
     return hourly_counts_stream(spark, sf_dir).orderBy("hour_start", "event_type")
+
+
+@query(
+    "streaming_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session_window sessionization (30-min gap),
+    drained with availableNow — must equal the batch lag+cumsum answer,
+    which is what the SQL oracle computes."""
+    from iceberg_classifier_spark.streaming.events import session_stream
+
+    return session_stream(spark, sf_dir).orderBy("user_id", "session_start")
+
+
+@query(
+    "streaming_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+           min(event_id) AS first_event_id
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming aggregate (applyInPandasWithState) — the
+    per-user final state must equal the batch GROUP BY answer."""
+    from iceberg_classifier_spark.streaming.events import user_stats_stateful_stream
+
+    return user_stats_stateful_stream(spark, sf_dir).orderBy("user_id")

@@ -144,3 +144,70 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint")).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), t AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM t GROUP BY 1
+    ), n AS (SELECT count(*) AS nd FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln((SELECT nd FROM n) / dfreq.df), 6) AS tfidf
+      FROM t JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (tf × ln(N/df)).
+
+    Scale: term frequencies shuffle once on (doc_id, term) with map-side
+    combine; document frequencies derive from that (already tiny — |vocab|
+    rows) and broadcast back, so the corpus is scanned exactly once. The
+    rank is computed on the 6dp-ROUNDED score with a term tiebreak, so
+    cross-engine float noise below the rounding edge cannot reorder it.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("nd").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )

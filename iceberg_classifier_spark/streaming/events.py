@@ -66,3 +66,140 @@ def hourly_counts_stream(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """readStream over the staged events dir with ts normalized to µs."""
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"events_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    stream = spark.readStream.schema(batch_schema).parquet(stage)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def session_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Event-time session windows (F.session_window): sessions close after a
+    `gap` of silence per user; a new event inside the gap extends the
+    session. Complete output mode + availableNow drain makes the result
+    deterministic and equal to the batch lag+cumsum sessionization.
+
+    Scale: session state is bounded by the watermark in append mode (the
+    production configuration); complete mode here is only for the
+    deterministic memory-sink check.
+    """
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def user_stats_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running aggregate (event count, value sum, min event id) kept
+    in GroupState across micro-batches and emitted every batch.
+
+    This is the applyInPandasWithState plumbing pattern for operators the
+    built-in windowed aggs can't express (per-key custom state machines);
+    the final per-user row is recovered with max_by on the monotone count,
+    so the result is batch-equivalent regardless of how availableNow split
+    the input into micro-batches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("first_event_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("m", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            bm = int(pdf["event_id"].min())
+            m = bm if m is None else min(m, bm)
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "first_event_id": [m],
+            }
+        )
+
+    emitted = stream.select("user_id", "event_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"stream_userstats_{uuid.uuid4().hex[:8]}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # keep each user's final emission (counts are monotone across batches)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+            F.max_by("first_event_id", "n_events").alias("first_event_id"),
+        )
+    )
