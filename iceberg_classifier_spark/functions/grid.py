@@ -69,3 +69,31 @@ def ten_crop(a: Column | str, height: int, width: int, ch: int, cw: int) -> Colu
         crop(flipped, height, width, r, c, ch, cw) for r, c in rc
     ]
     return F.array(*crops)
+
+
+def shift(a: Column | str, height: int, width: int, dy: int, dx: int) -> Column:
+    """Translate the grid by (dy, dx) with zero fill (the reference's
+    width/height_shift_range augmentation, main.py:151-152, as a
+    deterministic op): out(r, c) = in(r-dy, c-dx) or 0.0 off-grid."""
+    a = F.col(a) if isinstance(a, str) else a
+    def pick(i):
+        r = (i / width).cast("int") - dy
+        c = i % width - dx
+        return F.when(
+            (r >= 0) & (r < height) & (c >= 0) & (c < width),
+            F.element_at(a, (r * width + c + 1).cast("int")),
+        ).otherwise(F.lit(0.0))
+    return F.transform(_indices(height * width), pick)
+
+
+def rot90(a: Column | str, height: int, width: int) -> Column:
+    """np.rot90 (CCW): out(r, c) = in(c, W-1-r) — with the output shaped
+    W×H. Pure index permutation (exact, no interpolation); arbitrary-angle
+    rotation (main.py:155) needs the interpolating kernel (resize path)."""
+    a = F.col(a) if isinstance(a, str) else a
+    idx = F.transform(
+        _indices(height * width),
+        # output is W rows × H cols: out index i → (r=i/H, c=i%H)
+        lambda i: (i % height) * width + (width - 1 - (i / height).cast("int")),
+    )
+    return _gather(a, idx)

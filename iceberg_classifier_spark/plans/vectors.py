@@ -415,3 +415,101 @@ def resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(do_resize, "vec_id long, resized array<double>").orderBy(
         "vec_id"
     )
+
+
+@query(
+    "channel_stack",
+    oracle=_ORACLE_BANDS
+    + """
+    , st AS (
+      SELECT vec_id,
+             flatten([
+               b1, b2,
+               list_transform(generate_series(1, len(b1)), i -> abs(b1[i] - b2[i])),
+               list_transform(generate_series(1, len(b1)), i -> greatest(b1[i], b2[i])),
+               list_transform(generate_series(1, len(b1)), i -> least(b1[i], b2[i]))
+             ]) AS ch
+      FROM b
+    )
+    SELECT vec_id, CAST(generate_subscripts(ch, 1) - 1 AS INTEGER) AS pos,
+           round(unnest(ch), 6) AS px
+    FROM st ORDER BY vec_id, pos
+    """,
+)
+def channel_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-channel training-tensor assembly (ref np.concatenate of
+    band_1/band_2/|diff|/max/min channels, main.py:71-72 / main-2.py:50-52):
+    the per-record channels concatenated into one flat array, exploded for
+    hash-checking. Per-row, shuffle-free."""
+    e = load(spark, sf_dir, "embeddings")
+    ch = F.concat(
+        _b1(), _b2(), A.vabsdiff(_b1(), _b2()), A.vmax(_b1(), _b2()), A.vmin(_b1(), _b2())
+    )
+    return (
+        e.select("vec_id", F.posexplode(ch).alias("pos", "px"))
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), _r6("px").alias("px"))
+        .orderBy("vec_id", "pos")
+    )
+
+
+@query(
+    "shift_augment",
+    oracle=_ORACLE_BANDS
+    + """
+    SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
+           round(CASE WHEN g.i // 8 - 1 BETWEEN 0 AND 7
+                       AND g.i % 8 - 2 BETWEEN 0 AND 7
+                 THEN b1[(g.i // 8 - 1) * 8 + (g.i % 8 - 2) + 1]
+                 ELSE 0.0 END, 6) AS sh_down_right,
+           round(CASE WHEN g.i // 8 + 2 BETWEEN 0 AND 7
+                       AND g.i % 8 + 1 BETWEEN 0 AND 7
+                 THEN b1[(g.i // 8 + 2) * 8 + (g.i % 8 + 1) + 1]
+                 ELSE 0.0 END, 6) AS sh_up_left
+    FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+    ORDER BY vec_id, pos
+    """,
+)
+def shift_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation augmentation (ref width/height_shift_range,
+    main.py:151-152) as deterministic zero-fill shifts: down-right by
+    (1, 2) and up-left by (2, 1). Pure index math, no interpolation."""
+    e = load(spark, sf_dir, "embeddings")
+    dr = G.shift(_b1(), H, W, 1, 2)
+    ul = G.shift(_b1(), H, W, -2, -1)
+    z = e.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip(dr.alias("dr"), ul.alias("ul"))).alias("pos", "px"),
+    )
+    return z.select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        _r6(F.col("px.dr")).alias("sh_down_right"),
+        _r6(F.col("px.ul")).alias("sh_up_left"),
+    ).orderBy("vec_id", "pos")
+
+
+@query(
+    "rot90_augment",
+    oracle=_ORACLE_BANDS
+    + """
+    SELECT vec_id, CAST(g.i AS INTEGER) AS pos,
+           round(b1[(g.i % 8) * 8 + (7 - g.i // 8) + 1], 6) AS px_rot90
+    FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+    ORDER BY vec_id, pos
+    """,
+)
+def rot90_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90° CCW rotation (exact index permutation — the lossless member of
+    the reference's rotation_range augmentation family, main.py:155;
+    arbitrary angles need the interpolating resize kernel)."""
+    e = load(spark, sf_dir, "embeddings")
+    r = G.rot90(_b1(), H, W)
+    return (
+        e.select("vec_id", F.posexplode(r).alias("pos", "px_rot90"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            _r6("px_rot90").alias("px_rot90"),
+        )
+        .orderBy("vec_id", "pos")
+    )
