@@ -371,14 +371,45 @@ def ten_crop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "crop_id", "pos")
 
 
-@query("resize_bilinear", oracle=None)
+@query(
+    "resize_bilinear",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b1
+      FROM embeddings
+    ), g AS (
+      SELECT vec_id, b1, unnest(range(0, 256)) AS i FROM b
+    ), c AS (
+      SELECT vec_id, b1, i,
+             (i // 16) * 0.5 - 0.25 AS y, (i % 16) * 0.5 - 0.25 AS x
+      FROM g
+    ), c0 AS (
+      SELECT *, CAST(least(greatest(floor(y), 0), 7) AS INT) AS y0,
+                CAST(least(greatest(floor(x), 0), 7) AS INT) AS x0
+      FROM c
+    ), c1 AS (
+      SELECT *, least(y0 + 1, 7) AS y1, least(x0 + 1, 7) AS x1,
+                least(greatest(y - y0, 0), 1) AS wy,
+                least(greatest(x - x0, 0), 1) AS wx
+      FROM c0
+    )
+    SELECT vec_id, CAST(i AS INTEGER) AS pos,
+           round(b1[y0 * 8 + x0 + 1] * (1 - wy) * (1 - wx)
+               + b1[y0 * 8 + x1 + 1] * (1 - wy) * wx
+               + b1[y1 * 8 + x0 + 1] * wy * (1 - wx)
+               + b1[y1 * 8 + x1 + 1] * wy * wx, 6) AS px
+    FROM c1 ORDER BY vec_id, pos
+    """,
+)
 def resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilinear grid resize 8×8 → 16×16 (ref skimage resize, main.py:104-106)
-    as an Arrow-batched mapInPandas with a real numpy kernel.
+    as an Arrow-batched mapInPandas with a real numpy kernel, hash-checked
+    against the same sampling formula written in SQL.
 
     The Python boundary is the right call here: resampling kernels aren't
-    expressible as Catalyst expressions, and mapInPandas keeps the transfer
-    Arrow-vectorized and per-partition (no shuffle, scales linearly).
+    worth hand-writing as Catalyst expressions at production grid sizes,
+    and mapInPandas keeps the transfer Arrow-vectorized and per-partition
+    (no shuffle, scales linearly with rows).
     """
     import numpy as np
     import pandas as pd
@@ -412,8 +443,11 @@ def resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return e.mapInPandas(do_resize, "vec_id long, resized array<double>").orderBy(
-        "vec_id"
+    resized = e.mapInPandas(do_resize, "vec_id long, resized array<double>")
+    return (
+        resized.select("vec_id", F.posexplode("resized").alias("pos", "px"))
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), "px")
+        .orderBy("vec_id", "pos")
     )
 
 
