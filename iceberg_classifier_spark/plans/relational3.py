@@ -643,3 +643,36 @@ def doc_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(25)
     )
+
+
+@query(
+    "salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: stage 1 groups on
+    (key, salt=hash(row)%16) so a hot key spreads over 16 reducers; stage 2
+    merges the 16 partials per key. Same answer as a plain GROUP BY (the
+    oracle), but the shuffle for any single key is bounded by 1/16 of its
+    rows — the manual form of what AQE's skew handling does for joins,
+    needed when one key dominates a 100 TB aggregation. (Here sums are also
+    algebraic so map-side combine already bounds skew; the pattern matters
+    for holistic aggregates — collect_list/percentile — that cannot
+    partially combine.)"""
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("psum"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

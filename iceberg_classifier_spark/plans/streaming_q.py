@@ -72,3 +72,30 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_classifier_spark.streaming.events import user_stats_stateful_stream
 
     return user_stats_stateful_stream(spark, sf_dir).orderBy("user_id")
+
+
+@query(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id FROM events ORDER BY user_id",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates over an unbounded stream
+    keeps per-key state and emits each key once — the streaming half of the
+    dedup suite. Drained with availableNow; the emitted key set must equal
+    batch DISTINCT. In production pair with withWatermark to bound state
+    (dropDuplicatesWithinWatermark)."""
+    from iceberg_classifier_spark.streaming.events import _events_stream
+    import uuid as _uuid
+
+    stream = _events_stream(spark, sf_dir).select("user_id")
+    deduped = stream.dropDuplicates(["user_id"])
+    sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("user_id")

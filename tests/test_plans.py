@@ -1,0 +1,84 @@
+"""Physical-plan assertions (SURVEY §5.4): guard the properties that make
+the operators scale — predicate pushdown, broadcast dims, blocked (never
+cartesian) pair generation, and no row-at-a-time Python in hot paths.
+A perf regression that flips one of these shows up here before it shows up
+in BENCH.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_classifier_spark.plans.registry import load_all_queries
+
+REGISTRY = load_all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_change")
+    assert "PushedFilters: [" in plan
+    # the range predicates must reach the parquet reader, not sit in a Filter
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    for name in ("q5_region_volume", "q7_nation_volume", "q9_product_profit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+
+
+def test_pair_generation_is_blocked_no_cartesian(spark, sf_dir):
+    """Dedup/similarity candidate generation must never be an unblocked
+    cross join (ann_bruteforce is the one deliberate broadcast cross)."""
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "range_join_events",
+        "ann_lsh_topk",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+
+def test_no_row_python_udfs_in_headline_queries(spark, sf_dir):
+    """Hot paths stay JVM-side: no BatchEvalPython (row-at-a-time Python).
+    Arrow-batched mapInPandas is allowed only where a kernel needs it
+    (resize/multimodal), which are not headline queries."""
+    for name, qd in REGISTRY.items():
+        if not qd.headline:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF in plan"
+
+
+def test_headline_queries_use_codegen(spark, sf_dir):
+    # under AQE the pre-execution plan is an un-compiled AdaptiveSparkPlan;
+    # disable it for the assertion so codegen subtrees are visible statically
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q1_pricing_summary", "events_hourly", "band_composites"):
+            df = REGISTRY[name].fn(spark, sf_dir)
+            s = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "codegen"
+            )
+            assert "WholeStageCodegen subtrees" in s and "Found 0" not in s, (
+                f"{name}: no codegen span"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_topn_is_take_ordered_not_global_sort(spark, sf_dir):
+    """LIMIT-after-ORDER BY compiles to TakeOrderedAndProject (per-partition
+    top-N + merge), not a full global sort."""
+    plan = plan_of(spark, sf_dir, "q3_top_unshipped")
+    assert "TakeOrderedAndProject" in plan
