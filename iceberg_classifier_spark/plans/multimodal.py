@@ -78,3 +78,72 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(
         extract, "doc_id long, n_bytes long, format string, checksum long"
     ).orderBy("doc_id")
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+@query(
+    "multimodal_framesample",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, text AS payload FROM documents),
+    fr AS (
+      SELECT doc_id, payload,
+             unnest(range(0, greatest(length(payload) // {FRAME_BYTES}, 0),
+                          {FRAME_STRIDE})) AS frame_idx
+      FROM m
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(substr(payload, frame_idx * {FRAME_BYTES} + 1,
+                              {FRAME_BYTES})) AS BIGINT) AS frame_len,
+           CAST(list_sum(list_transform(
+                  generate_series(1, length(substr(payload,
+                      frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))),
+                  i -> ord(substr(substr(payload,
+                      frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}),
+                      CAST(i AS INTEGER), 1))))
+                % 65521 AS BIGINT) AS frame_checksum
+    FROM fr ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a binary "video" column: every FRAME_STRIDE-th
+    fixed-size frame is extracted and featurized (length + checksum) in an
+    Arrow-batched mapInPandas — the video-decode plumbing shape (the real
+    codec goes where the byte-slicing stands; see decode_image for the
+    stub policy).
+
+    Scale: fan-out is rows → sampled frames inside the Python worker, so
+    no Spark-side explode of raw bytes; output carries only scalar frame
+    features. Partition count is inherited from the scan — no shuffle.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    m = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def sample(batches):
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for fi in range(0, len(b) // FRAME_BYTES, FRAME_STRIDE):
+                    fb = b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(len(fb))
+                    sums.append(sum(fb) % 65521)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_len": lens,
+                    "frame_checksum": sums,
+                }
+            )
+
+    return m.mapInPandas(
+        sample,
+        "doc_id long, frame_idx int, frame_len long, frame_checksum long",
+    ).orderBy("doc_id", "frame_idx")
