@@ -34,9 +34,14 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: the first run may pay codegen/JIT compilation for this
+        # query's operators; the min is the steady-state number
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     out = {

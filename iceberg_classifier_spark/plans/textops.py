@@ -211,3 +211,84 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, text, lang,
+             len({_DUCK_TOKS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST({_duck_hits('en')} AS DOUBLE) / len({_DUCK_TOKS})
+               AS stopword_ratio
+      FROM documents
+    ), scored AS (
+      SELECT *, 1.0 / (1.0 + exp(-(0.02 * n_tokens + 2.0 * stopword_ratio
+                                   - 5.0 * punct_ratio - 1.0))) AS quality
+      FROM feats
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 10 AND 5000 AND quality >= 0.5
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+             min(n_tokens) AS n_tokens, min(quality) AS quality,
+             min(lang) AS lang
+      FROM kept GROUP BY text
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS dups_removed
+    FROM deduped GROUP BY lang ORDER BY lang
+    """,
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline in one plan: feature
+    extraction (token count, punctuation, stopword density) → quality
+    scoring → token-bound + quality filtering → exact dedup (keep lowest
+    doc_id) → per-language corpus report.
+
+    Scale shape: everything before the dedup is per-row codegen over one
+    scan; the dedup groupBy(text) is the single data-sized shuffle (at
+    100 TB: group on fingerprint+length instead of raw text); the final
+    per-language rollup aggregates the already-deduped remainder.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_tokens = F.size(toks)
+    punct = T.punct_ratio("text")
+    stop = T.stopword_hits(toks, "en").cast("double") / n_tokens
+    quality = 1.0 / (
+        1.0 + F.exp(-(0.02 * n_tokens + 2.0 * stop - 5.0 * punct - 1.0))
+    )
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    kept = scored.where(
+        F.col("n_tokens").between(10, 5000) & (F.col("quality") >= 0.5)
+    )
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality").alias("quality"),
+        F.min("lang").alias("lang"),
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint").alias(
+                "dups_removed"
+            ),
+        )
+        .orderBy("lang")
+    )
