@@ -676,3 +676,58 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned co-located join: orders and customer are materialized
+    as tables bucketed (and sorted) on the join key with the same bucket
+    count, so the sort-merge join needs NO shuffle on either side — the
+    scan is already hash-distributed by custkey. This is the 100 TB answer
+    to repeated fact⋈dim joins on a stable key: pay one bucketed write,
+    then every subsequent join is exchange-free (ShuffledHashJoin/SMJ reads
+    buckets aligned 1:1).
+
+    The merge hint pins SMJ so the demo shows the exchange-free plan even
+    where AQE would pick broadcast at test scale.
+    """
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl_o, tbl_c = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    base = f"/tmp/spark_graft_warehouse/bucketed_{tag}"
+    (
+        load(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .option("path", f"{base}/orders")
+        .saveAsTable(tbl_o)
+    )
+    (
+        load(spark, sf_dir, "customer")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .option("path", f"{base}/customer")
+        .saveAsTable(tbl_c)
+    )
+    o = spark.table(tbl_o).hint("merge")
+    c = spark.table(tbl_c)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("segment")
+    )

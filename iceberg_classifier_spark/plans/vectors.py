@@ -547,3 +547,89 @@ def rot90_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+# cos/sin of 10° embedded as identical literals in the numpy kernel and the
+# SQL oracle so both engines run the same IEEE arithmetic
+ROT_CT = 0.984807753012208
+ROT_ST = 0.17364817766693033
+
+
+@query(
+    "rotate_augment",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b1
+      FROM embeddings
+    ), g AS (
+      SELECT vec_id, b1, unnest(range(0, 64)) AS i FROM b
+    ), c AS (
+      SELECT vec_id, b1, i,
+             3.5 + ((i // 8) - 3.5) * {ROT_CT} + ((i % 8) - 3.5) * {ROT_ST} AS sy,
+             3.5 - ((i // 8) - 3.5) * {ROT_ST} + ((i % 8) - 3.5) * {ROT_CT} AS sx
+      FROM g
+    ), c1 AS (
+      SELECT *, CAST(least(floor(sy), 7) AS INT) AS y0,
+                CAST(least(floor(sx), 7) AS INT) AS x0
+      FROM c WHERE sy >= 0 AND sy <= 7 AND sx >= 0 AND sx <= 7
+    ), c2 AS (
+      SELECT *, least(y0 + 1, 7) AS y1, least(x0 + 1, 7) AS x1,
+                sy - y0 AS wy, sx - x0 AS wx
+      FROM c1
+    ), px AS (
+      SELECT vec_id, i,
+             b1[y0 * 8 + x0 + 1] * (1 - wy) * (1 - wx)
+             + b1[y0 * 8 + x1 + 1] * (1 - wy) * wx
+             + b1[y1 * 8 + x0 + 1] * wy * (1 - wx)
+             + b1[y1 * 8 + x1 + 1] * wy * wx AS v
+      FROM c2
+    )
+    SELECT g.vec_id AS vec_id, CAST(g.i AS INTEGER) AS pos,
+           round(coalesce(px.v, 0.0), 6) AS px_rot
+    FROM g LEFT JOIN px ON px.vec_id = g.vec_id AND px.i = g.i
+    ORDER BY g.vec_id, pos
+    """,
+)
+def rotate_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-angle rotation (the reference's rotation_range=10,
+    main.py:155): 10° CCW about the grid center, bilinear-sampled,
+    zero-filled outside the source — the interpolating companion to the
+    exact rot90. Same mapInPandas/numpy kernel family as resize_bilinear;
+    hash-checked against the identical formula in SQL (shared float
+    literals, same operation order)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def rotate(batches):
+        cy = cx = 3.5
+        r_idx, c_idx = np.divmod(np.arange(64), 8)
+        sy = cy + (r_idx - cy) * ROT_CT + (c_idx - cx) * ROT_ST
+        sx = cx - (r_idx - cy) * ROT_ST + (c_idx - cx) * ROT_CT
+        valid = (sy >= 0) & (sy <= 7) & (sx >= 0) & (sx <= 7)
+        y0 = np.minimum(np.floor(sy), 7).astype(int)
+        x0 = np.minimum(np.floor(sx), 7).astype(int)
+        y1, x1 = np.minimum(y0 + 1, 7), np.minimum(x0 + 1, 7)
+        wy, wx = sy - y0, sx - x0
+        for pdf in batches:
+            mats = np.stack(
+                pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            out = (
+                mats[:, y0 * 8 + x0] * (1 - wy) * (1 - wx)
+                + mats[:, y0 * 8 + x1] * (1 - wy) * wx
+                + mats[:, y1 * 8 + x0] * wy * (1 - wx)
+                + mats[:, y1 * 8 + x1] * wy * wx
+            )
+            out = np.where(valid[None, :], out, 0.0)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "rot": list(np.round(out, 6))}
+            )
+
+    return (
+        e.mapInPandas(rotate, "vec_id long, rot array<double>")
+        .select("vec_id", F.posexplode("rot").alias("pos", "px_rot"))
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), "px_rot")
+        .orderBy("vec_id", "pos")
+    )

@@ -31,5 +31,11 @@ def get_spark(app_name: str = "iceberg-classifier-spark") -> SparkSession:
         # with this flag and sources/tables.py casts back to a µs timestamp.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # bucketed-table demos persist outside the repo regardless of cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
+        .config(
+            "javax.jdo.option.ConnectionURL",
+            "jdbc:derby:;databaseName=/tmp/spark_graft_metastore;create=true",
+        )
     )
     return builder.getOrCreate()
