@@ -731,3 +731,103 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             n2.n_name AS supp_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM rev GROUP BY 1 ORDER BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one nation's slice of PROMO
+    part revenue sold into ASIA, by year. Customer-side nation/region and
+    supplier-side nation are all broadcast (two aliases of nation again);
+    the only data-sized shuffles are lineitem⋈orders and ⋈customer."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            vol.alias("volume"),
+        )
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "CHINA", F.col("volume")).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "customer_value_ntile",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_custkey AS custkey,
+           round(c.c_acctbal, 4) AS acctbal,
+           CAST(ntile(4) OVER (PARTITION BY n.n_name
+                               ORDER BY c.c_acctbal DESC, c.c_custkey) AS INT)
+             AS value_quartile
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY nation, value_quartile, custkey
+    """,
+)
+def customer_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer value quartiles (ntile window). One shuffle on
+    the partition key; custkey tiebreak makes bucket assignment
+    deterministic across engines."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            F.round("c_acctbal", 4).alias("acctbal"),
+            F.ntile(4).over(w).cast("int").alias("value_quartile"),
+        )
+        .orderBy("nation", "value_quartile", "custkey")
+    )

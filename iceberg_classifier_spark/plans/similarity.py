@@ -194,3 +194,58 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+@query("ann_ivf_kmeans_topk", oracle=None)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: centroids come from seeded
+    MLlib KMeans (vs ann_ivf_topk's fixed sample), cells are balanced by
+    construction, queries probe their 2 nearest cells. Rows-only (model
+    training is engine-specific).
+
+    Scale: training samples a fraction of the corpus; assignment +
+    probing is the same broadcast/equi-join shape as ann_ivf_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ev = e.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=N_CELLS, seed=42, maxIter=5).fit(ev)
+    pred = model.transform(ev).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, cv array<double>",
+    )
+    q_assigned = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "cell",
+            A.cosine(F.col("v"), F.col("cv")).alias("ccos"),
+        )
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), "cell")
+    queries = (
+        q_assigned.withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") <= N_PROBE)
+        .select("query_id", "qv", "cell")
+    )
+    cos = A.cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        F.broadcast(queries)
+        .join(pred, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
