@@ -163,3 +163,21 @@ def fold_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@query(
+    "stack_minmax_median",
+    oracle=f"""
+    WITH subs AS ({_duck_long()})
+    SELECT id,
+           round(CASE WHEN bool_and(prob > 0.8) THEN max(prob)
+                      WHEN bool_and(prob < 0.2) THEN min(prob)
+                      ELSE median(prob) END, 6) AS prob
+    FROM subs GROUP BY id ORDER BY id
+    """,
+)
+def stack_minmax_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMax+Median (ref sub_stacking.py:61-66) — completes the
+    reference's six stacking modes."""
+    out = stack(_long_subs(spark, sf_dir), "MinMax+Median")
+    return out.select("id", F.round("prob", 6).alias("prob")).orderBy("id")

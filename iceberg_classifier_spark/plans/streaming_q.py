@@ -99,3 +99,27 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("user_id")
+
+
+@query(
+    "streaming_late_data",
+    oracle="""
+    WITH recent AS (
+      SELECT ts FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    ), wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM recent)
+    SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events
+    FROM recent, wm
+    GROUP BY 1, wm.w
+    HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= wm.w
+    ORDER BY 1
+    """,
+)
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data handling: early-day events arriving two batches
+    after the watermark passed them are dropped; append mode emits exactly
+    the finalized windows of the on-time data — which is what the oracle
+    computes (hourly counts of on-time events whose window closed before
+    the final watermark)."""
+    from iceberg_classifier_spark.streaming.events import late_data_stream
+
+    return late_data_stream(spark, sf_dir).orderBy("hour_start")

@@ -203,3 +203,69 @@ def user_stats_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("first_event_id", "n_events").alias("first_event_id"),
         )
     )
+
+
+def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics demo with REAL late data, three single-file
+    micro-batches: mid-month events, then the most recent events, then the
+    earliest days arriving "late". Spark applies the late-row filter with
+    the watermark derived from the PREVIOUS batches (one-batch lag), so by
+    batch 3 the watermark sits at max(ts)-1h ≈ end of month and every row
+    of the late file is dropped (numRowsDroppedByWatermark > 0); append
+    mode emits exactly the finalized (watermark-passed) windows of the
+    first two batches. Deterministic: watermark updates only at batch
+    boundaries from batch maxima, regardless of row order.
+
+    At 100 TB this is the production shape: withWatermark bounds state
+    (evicted windows leave the store) and bounds how late a row may be.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d8_ns = 1704672000 * 10**9   # 2024-01-08T00:00:00Z epoch nanos
+    d20_ns = 1705708800 * 10**9  # 2024-01-20T00:00:00Z
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"events_late3_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(stage, "c_late.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        t = pq.read_table(table_path(sf_dir, "events"))
+        ns = pc.cast(t["ts"], "int64")
+        parts = {
+            "a_mid.parquet": t.filter(
+                pc.and_(pc.greater_equal(ns, d8_ns), pc.less(ns, d20_ns))
+            ),
+            "b_recent.parquet": t.filter(pc.greater_equal(ns, d20_ns)),
+            "c_late.parquet": t.filter(pc.less(ns, d8_ns)),
+        }
+        for i, (name, part) in enumerate(parts.items()):
+            path = os.path.join(stage, name)
+            pq.write_table(part, path)
+            # mtime order fixes batch order (FileStreamSource sorts by it)
+            os.utime(path, (1_700_000_000 + i * 100,) * 2)
+
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("hour_start"), "n_events")
+    )
+    sink = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")  # only watermark-finalized windows are emitted
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
