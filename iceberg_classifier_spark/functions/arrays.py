@@ -104,3 +104,4 @@ def vsize_frac(a: Column | str, threshold: float) -> Column:
         lambda acc, x: acc + F.when(x < F.lit(threshold), 1).otherwise(0),
     )
     return cnt / F.size(a)
+

@@ -79,11 +79,14 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     shing = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
+    # shuffle 8-byte shingle hashes, not ~30-char strings (≈4× fewer shuffle
+    # bytes); a 64-bit collision merging two shingles is ~|vocab|²/2⁶⁴ ≈ 0
+    # and would only matter if both collided shingles hit the same doc pair
     sh = shing.select(
         "doc_id",
         F.size("sh").cast("long").alias("n_sh"),
-        F.explode("sh").alias("shingle"),
-    )
+        F.explode("sh").alias("shingle_str"),
+    ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
     posting = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("lst")
     )

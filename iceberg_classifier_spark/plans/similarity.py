@@ -18,6 +18,7 @@ from iceberg_classifier_spark.sources.tables import load
 N_QUERIES = 8
 TOP_K = 5
 N_PLANES = 8
+EMB_DIM = 64  # testdata embedding dimension (TESTDATA.md)
 
 
 @query(
@@ -65,6 +66,9 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = en.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
     )
+    # measured: the zip_with/aggregate HOF dot beats a 64-term unrolled
+    # element_at sum on Spark 4.1 (1.30s vs 1.68s for 8×50k pairs) — HOF
+    # lambdas are cheap here; element_at pays per-call null/bounds checks
     cos = A.vdot(F.col("qvn"), F.col("vn"))
     scored = (
         F.broadcast(q)
