@@ -46,6 +46,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         relational,
         relational2,
         relational3,
+        relational4,
         vectors,
         mlprep,
         stacking,
