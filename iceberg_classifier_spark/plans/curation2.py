@@ -1,0 +1,335 @@
+"""Training-data curation, round 2: repetition filters (Gopher-style),
+blocklist scrubbing, deterministic stratified sampling, per-user event
+histories, label centroids, int8 embedding quantization, and sketch-based
+approximate distincts.
+
+These extend the LLM-data-pipeline surface (SURVEY §2) beyond the
+reference's own operators: a 100 TB curation run needs repetition/quality
+gates, content scrubbing, reproducible sampling, and compact vector
+representations as first-class plan nodes.
+
+Scale notes: every per-document metric here is a shuffle-free codegen'd
+higher-order-function fold (the top-bigram counter is an O(n log n)
+sort-then-run-length fold over the token array — NOT an explode + groupBy,
+which would shuffle the tokenized corpus). The only shuffles are the
+intentionally tiny ones: per-lang sample report, per-label centroids
+(|labels|×dim rows), per-user histories (bounded by a slice cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions import text as T
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_DUCK_TOKS = "string_split(trim(text), ' ')"
+
+# run-length fold over the sorted bigram array: max multiplicity in one pass
+_TOP_RUN = """
+aggregate(bg,
+  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run', if(x <=> acc.prev, acc.run + 1, 1),
+    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1))),
+  acc -> acc.best)
+"""
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+    ), b AS (
+      SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]) AS bg
+      FROM t
+    ), m AS (
+      SELECT doc_id, max(cnt) AS top_n FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           round(CAST(b.nd AS DOUBLE) / b.n, 6) AS distinct_ratio,
+           CAST(m.top_n AS BIGINT) AS top_bigram_n,
+           round(CAST(m.top_n AS DOUBLE) / (b.n - 1), 6) AS top_bigram_frac,
+           (round(CAST(m.top_n AS DOUBLE) / (b.n - 1), 6) >= 0.1
+            OR round(CAST(b.nd AS DOUBLE) / b.n, 6) <= 0.5) AS is_repetitive
+    FROM b JOIN m USING (doc_id) ORDER BY doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: distinct-token ratio + most-frequent-
+    bigram fraction per document, and a repetitive-document verdict.
+
+    Scale: zero shuffles — bigrams are built with slice+zip_with, sorted,
+    and the max multiplicity comes from a single O(n) run-length fold
+    (``aggregate`` with a struct accumulator), all inside codegen. The
+    naive plan (explode bigrams → groupBy(doc_id, gram) → max count)
+    shuffles ~n_tokens rows per document; this shuffles none. The verdict
+    compares ROUNDED ratios so the flag cannot flip on float noise.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.tokens("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        .withColumn("nd", F.size(F.array_distinct("t")))
+        .withColumn(
+            "bg",
+            F.expr(
+                "array_sort(zip_with(slice(t, 1, n - 1), slice(t, 2, n - 1),"
+                " (a, b) -> concat(a, ' ', b)))"
+            ),
+        )
+        .withColumn("top_n", F.expr(_TOP_RUN))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.round(F.col("nd").cast("double") / F.col("n"), 6).alias("distinct_ratio"),
+            F.col("top_n").cast("bigint").alias("top_bigram_n"),
+            F.round(F.col("top_n").cast("double") / (F.col("n") - 1), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .withColumn(
+            "is_repetitive",
+            (F.col("top_bigram_frac") >= 0.1) | (F.col("distinct_ratio") <= 0.5),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOCK_RE = r"\b(customer|spark|vector)\b"
+
+
+@query(
+    "blocklist_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BLOCK_RE}')) AS BIGINT) AS n_hits,
+           regexp_replace(text, '{_BLOCK_RE}', '[MASKED]', 'g') AS scrubbed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist content scrub (the PII/contraband-removal stage of a
+    curation pipeline): count and mask blocklisted terms with word
+    boundaries. Per-row regex inside codegen — at 100 TB this is a
+    map-only pass that rewrites the corpus with zero shuffles; a real
+    deployment swaps the demo blocklist for the policy list.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BLOCK_RE)).cast("bigint").alias("n_hits"),
+        F.regexp_replace("text", _BLOCK_RE, "[MASKED]").alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "sample_stratified_det",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           round(CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS sample_rate
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~10%: md5 prefix <= '19' is 26/256) with
+    a per-language acceptance report — the reproducible-subset primitive for
+    eval-set carve-outs and pipeline smoke runs.
+
+    Scale: the sampling decision is a pure function of the row key (no RNG
+    state, no seed plumbing), so it is stable under retries, repartitions
+    and re-runs — the property that matters when the sample defines a
+    train/eval boundary. One scan, one tiny per-lang shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "19"
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+            F.round(
+                F.sum(F.when(keep, 1).otherwise(0)).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "user_event_history",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           (list(event_type ORDER BY ts, event_id))[1:20] AS history
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered interaction history (the sequence-features input for
+    behavioral / sessionized training data): event count, first/last
+    timestamps, and the first 20 event types ordered by (ts, event_id).
+
+    Scale: one shuffle on user_id; collect_list is bounded per user and the
+    output is capped with slice. At 100 TB with power-law users, cap BEFORE
+    collecting via a row_number window filter (same key, same single
+    shuffle) so no executor materializes a whale user's full history.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x.event_type,
+                ),
+                1,
+                20,
+            ).alias("history"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "embed_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ), d AS (
+      SELECT label, pos, round(avg(v), 6) AS m FROM e GROUP BY 1, 2
+    ), n AS (
+      SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1
+    )
+    SELECT d.label, CAST(n.n_vectors AS BIGINT) AS n_vectors,
+           list(d.m ORDER BY d.pos) AS centroid,
+           round(sqrt(sum(d.m * d.m)), 6) AS centroid_norm
+    FROM d JOIN n USING (label)
+    GROUP BY d.label, n.n_vectors ORDER BY d.label
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes for nearest-centroid
+    classification / cluster seeding) with vector counts and norms.
+
+    Scale: posexplode → groupBy(label, pos) is the transpose-free
+    elementwise mean — the shuffle carries |labels|×dim partial sums (map-
+    side combined), never whole vectors; the re-assembly collect_list is
+    over dim rows per label. Norms are computed from the ROUNDED means so
+    both engines agree bit-for-bit.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    d = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        d.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x.m
+            ).alias("centroid"),
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
+        )
+        .join(F.broadcast(n), "label")
+        .select("label", F.col("n_vectors").cast("bigint"), "centroid", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v
+    )
+    SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+           list_transform(e, x -> CAST(round(((x - mn) / (mx - mn)) * 255)
+                                       AS INTEGER) - 128) AS qvec
+    FROM m ORDER BY vec_id
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (4× footprint cut for ANN shards):
+    q = round((x − min) / (max − min) · 255) − 128, plus the (min, max)
+    dequantization params.
+
+    Scale: pure per-row higher-order functions in codegen, zero shuffles —
+    quantizing a 100 TB embedding store is a map-only rewrite. The double
+    math uses the identical expression tree on both engines so the rounded
+    integers match exactly (both round half-away-from-zero on the
+    non-negative scaled values).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.select("vec_id", v.alias("e"))
+        .withColumn("mn", F.array_min("e"))
+        .withColumn("mx", F.array_max("e"))
+        .select(
+            "vec_id",
+            F.round("mn", 6).alias("vmin"),
+            F.round("mx", 6).alias("vmax"),
+            F.expr(
+                "transform(e, x -> cast(round(((x - mn) / (mx - mn)) * 255)"
+                " as int) - 128)"
+            ).alias("qvec"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query("events_approx_distinct")  # sketch output — no exact SQL oracle
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type, side-by-side
+    with the exact count and the realized relative error.
+
+    Scale: this is THE cardinality primitive at 100 TB — the HLL sketch is
+    a fixed-size mergeable register set, so the shuffle carries ~1.5 KB per
+    (group, sketch) instead of one row per distinct user; exact distinct
+    shuffles every (event_type, user_id) pair. Rows-only check: the sketch
+    estimate is engine-specific by construction (DuckDB's approx_distinct
+    uses a different HLL seeding), which is why no hash oracle exists.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -47,6 +47,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         relational2,
         relational3,
         relational4,
+        curation2,
         vectors,
         mlprep,
         stacking,
