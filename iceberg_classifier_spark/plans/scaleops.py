@@ -1,0 +1,262 @@
+"""Scale-pattern operators: time-series gap-fill with interpolation
+(hypertable-rollup style), skew-salted join, analytic window suite, and a
+partitioned-sink + partition-pruning read-back.
+
+Each query here demonstrates a technique that matters specifically at
+100 TB — bounded-state resampling, hot-key dispersion, single-shuffle
+analytics, and storage-layout pruning — while staying exactly
+oracle-checkable at test scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_BUCKET = 600  # 10-minute resample grain
+
+
+@query(
+    "events_gapfill",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / {_BUCKET}) * {_BUCKET} AS BIGINT) AS epoch,
+             value
+      FROM events
+    ), agg AS (
+      SELECT event_type, epoch, round(sum(value), 4) AS v, count(*) AS n
+      FROM b GROUP BY 1, 2
+    ), rng AS (SELECT min(epoch) AS mn, max(epoch) AS mx FROM b),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(rng.mn, rng.mx, {_BUCKET})) AS epoch
+      FROM (SELECT DISTINCT event_type FROM events) t, rng
+    ), j AS (
+      SELECT s.event_type, s.epoch, a.v, a.n
+      FROM spine s LEFT JOIN agg a USING (event_type, epoch)
+    ), f AS (
+      SELECT *,
+        last_value(CASE WHEN v IS NOT NULL
+                        THEN struct_pack(e := epoch, v := v) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        first_value(CASE WHEN v IS NOT NULL
+                         THEN struct_pack(e := epoch, v := v) END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY epoch
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+      FROM j
+    )
+    SELECT event_type, epoch AS bucket_epoch,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           coalesce(v, pv.v + (nx.v - pv.v) * (epoch - pv.e)
+                              / (nx.e - pv.e), pv.v, nx.v) AS v_filled,
+           (v IS NULL) AS is_gap
+    FROM f ORDER BY event_type, epoch
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a 10-minute grid with gap-fill: missing
+    buckets get LINEAR interpolation between the nearest measured
+    neighbours (edges fall back to nearest-value fill) — the
+    TimescaleDB-style ``time_bucket_gapfill + interpolate`` rollup.
+
+    Scale: the raw table collapses to |series|×|buckets| partial sums
+    (map-side combined) before any window runs; the spine is generated,
+    never stored; interpolation is two IGNORE-NULLS window passes over the
+    already-tiny resampled frame. For spines too long for one partition,
+    re-chunk by (series, day) and stitch boundaries — the raw-data shuffle
+    is unchanged. Epoch seconds (not timestamps) cross the engine boundary
+    so no timezone semantics are in play.
+    """
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / _BUCKET) * _BUCKET).alias("epoch"),
+        "value",
+    )
+    # bucket sums are rounded BEFORE interpolation so both engines feed the
+    # interpolator bit-identical doubles (2-decimal inputs → exact at 4dp);
+    # midpoints can land exactly on a rounding boundary, so the inputs must
+    # match exactly, not just to within float-summation noise
+    agg = b.groupBy("event_type", "epoch").agg(
+        F.round(F.sum("value"), 4).alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    rng = b.agg(F.min("epoch").alias("mn"), F.max("epoch").alias("mx"))
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.lit(_BUCKET))).alias("epoch"),
+        )
+    )
+    j = spine.join(agg, ["event_type", "epoch"], "left")
+    mk = F.when(F.col("v").isNotNull(), F.struct(F.col("epoch").alias("e"), F.col("v")))
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pv = F.last(mk, ignorenulls=True).over(w_prev)
+    nx = F.first(mk, ignorenulls=True).over(w_next)
+    interp = pv["v"] + (nx["v"] - pv["v"]) * (F.col("epoch") - pv["e"]) / (
+        nx["e"] - pv["e"]
+    )
+    return (
+        j.withColumn("pv", pv)
+        .withColumn("nx", nx)
+        .select(
+            "event_type",
+            F.col("epoch").alias("bucket_epoch"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            # no final rounding: interpolated midpoints sit exactly on
+            # rounding-half boundaries, where Spark (BigDecimal HALF_UP) and
+            # DuckDB (double multiply-then-round) disagree. With 4dp-rounded
+            # bucket sums as inputs, both engines evaluate the identical
+            # expression tree → bit-identical IEEE doubles, no rounding needed
+            F.coalesce(F.col("v"), interp, pv["v"], nx["v"]).alias("v_filled"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket_epoch")
+    )
+
+
+_SALTS = 8
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, sum(value) AS user_total FROM events GROUP BY 1
+    )
+    SELECT e.event_type, count(*) AS n_events,
+           round(sum(e.value / ut.user_total), 6) AS weighted_sum
+    FROM events e JOIN ut USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact⋈dim join via salting: the dim side is replicated
+    across 8 salts, the fact side picks a deterministic salt from a row
+    hash, and the join key becomes (user_id, salt) — so one whale user's
+    rows spread over 8 reducers instead of melting one. The result is
+    bit-identical to the plain join (the oracle computes the plain join).
+
+    Scale: this is the manual fallback when AQE skew-join splitting can't
+    apply (e.g. the skewed side feeds a window, or a non-shuffle join
+    boundary). Salt count trades dim duplication for parallelism; 8× a
+    small dim is noise, 8× fewer straggler seconds is not.
+    """
+    e = load(spark, sf_dir, "events")
+    ut = e.groupBy("user_id").agg(F.sum("value").alias("user_total"))
+    salted_dim = ut.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_SALTS - 1)))
+    )
+    fact = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)).cast("int"))
+    return (
+        fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") / F.col("user_total")), 6).alias(
+                "weighted_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "customer_window_suite",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey AS nation,
+           round(c_acctbal, 2) AS acctbal,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(c_acctbal - lag(c_acctbal) OVER w, 2) AS step_up,
+           round(sum(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY
+                 c_acctbal, c_custkey ROWS UNBOUNDED PRECEDING), 2)
+             AS running_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY nation, rnk
+    """,
+)
+def customer_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window function suite (rank / percent_rank / cume_dist /
+    lag delta / running sum) over one window spec — everything computes in
+    a SINGLE shuffle on the partition key because every function shares the
+    (nation, balance, custkey) sort. The unique (balance, custkey) sort key
+    makes rank-family outputs tie-free and deterministic across engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        c.select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nation"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.col("c_acctbal") - F.lag("c_acctbal").over(w), 2).alias(
+                "step_up"
+            ),
+            F.round(F.sum("c_acctbal").over(wsum), 2).alias("running_bal"),
+        )
+        .orderBy("nation", "rnk")
+    )
+
+
+@query(
+    "partitioned_prune_readback",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def partitioned_prune_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-parquet sink + partition-pruned read-back: events are
+    written partitioned by event_date (the storage layout a 100 TB event
+    store lives in), then a one-week range query reads back ONLY the seven
+    matching directories — `.explain` shows the range in PartitionFilters
+    with the other ~23 days never opened. The oracle runs the same range
+    aggregate against the original table, proving the round-trip is
+    lossless.
+    """
+    from iceberg_classifier_spark.sources.sinks import write_parquet
+
+    e = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/icebergspark_part_demo_{tag}"
+    write_parquet(e, path, partition_by=["event_date"])
+    r = spark.read.parquet(path).where(
+        F.col("event_date").between("2024-01-10", "2024-01-16")
+    )
+    return (
+        r.groupBy(F.col("event_date").cast("string").alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -102,6 +102,55 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_static_join",
+    oracle="""
+    WITH dim(event_type, weight) AS (VALUES
+      ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+      ('signup', 3.0), ('error', 0.0))
+    SELECT e.event_type, d.weight, count(*) AS n_events,
+           round(sum(e.value * d.weight), 4) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the unbounded event stream joins a
+    broadcast static dimension (per-type weights) batch-by-batch — no
+    stream-stream state, no watermark needed for the join itself. Drained
+    with availableNow; the weighted per-type totals must equal the batch
+    join, which is what the oracle computes.
+
+    Scale: the static side broadcasts once per (re)load, so the streaming
+    hot path stays shuffle-free until the final keyed aggregation — the
+    standard shape for dimension enrichment in a 100 TB/day ingest.
+    """
+    from iceberg_classifier_spark.streaming.events import _events_stream
+    import uuid as _uuid
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+         ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = _events_stream(spark, sf_dir).select("event_type", "value")
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    agg = enriched.groupBy("event_type", "weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+    )
+    sink = f"stream_static_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("event_type")
+
+
+@query(
     "streaming_late_data",
     oracle="""
     WITH recent AS (
