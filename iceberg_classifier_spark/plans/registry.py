@@ -50,6 +50,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         curation2,
         scaleops,
         vectors,
+        vectors2,
         mlprep,
         stacking,
         textops,
