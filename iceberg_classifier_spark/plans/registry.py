@@ -51,6 +51,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         scaleops,
         vectors,
         vectors2,
+        profiling,
         mlprep,
         stacking,
         textops,
