@@ -6,7 +6,7 @@ integer/string ops so hashes match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.functions import text as T
@@ -291,4 +291,93 @@ def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "bigram_next_word",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_DUCK_TOKS} AS w FROM documents
+      WHERE len({_DUCK_TOKS}) >= 2
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(2, len(w)),
+                                   i -> struct_pack(w1 := w[i - 1],
+                                                    w2 := w[i]))) AS p
+      FROM toks
+    ), cnt AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n FROM pairs GROUP BY 1, 2
+    ), heads AS (
+      SELECT w1, CAST(sum(n) AS BIGINT) AS head_total,
+             row_number() OVER (ORDER BY sum(n) DESC, w1) AS hr
+      FROM cnt GROUP BY 1
+    ), ranked AS (
+      SELECT w1, w2, n,
+             row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn
+      FROM cnt
+    )
+    SELECT r.w1, CAST(r.rn AS BIGINT) AS rn, r.w2, r.n, h.head_total,
+           round(r.n * 1.0 / h.head_total, 6) AS p_next
+    FROM ranked r JOIN heads h USING (w1)
+    WHERE h.hr <= 20 AND r.rn <= 3
+    ORDER BY h.head_total DESC, r.w1, r.rn
+    """,
+)
+def bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: for the 20 most frequent head words,
+    the top-3 next words with conditional probability P(w2 | w1) — the
+    n-gram-statistics stage of a corpus-analysis pipeline.
+
+    Scale: the token-level explode is the only wide row expansion and
+    feeds straight into a map-side-combined (w1, w2) hash agg, so the
+    shuffle carries |distinct bigrams| rows, not |tokens|. Both rankings
+    run over the already-tiny aggregated frames and rank on INTEGER counts
+    with string tiebreakers (no float-rank ambiguity); the head frame is
+    broadcast back onto the per-head ranking.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.split(F.trim("text"), " ").alias("w")
+    )
+    pairs = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    heads = (
+        cnt.groupBy("w1")
+        .agg(F.sum("n").cast("bigint").alias("head_total"))
+        .withColumn(
+            "hr",
+            F.row_number().over(
+                Window.orderBy(F.col("head_total").desc(), "w1")
+            ),
+        )
+        .filter(F.col("hr") <= 20)
+        .drop("hr")
+    )
+    ranked = cnt.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("w1").orderBy(F.col("n").desc(), "w2")
+        ),
+    ).filter(F.col("rn") <= 3)
+    return (
+        ranked.join(F.broadcast(heads), "w1")
+        .select(
+            "w1",
+            F.col("rn").cast("bigint").alias("rn"),
+            "w2",
+            "n",
+            "head_total",
+            F.round(F.col("n") / F.col("head_total"), 6).alias("p_next"),
+        )
+        .orderBy(F.col("head_total").desc(), "w1", "rn")
     )
