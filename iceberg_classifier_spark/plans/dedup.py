@@ -403,3 +403,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+@query(
+    "decontaminate_8gram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(8, len(w)),
+                                   i -> array_to_string(w[i - 7:i], ' ')))
+               AS gram
+      FROM toks WHERE len(w) >= 8
+    ), ev AS (
+      SELECT DISTINCT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % 7 = 0
+    ), tr AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 != 0
+    )
+    SELECT tr.doc_id,
+           count(DISTINCT tr.gram) AS n_hit_grams,
+           count(DISTINCT ev.eval_doc_id) AS n_eval_docs,
+           min(tr.gram) AS sample_gram
+    FROM tr JOIN ev USING (gram)
+    GROUP BY 1 ORDER BY doc_id
+    """,
+)
+def decontaminate_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    verbatim 8-gram with the held-out eval slice (here ``doc_id % 7 = 0``
+    stands in for the benchmark suite) — the contamination gate every
+    LLM training corpus runs before release.
+
+    Scale: the eval side is a real benchmark suite (tiny, fixed), so its
+    distinct-gram set broadcasts and the 100 TB training side never
+    shuffles — each partition streams its grams through the broadcast hash
+    map and only the matching (doc, gram) pairs reach the final per-doc
+    agg. The n-gram explode feeds the broadcast join directly (no
+    corpus-wide gram shuffle); swap the gram string for ``xxhash64(gram)``
+    to shrink the broadcast at production vocabulary sizes.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+        .filter(F.size("w") >= 8)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> array_join(slice(w, i, 8), ' '))"
+            )
+        ).alias("gram"),
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "gram")
+        .distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % 7 != 0).distinct()
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_hit_grams"),
+            F.count_distinct("eval_doc_id").alias("n_eval_docs"),
+            F.min("gram").alias("sample_gram"),
+        )
+        .orderBy("doc_id")
+    )

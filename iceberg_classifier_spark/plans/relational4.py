@@ -291,3 +291,91 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "supp_name")
         .limit(20)
     )
+
+
+@query(
+    "orders_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice * 1.1, 2)
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT -o_orderkey - 1, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), merged AS (
+      SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+             coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+             CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                  THEN 1 ELSE 0 END AS is_updated,
+             CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END AS is_inserted
+      FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)
+    )
+    SELECT o_orderstatus, count(*) AS n_rows,
+           CAST(sum(is_updated) AS BIGINT) AS n_updated,
+           CAST(sum(is_inserted) AS BIGINT) AS n_inserted,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
+    FROM merged GROUP BY 1 ORDER BY o_orderstatus
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a CDC batch
+    (10% price updates + 1% inserts, both derived deterministically from
+    ``orders``) onto the base table via full-outer join + coalesce — the
+    canonical Spark upsert when Delta/Iceberg MERGE isn't available —
+    then summarize the merged state per status.
+
+    Scale: the merge is one shuffle of base ∪ changes on the merge key
+    (or zero extra shuffles if the base is bucketed by key, which is how a
+    100 TB dim table should be stored — see `bucketed_join`); a small CDC
+    batch would instead broadcast into a left join + anti-union. Price
+    totals are summed as exact integer cents so the engine-side summation
+    order can't perturb the rounded output.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    changes = upd.unionByName(ins)
+    b, c = o.alias("b"), changes.alias("c")
+    merged = b.join(c, "o_orderkey", "full_outer").select(
+        F.coalesce("c.o_orderstatus", "b.o_orderstatus").alias(
+            "o_orderstatus"
+        ),
+        F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        F.when(
+            F.col("c.o_orderstatus").isNotNull()
+            & F.col("b.o_orderstatus").isNotNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_updated"),
+        F.when(F.col("b.o_orderstatus").isNull(), 1).otherwise(0).alias(
+            "is_inserted"
+        ),
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("is_updated").cast("bigint").alias("n_updated"),
+            F.sum("is_inserted").cast("bigint").alias("n_inserted"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

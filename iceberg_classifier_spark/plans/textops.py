@@ -381,3 +381,82 @@ def bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("head_total").desc(), "w1", "rn")
     )
+
+
+@query(
+    "lm_doc_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
+      WHERE len({_DUCK_TOKS}) >= 2
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(2, len(w)),
+                                   i -> struct_pack(w1 := w[i - 1],
+                                                    w2 := w[i]))) AS p
+      FROM toks
+    ), bi AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs
+    ), cnt AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+    ), heads AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cnt GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(w) AS t FROM toks)
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c.c12 + 1.0) / (h.c1 + vocab.v))), 6) AS avg_logp,
+           round(exp(-avg(ln((c.c12 + 1.0) / (h.c1 + vocab.v)))), 2) AS ppl
+    FROM bi b
+    JOIN cnt c USING (w1, w2) JOIN heads h USING (w1) CROSS JOIN vocab
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+)
+def lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: score every document by its mean
+    add-one-smoothed bigram log-probability under a model trained on the
+    corpus itself, plus the equivalent perplexity — the "does this read
+    like the corpus" gate used to rank crawl text.
+
+    Scale: model "training" is the same map-combined (w1, w2) count agg as
+    `bigram_next_word`; scoring re-joins each doc's bigrams to the model
+    on (w1, w2) — a shuffle join whose model side is |distinct bigrams|
+    (broadcastable for production LM filter vocabularies). The vocab size
+    scalar stays in-plan via a broadcast cross-join of a 1-row frame, so
+    nothing collects to the driver. ln/exp differ across engines by ≤1
+    ulp, far below the 6dp rounding.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), " ").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    heads = cnt.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = (
+        d.select(F.explode("w").alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    logp = F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+    return (
+        bi.join(cnt, ["w1", "w2"])
+        .join(heads, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+            F.round(F.exp(-F.avg(logp)), 2).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
