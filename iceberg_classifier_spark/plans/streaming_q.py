@@ -172,3 +172,23 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_classifier_spark.streaming.events import late_data_stream
 
     return late_data_stream(spark, sf_dir).orderBy("hour_start")
+
+
+@query(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch micro-batch MERGE: three chronological batches upsert
+    per-user partials (exact integer cents) into a versioned parquet state
+    store; the final store must equal the batch GROUP BY — which is what
+    the oracle computes."""
+    from iceberg_classifier_spark.streaming.events import upsert_state_stream
+
+    return upsert_state_stream(spark, sf_dir).orderBy("user_id")

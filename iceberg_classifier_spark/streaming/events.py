@@ -269,3 +269,103 @@ def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert: three chronological micro-batches
+    each MERGE their per-user partial aggregates into a versioned parquet
+    state store (full-outer join + coalesce — same merge kernel as the
+    batch `orders_merge_upsert`), and the final store version must equal
+    the batch GROUP BY over all events.
+
+    Value sums are carried as exact integer cents so the three-way merge
+    is associative bit-for-bit regardless of how the stream was split.
+
+    At 100 TB this is the standard "stream into a warehouse table" shape:
+    foreachBatch gives exactly-once micro-batch MERGE semantics onto any
+    sink that supports atomic replace, with state sized by |keys|, not by
+    stream length.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    # events span January 2024 only — split into thirds at Jan 11 / Jan 21
+    cut1_ns = 1704931200 * 10**9  # 2024-01-11T00:00:00Z epoch nanos
+    cut2_ns = 1705795200 * 10**9  # 2024-01-21T00:00:00Z
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"events_upsert3_jan_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(stage, "c_tail.parquet")):
+        os.makedirs(stage, exist_ok=True)
+        t = pq.read_table(table_path(sf_dir, "events"))
+        ns = pc.cast(t["ts"], "int64")
+        parts = {
+            "a_early.parquet": t.filter(pc.less(ns, cut1_ns)),
+            "b_mid.parquet": t.filter(
+                pc.and_(pc.greater_equal(ns, cut1_ns), pc.less(ns, cut2_ns))
+            ),
+            "c_tail.parquet": t.filter(pc.greater_equal(ns, cut2_ns)),
+        }
+        for i, (name, part) in enumerate(parts.items()):
+            path = os.path.join(stage, name)
+            pq.write_table(part, path)
+            os.utime(path, (1_700_000_000 + i * 100,) * 2)
+
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    run = uuid.uuid4().hex[:8]
+    state_root = os.path.join(tempfile.gettempdir(), f"upsert_state_{run}")
+    versions: list[str] = []
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            merged = (
+                prev.alias("p")
+                .join(b.alias("c"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("p.n_events", F.lit(0))
+                        + F.coalesce("c.n_events", F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce("p.cents", F.lit(0))
+                        + F.coalesce("c.cents", F.lit(0))
+                    ).alias("cents"),
+                    F.greatest("p.last_ts", "c.last_ts").alias("last_ts"),
+                )
+            )
+        else:
+            merged = b
+        out = os.path.join(state_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(state_root, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(versions[-1])
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("sum_value"),
+        "last_ts",
+    ).orderBy("user_id")

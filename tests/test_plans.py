@@ -82,3 +82,16 @@ def test_topn_is_take_ordered_not_global_sort(spark, sf_dir):
     top-N + merge), not a full global sort."""
     plan = plan_of(spark, sf_dir, "q3_top_unshipped")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    # the 100 TB training side must stream through a broadcast of the tiny
+    # eval gram set — a shuffle join here would reshuffle the whole corpus
+    plan = plan_of(spark, sf_dir, "decontaminate_8gram")
+    assert "BroadcastHashJoin" in plan, "eval gram set not broadcast"
+
+
+def test_funnel_stages_broadcast_user_frames(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_funnel")
+    assert "BroadcastHashJoin" in plan, "per-user stage frames not broadcast"
+    assert "CartesianProduct" not in plan
