@@ -228,3 +228,46 @@ def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "events_rolling_1h_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0, 2)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval rolling window: per user, the event count and value
+    sum over the trailing 1 HOUR (a RANGE frame over event time, not a
+    row-count frame) — "activity in the last hour" features for every
+    event.
+
+    Scale: one exchange + sort on (user_id, ts) feeds both frame
+    aggregates; the RANGE frame is evaluated by Spark's sliding-window
+    frame processor over microsecond longs (`unix_micros`), so frame
+    boundaries are integer-exact and identical to the oracle's
+    INTERVAL arithmetic (event timestamps are exact microseconds).
+    Values are summed as integer cents inside the frame, making the
+    windowed sums order-independent bit-for-bit.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("sum_1h"),
+    ).orderBy("user_id", "ts", "event_id")

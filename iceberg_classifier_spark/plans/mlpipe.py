@@ -93,3 +93,96 @@ def mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "fpgrowth_itemsets",
+    oracle="""
+    WITH subsets(itemset, items, n_items) AS (VALUES
+      ('click', ['click'], 1),
+      ('error', ['error'], 1),
+      ('purchase', ['purchase'], 1),
+      ('signup', ['signup'], 1),
+      ('view', ['view'], 1),
+      ('click,error', ['click', 'error'], 2),
+      ('click,purchase', ['click', 'purchase'], 2),
+      ('click,signup', ['click', 'signup'], 2),
+      ('click,view', ['click', 'view'], 2),
+      ('error,purchase', ['error', 'purchase'], 2),
+      ('error,signup', ['error', 'signup'], 2),
+      ('error,view', ['error', 'view'], 2),
+      ('purchase,signup', ['purchase', 'signup'], 2),
+      ('purchase,view', ['purchase', 'view'], 2),
+      ('signup,view', ['signup', 'view'], 2),
+      ('click,error,purchase', ['click', 'error', 'purchase'], 3),
+      ('click,error,signup', ['click', 'error', 'signup'], 3),
+      ('click,error,view', ['click', 'error', 'view'], 3),
+      ('click,purchase,signup', ['click', 'purchase', 'signup'], 3),
+      ('click,purchase,view', ['click', 'purchase', 'view'], 3),
+      ('click,signup,view', ['click', 'signup', 'view'], 3),
+      ('error,purchase,signup', ['error', 'purchase', 'signup'], 3),
+      ('error,purchase,view', ['error', 'purchase', 'view'], 3),
+      ('error,signup,view', ['error', 'signup', 'view'], 3),
+      ('purchase,signup,view', ['purchase', 'signup', 'view'], 3),
+      ('click,error,purchase,signup',
+       ['click', 'error', 'purchase', 'signup'], 4),
+      ('click,error,purchase,view',
+       ['click', 'error', 'purchase', 'view'], 4),
+      ('click,error,signup,view', ['click', 'error', 'signup', 'view'], 4),
+      ('click,purchase,signup,view',
+       ['click', 'purchase', 'signup', 'view'], 4),
+      ('error,purchase,signup,view',
+       ['error', 'purchase', 'signup', 'view'], 4),
+      ('click,error,purchase,signup,view',
+       ['click', 'error', 'purchase', 'signup', 'view'], 5)
+    ), baskets AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             list(DISTINCT event_type) AS basket
+      FROM events GROUP BY 1, 2
+    ), nb AS (SELECT count(*) AS n FROM baskets),
+    sup AS (
+      SELECT s.itemset, CAST(s.n_items AS BIGINT) AS n_items,
+             count(*) FILTER (WHERE list_has_all(b.basket, s.items)) AS freq
+      FROM baskets b CROSS JOIN subsets s
+      GROUP BY 1, 2
+    )
+    SELECT itemset, n_items, freq,
+           round(freq * 1.0 / nb.n, 6) AS support
+    FROM sup, nb
+    WHERE freq >= CAST(ceil(0.01 * nb.n) AS BIGINT)
+    ORDER BY freq DESC, itemset
+    """,
+)
+def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining with MLlib's distributed FP-Growth (PFP)
+    over per-(user, day) baskets of event types, minSupport = 1% — the
+    market-basket / co-occurrence operator. The 5-item domain lets the
+    oracle enumerate all 31 candidate itemsets and verify MLlib's counts
+    EXACTLY, not just row counts.
+
+    Scale: PFP partitions the FP-tree by item suffix, so the mining fans
+    out over groups without materializing candidate pairs; basket building
+    is one (user, day) collect_set shuffle of the raw stream. Support
+    counts are integers — bit-exact across engines by construction.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    e = load(spark, sf_dir, "events")
+    baskets = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.collect_set("event_type").alias("items"))
+    )
+    n = baskets.count()
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.01, minConfidence=0.5
+    ).fit(baskets)
+    fi = model.freqItemsets
+    return (
+        fi.select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").cast("bigint").alias("n_items"),
+            F.col("freq"),
+            F.round(F.col("freq") / F.lit(n), 6).alias("support"),
+        )
+        .orderBy(F.col("freq").desc(), "itemset")
+    )

@@ -207,3 +207,101 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args})"
         " as (col, n, n_null, n_distinct, min_s, max_s)"
     ).orderBy("col")
+
+
+_CMS_P = 1_000_000_007
+_CMS_W = 256
+_CMS_SEEDS = [(0, 1000003, 17), (1, 1000033, 29), (2, 1000037, 41),
+              (3, 1000039, 53)]
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ), cnt AS (
+      SELECT t, count(*) AS exact_n FROM toks GROUP BY 1
+    ), hs AS (
+      SELECT t, exact_n,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(generate_series(1, length(t)),
+                                           i -> ord(substr(t, CAST(i AS INTEGER), 1)))),
+               (acc, c) -> (acc * 31 + c) % {_CMS_P}) AS h
+      FROM cnt
+    ), seeds(row_i, a, b) AS (VALUES
+      {", ".join(f"({r}, {a}, {b})" for r, a, b in _CMS_SEEDS)}
+    ), tok_cells AS (
+      SELECT t, exact_n, row_i, ((a * h + b) % {_CMS_P}) % {_CMS_W} AS col
+      FROM hs CROSS JOIN seeds
+    ), sketch AS (
+      SELECT row_i, col, CAST(sum(exact_n) AS BIGINT) AS cell_n
+      FROM tok_cells GROUP BY 1, 2
+    ), est AS (
+      SELECT tc.t, tc.exact_n, min(s.cell_n) AS cms_est
+      FROM tok_cells tc JOIN sketch s USING (row_i, col) GROUP BY 1, 2
+    )
+    SELECT t AS token, exact_n, cms_est, cms_est - exact_n AS overestimate,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY exact_n DESC, t) AS rk
+          FROM est)
+    WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a 4×256 CMS over the corpus token
+    stream, compared against exact counts for the top-20 tokens (the
+    guaranteed-overestimate property shows up in the `overestimate`
+    column) — the fixed-memory frequency sketch a 100 TB pipeline uses
+    where an exact token count would not fit.
+
+    Scale: each CMS cell is a mergeable counter, so the sketch builds with
+    one map-side-combined agg over |D×W| = 1024 cells no matter the corpus
+    size, then broadcasts for estimation. Hashes are the repo's portable
+    polynomial fingerprint (identical integer fold on both engines), so
+    the sketch — not just the exact side — is verified cross-engine.
+    In production the raw stream aggregates straight into cells; here the
+    stream is pre-aggregated per token first (same cells, one less pass).
+    """
+    from iceberg_classifier_spark.functions import text as T
+
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    hs = cnt.withColumn("h", T.rolling_fingerprint("t"))
+    seeds = spark.createDataFrame(
+        _CMS_SEEDS, "row_i int, a long, b long"
+    )
+    tok_cells = hs.crossJoin(F.broadcast(seeds)).select(
+        "t",
+        "exact_n",
+        "row_i",
+        (((F.col("a") * F.col("h") + F.col("b")) % _CMS_P) % _CMS_W).alias(
+            "col"
+        ),
+    )
+    sketch = tok_cells.groupBy("row_i", "col").agg(
+        F.sum("exact_n").cast("bigint").alias("cell_n")
+    )
+    est = (
+        tok_cells.join(F.broadcast(sketch), ["row_i", "col"])
+        .groupBy("t", "exact_n")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    from pyspark.sql import Window
+
+    ranked = est.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("exact_n").desc(), "t")),
+    ).filter(F.col("rk") <= 20)
+    return ranked.select(
+        F.col("t").alias("token"),
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
+        F.col("rk").cast("bigint").alias("rk"),
+    ).orderBy("rk")
