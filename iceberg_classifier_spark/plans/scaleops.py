@@ -260,3 +260,92 @@ def partitioned_prune_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price,
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS min_date,
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip: orders is exported as a distributed
+    multi-part CSV directory (header, ISO dates) and read back with an
+    EXPLICIT DDL schema — never inferSchema, which would cost an extra
+    full scan and can mistype columns — then aggregated; the oracle runs
+    the same aggregate on the original table, proving the text round-trip
+    is lossless (doubles survive via shortest-representation printing,
+    summed as exact integer cents).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/icebergspark_csv_demo_{tag}"
+    o.write.mode("overwrite").option("header", True).csv(path)
+    r = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+        " o_orderdate date"
+    ).option("header", True).csv(path)
+    return (
+        r.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
+            F.min("o_orderdate").cast("string").alias("min_date"),
+            F.max("o_orderdate").cast("string").alias("max_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip with predicate pushdown: orders is
+    written as zlib ORC and read back with a date filter that reaches the
+    ORC reader's search argument (row-group stats skip cold stripes, the
+    columnar projection reads only 3 of 6 columns); the oracle applies the
+    same filter to the original table, proving the round-trip + pushdown
+    path is lossless.
+    """
+    o = load(spark, sf_dir, "orders")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/icebergspark_orc_demo_{tag}"
+    o.write.mode("overwrite").option("compression", "zlib").orc(path)
+    r = spark.read.orc(path).where(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
