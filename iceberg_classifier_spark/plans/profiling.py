@@ -305,3 +305,68 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") - F.col("exact_n")).alias("overestimate"),
         F.col("rk").cast("bigint").alias("rk"),
     ).orderBy("rk")
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           round(d.med, 6) AS med,
+           round(m.mad, 6) AS mad,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad)
+                AS BIGINT) AS n_outliers,
+           round(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) * 1.0
+                 / count(*), 6) AS outlier_frac
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, d.med, m.mad ORDER BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly gate per series: median / MAD (median absolute
+    deviation) and the count of points beyond 3 robust sigmas
+    (1.4826·MAD ≈ σ under normality) — the outlier monitor that, unlike
+    mean±3σ, is not dragged by the outliers it is trying to find.
+
+    Scale: two grouped exact medians (swap for approx_percentile's
+    t-digest at 100 TB) with the tiny per-group medians broadcast back
+    between passes; the threshold comparison uses an identical IEEE
+    expression on both engines, so the boundary can't straddle.
+    """
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    out_cond = F.col("adev") > 3 * 1.4826 * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_cond.cast("long")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_frac"),
+        )
+        .orderBy("event_type")
+    )

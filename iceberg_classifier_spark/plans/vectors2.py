@@ -123,3 +123,112 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return out.select("event_type", *cols).orderBy("event_type")
+
+
+@query(
+    "embedding_cov_matrix",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id,
+             unnest(list_transform(generate_series(1, len(embedding)),
+                    i -> struct_pack(i := i,
+                                     x := CAST(round(embedding[i] * 10000)
+                                               AS BIGINT)))) AS p
+      FROM embeddings
+    ), flat AS (
+      SELECT vec_id, p.i AS i, p.x AS x FROM xs
+    ), n AS (SELECT count(*) AS n FROM embeddings),
+    moments AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(sum(a.x * b.x) AS DOUBLE) AS sxy,
+             CAST(sum(a.x) AS DOUBLE) AS sx,
+             CAST(sum(b.x) AS DOUBLE) AS sy
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round((sxy / n.n - (sx / n.n) * (sy / n.n)) / 100000000.0, 8)
+             AS cov
+    FROM moments, n ORDER BY i, j
+    """,
+)
+def embedding_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance (Gram) matrix of the 64-dim embedding space
+    (upper triangle, population covariance) — the moment computation
+    behind PCA / whitening over a 100 TB embedding store.
+
+    Scale: each vector posexplodes to (dim, value) and self-joins on
+    vec_id, so the d² expansion happens AFTER the per-row explode — the
+    shuffle carries |rows|·d(d+1)/2 partials that combine map-side down to
+    d(d+1)/2 moment rows; no vector ever needs to see another vector
+    (embarrassingly row-parallel, the textbook outer-product aggregation).
+    Values are pre-scaled to exact integer 1e-4 units so the moment sums
+    are order-independent and the oracle matches bit-for-bit; at
+    production scale drop the scaling and accept float partials.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("xf").cast("double") * 10000).cast("bigint").alias("x"),
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    a, b = flat.alias("a"), flat.alias("b")
+    moments = (
+        a.join(b, (F.col("a.vec_id") == F.col("b.vec_id"))
+               & (F.col("a.i") <= F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")).cast("double").alias("sxy"),
+            F.sum("a.x").cast("double").alias("sx"),
+            F.sum("b.x").cast("double").alias("sy"),
+        )
+    )
+    return (
+        moments.crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.round(
+                (F.col("sxy") / F.col("n")
+                 - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+                / 100000000.0,
+                8,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query("mllib_pca", oracle=None)
+def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PCA (k=8) over the embedding store: fit on the 64-dim
+    vectors, report per-component explained variance — the dimensionality
+    reduction step after `embedding_cov_matrix`. Rows-only check (eigen
+    decomposition sign/order is not SQL-expressible).
+
+    Scale: MLlib PCA computes the covariance via the same distributed
+    outer-product aggregation and eigendecomposes the small d×d result on
+    the driver — exactly the plan shape of `embedding_cov_matrix`.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(e)
+    ev = [float(v) for v in model.explainedVariance]
+    return (
+        load(spark, sf_dir, "embeddings")
+        .sparkSession.createDataFrame(
+            [(i + 1, v) for i, v in enumerate(ev)],
+            "component int, explained_variance double",
+        )
+        .select(
+            "component", F.round("explained_variance", 6).alias("explained_variance")
+        )
+        .orderBy("component")
+    )
