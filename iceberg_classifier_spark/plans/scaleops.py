@@ -349,3 +349,66 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "compact_small_files",
+    oracle="""
+    SELECT 'after' AS stage, 4 AS n_files, count(*) AS n_rows,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_value
+    FROM events
+    UNION ALL
+    SELECT 'before', 64, count(*),
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+    FROM events
+    ORDER BY stage
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (table maintenance): a 64-way fragmented
+    write is compacted to 4 files with a round-robin repartition, and the
+    report proves both layouts hold exactly the same data (row count +
+    cents-exact value sum) with the promised file counts.
+
+    Scale: the small-files problem dominates streaming sinks at 100 TB —
+    per-file open/footer costs and scheduler pressure grow with file
+    count, not bytes. Compaction is one shuffle-less-than-a-sort
+    (RoundRobinPartitioning); production systems drive the target file
+    count from bytes/file (e.g. 512 MB), not a constant.
+    """
+    e = load(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    frag = f"/tmp/icebergspark_frag_demo_{tag}"
+    compacted = f"/tmp/icebergspark_compact_demo_{tag}"
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    fragmented.repartition(4).write.mode("overwrite").parquet(compacted)
+
+    def report(path: str, stage: str) -> DataFrame:
+        d = spark.read.parquet(path)
+        # input_file_name() is non-deterministic, so it must be projected
+        # before it can feed an aggregate
+        n_files = (
+            d.select(F.input_file_name().alias("f"))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("int").alias("n_files"))
+        )
+        return (
+            d.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    / 100.0,
+                    2,
+                ).alias("sum_value"),
+            )
+            .crossJoin(F.broadcast(n_files))
+            .select(
+                F.lit(stage).alias("stage"), "n_files", "n_rows", "sum_value"
+            )
+        )
+
+    return report(compacted, "after").unionAll(report(frag, "before")).orderBy(
+        "stage"
+    )

@@ -192,3 +192,26 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     from iceberg_classifier_spark.streaming.events import upsert_state_stream
 
     return upsert_state_stream(spark, sf_dir).orderBy("user_id")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within 1h)
+    with watermark-bounded state, drained over three chronological
+    micro-batches — the emitted pair set must equal the batch interval
+    self-join, which is what the oracle computes."""
+    from iceberg_classifier_spark.streaming.events import attribution_join_stream
+
+    return attribution_join_stream(spark, sf_dir).orderBy(
+        "purchase_id", "click_id"
+    )

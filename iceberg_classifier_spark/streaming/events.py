@@ -271,25 +271,13 @@ def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-def upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """foreachBatch incremental upsert: three chronological micro-batches
-    each MERGE their per-user partial aggregates into a versioned parquet
-    state store (full-outer join + coalesce — same merge kernel as the
-    batch `orders_merge_upsert`), and the final store version must equal
-    the batch GROUP BY over all events.
-
-    Value sums are carried as exact integer cents so the three-way merge
-    is associative bit-for-bit regardless of how the stream was split.
-
-    At 100 TB this is the standard "stream into a warehouse table" shape:
-    foreachBatch gives exactly-once micro-batch MERGE semantics onto any
-    sink that supports atomic replace, with state sized by |keys|, not by
-    stream length.
-    """
+def _jan_thirds_stream(spark: SparkSession, sf_dir: str):
+    """events as THREE chronological micro-batches (split at Jan 11 /
+    Jan 21 — the data spans January 2024 only), one file per trigger,
+    with ts normalized to µs. Shared by the cross-batch streaming demos."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    # events span January 2024 only — split into thirds at Jan 11 / Jan 21
     cut1_ns = 1704931200 * 10**9  # 2024-01-11T00:00:00Z epoch nanos
     cut2_ns = 1705795200 * 10**9  # 2024-01-21T00:00:00Z
     stage = os.path.join(
@@ -320,6 +308,25 @@ def upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert: three chronological micro-batches
+    each MERGE their per-user partial aggregates into a versioned parquet
+    state store (full-outer join + coalesce — same merge kernel as the
+    batch `orders_merge_upsert`), and the final store version must equal
+    the batch GROUP BY over all events.
+
+    Value sums are carried as exact integer cents so the three-way merge
+    is associative bit-for-bit regardless of how the stream was split.
+
+    At 100 TB this is the standard "stream into a warehouse table" shape:
+    foreachBatch gives exactly-once micro-batch MERGE semantics onto any
+    sink that supports atomic replace, with state sized by |keys|, not by
+    stream length.
+    """
+    stream = _jan_thirds_stream(spark, sf_dir)
 
     run = uuid.uuid4().hex[:8]
     state_root = os.path.join(tempfile.gettempdir(), f"upsert_state_{run}")
@@ -369,3 +376,57 @@ def upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cents") / 100.0, 2).alias("sum_value"),
         "last_ts",
     ).orderBy("user_id")
+
+
+def attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: the purchase stream joins
+    the click stream on user within a trailing 1-hour attribution window.
+    Both sides carry a 2-hour watermark, so click state is evicted once it
+    can no longer match any future purchase — bounded state, the property
+    that makes a stream-stream join runnable forever at 100 TB/day. The
+    1-hour join tolerance < 2-hour watermark guarantees pairs that span a
+    micro-batch boundary (the source arrives as three chronological
+    batches) are still matched from state.
+    """
+    clicks = (
+        _jan_thirds_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _jan_thirds_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+            click_ts <= purchase_ts
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )
+    sink = f"stream_attrib_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
