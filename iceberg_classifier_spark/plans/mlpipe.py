@@ -186,3 +186,119 @@ def fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "itemset")
     )
+
+
+@query(
+    "prefixspan_sequences",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), seqs AS (
+      SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS l
+      FROM sess GROUP BY 1, 2
+    ), pats(pattern, a, b, n_steps) AS (VALUES
+      ('click', 'click', NULL, 1),
+      ('error', 'error', NULL, 1),
+      ('purchase', 'purchase', NULL, 1),
+      ('signup', 'signup', NULL, 1),
+      ('view', 'view', NULL, 1),
+      ('click>click', 'click', 'click', 2),
+      ('click>error', 'click', 'error', 2),
+      ('click>purchase', 'click', 'purchase', 2),
+      ('click>signup', 'click', 'signup', 2),
+      ('click>view', 'click', 'view', 2),
+      ('error>click', 'error', 'click', 2),
+      ('error>error', 'error', 'error', 2),
+      ('error>purchase', 'error', 'purchase', 2),
+      ('error>signup', 'error', 'signup', 2),
+      ('error>view', 'error', 'view', 2),
+      ('purchase>click', 'purchase', 'click', 2),
+      ('purchase>error', 'purchase', 'error', 2),
+      ('purchase>purchase', 'purchase', 'purchase', 2),
+      ('purchase>signup', 'purchase', 'signup', 2),
+      ('purchase>view', 'purchase', 'view', 2),
+      ('signup>click', 'signup', 'click', 2),
+      ('signup>error', 'signup', 'error', 2),
+      ('signup>purchase', 'signup', 'purchase', 2),
+      ('signup>signup', 'signup', 'signup', 2),
+      ('signup>view', 'signup', 'view', 2),
+      ('view>click', 'view', 'click', 2),
+      ('view>error', 'view', 'error', 2),
+      ('view>purchase', 'view', 'purchase', 2),
+      ('view>signup', 'view', 'signup', 2),
+      ('view>view', 'view', 'view', 2)
+    ), n AS (SELECT count(*) AS n FROM seqs),
+    sup AS (
+      SELECT p.pattern, CAST(p.n_steps AS BIGINT) AS n_steps,
+             count(*) FILTER (WHERE
+               CASE WHEN p.b IS NULL THEN list_contains(s.l, p.a)
+                    ELSE coalesce(list_position(s.l, p.a), 0) > 0
+                         AND list_contains(
+                               s.l[list_position(s.l, p.a) + 1:len(s.l)],
+                               p.b)
+               END) AS freq
+      FROM seqs s CROSS JOIN pats p GROUP BY 1, 2
+    )
+    SELECT pattern, n_steps, freq, round(freq * 1.0 / n.n, 6) AS support
+    FROM sup, n
+    WHERE freq >= CAST(ceil(0.05 * n.n) AS BIGINT)
+    ORDER BY freq DESC, pattern
+    """,
+)
+def prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining with MLlib PrefixSpan over per-session
+    event-type sequences (30-min-gap sessions, minSupport 5%, patterns up
+    to 2 steps). The 5-type domain lets the oracle enumerate all 30
+    candidate patterns and verify PrefixSpan's subsequence counts EXACTLY
+    (first-occurrence-then-rest containment ⇔ exists i<j).
+
+    Scale: PrefixSpan distributes by projected-database prefix, so mining
+    fans out over partitions without a candidate-pair shuffle; sequence
+    building is the same single (user, ts) sort-shuffle as sessionization.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    ).withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seqs = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("ev")
+        )
+        .select(
+            F.expr("transform(ev, x -> array(x.event_type))").alias("sequence")
+        )
+    )
+    n = seqs.count()
+    pats = PrefixSpan(
+        minSupport=0.05, maxPatternLength=2, sequenceCol="sequence"
+    ).findFrequentSequentialPatterns(seqs)
+    return (
+        pats.select(
+            F.array_join(F.flatten("sequence"), ">").alias("pattern"),
+            F.size("sequence").cast("bigint").alias("n_steps"),
+            F.col("freq"),
+            F.round(F.col("freq") / F.lit(n), 6).alias("support"),
+        )
+        .orderBy(F.col("freq").desc(), "pattern")
+    )

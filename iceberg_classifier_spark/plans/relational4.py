@@ -379,3 +379,62 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "scd2_customer_history",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS next_date,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS version
+      FROM orders
+    )
+    SELECT o_custkey, CAST(version AS BIGINT) AS version, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS valid_from,
+           coalesce(CAST(CAST(next_date AS DATE) AS VARCHAR), '9999-12-31')
+             AS valid_to,
+           CAST(next_date IS NULL AS BOOLEAN) AS is_current,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM h ORDER BY o_custkey, version
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: each customer's orders become versioned
+    state rows with [valid_from, valid_to) intervals — valid_to is the
+    next version's start (open-ended '9999-12-31' for the current row) —
+    the slowly-changing-dimension layout every warehouse keeps for
+    point-in-time joins.
+
+    Scale: one window over (custkey) computes version numbers and
+    validity intervals in a single sort-shuffle; appending NEW versions
+    later is the `orders_merge_upsert` merge plus re-closing only the
+    affected keys' latest intervals (never a full-history rewrite).
+    Deterministic tiebreak (orderdate, orderkey) fixes version order for
+    same-day orders.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    h = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    return h.select(
+        "o_custkey",
+        "version",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("valid_from"),
+        F.coalesce(
+            F.col("next_date").cast("date").cast("string"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+        F.col("next_date").isNull().alias("is_current"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("o_custkey", "version")
