@@ -209,3 +209,62 @@ def test_survey_inventory_matches_registry():
     registered = set(load_all_queries())
     assert registered - listed == set(), f"missing from SURVEY §2: {sorted(registered - listed)}"
     assert listed - registered == set(), f"in SURVEY §2 but not registered: {sorted(listed - registered)}"
+
+
+def test_rolling_fingerprint_property(spark):
+    """Property: the Catalyst fold == the reference python fold on random
+    ASCII strings (portability contract behind every hash-keyed op)."""
+    from hypothesis import given, settings, strategies as st
+
+    from iceberg_classifier_spark.functions import text as T
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(strings):
+        df = spark.createDataFrame([(s,) for s in strings], "t: string")
+        got = [
+            r["fp"]
+            for r in df.select(T.rolling_fingerprint("t").alias("fp"))
+            .collect()
+        ]
+        exp = []
+        for s in strings:
+            acc = 0
+            for ch in s:
+                acc = (acc * T.FP_BASE + ord(ch)) % T.FP_MOD
+            exp.append(acc)
+        assert got == exp
+
+    check()
+
+
+def test_shingles_property(spark):
+    """Property: zip_with shingling == python n-gram set on random token
+    arrays (the kernel under the jaccard/minhash dedup family)."""
+    from hypothesis import given, settings, strategies as st
+
+    from iceberg_classifier_spark.functions import arrays as A
+
+    token = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=12))
+    def check(toks):
+        df = spark.createDataFrame([(toks,)], "w: array<string>")
+        from iceberg_classifier_spark.functions import text as T
+
+        got = df.select(T.shingles(F.col("w"), 3).alias("s")).first()["s"]
+        exp = sorted({" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)})
+        assert sorted(got) == exp
+
+    check()
