@@ -473,3 +473,45 @@ def decontaminate_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical part names (edit distance
+    1–3) found by a BLOCKED self-join over the distinct-name dimension —
+    the entity-resolution step catalog pipelines run to collapse
+    misspelled duplicates.
+
+    Scale: the expensive O(len²) Levenshtein runs only on pairs that
+    survive the first-character equi-block of the DISTINCT name set —
+    never on the raw table and never all-pairs. Production blocking is
+    q-gram/LSH buckets (same shape as `dedup_minhash_lsh`); the ordering
+    predicate halves the candidate space. Both engines implement the
+    classic integer edit distance, so the match set is bit-exact.
+    """
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(dist.between(1, 3))
+        .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )

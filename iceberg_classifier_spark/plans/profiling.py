@@ -370,3 +370,150 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "chi2_type_bucket",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, user_id % 4 AS b, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+    ct AS (SELECT b, sum(o) AS ct FROM obs GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM obs)
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+           round(sum((o - rt.rt * ct.ct / tot.n)
+                     * (o - rt.rt * ct.ct / tot.n)
+                     / (rt.rt * ct.ct / tot.n)), 6) AS chi2
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (b) CROSS JOIN tot
+    GROUP BY tot.n ORDER BY n
+    """,
+)
+def chi2_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and user-hash
+    bucket (contingency 5×4) — the categorical-drift / A-B-split sanity
+    check a pipeline runs on its partitioning.
+
+    Scale: the contingency table is one map-combined count agg
+    (|types|×|buckets| cells regardless of event volume); marginals and
+    the statistic are computed on that tiny frame with broadcast joins.
+    All inputs to the float math are exact integer counts and the
+    statistic uses an identical IEEE expression on both engines, so the
+    6dp-rounded χ² matches bit-for-bit. (p-value needs the χ² CDF —
+    pair with MLlib's ChiSquareTest when the decision threshold matters.)
+    """
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("b").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    dof = obs.agg(
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("b") - 1)
+        ).alias("dof")
+    )
+    exp_ = F.col("rt") * F.col("ct") / F.col("n")
+    dev = F.col("o") - exp_
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dof))
+        .groupBy(F.col("n").cast("bigint").alias("n"),
+                 F.col("dof").cast("bigint").alias("dof"))
+        .agg(F.round(F.sum(dev * dev / exp_), 6).alias("chi2"))
+        .orderBy("n")
+    )
+
+
+@query(
+    "kl_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(least(floor(value / {_BIN_W}), 9) AS BIGINT) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'p'
+                  ELSE 'q' END AS half,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT t.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+    ), cells AS (
+      SELECT g.event_type, g.bin,
+             coalesce(p.c, 0) AS cp, coalesce(q.c, 0) AS cq
+      FROM grid g
+      LEFT JOIN binned p ON p.event_type = g.event_type AND p.bin = g.bin
+                        AND p.half = 'p'
+      LEFT JOIN binned q ON q.event_type = g.event_type AND q.bin = g.bin
+                        AND q.half = 'q'
+    ), totals AS (
+      SELECT event_type, sum(cp) AS np, sum(cq) AS nq FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, CAST(t.np AS BIGINT) AS n_first,
+           CAST(t.nq AS BIGINT) AS n_second,
+           round(sum(((c.cp + 1.0) / (t.np + 10))
+                     * ln(((c.cp + 1.0) / (t.np + 10))
+                          / ((c.cq + 1.0) / (t.nq + 10)))), 6) AS kl
+    FROM cells c JOIN totals t USING (event_type)
+    GROUP BY 1, 2, 3 ORDER BY event_type
+    """,
+)
+def kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: KL divergence between each series'
+    first-half and second-half value histograms (10 fixed bins, add-one
+    smoothing so empty bins stay defined) — the statistical gate that
+    catches a feature distribution shifting between pipeline runs.
+
+    Scale: one map-combined count agg produces the |types|×|bins|×2
+    histogram; the dense (type, bin) grid and the divergence are computed
+    on that tiny frame. Counts are exact integers and both engines
+    evaluate the identical smoothed-ratio expression, so the 6dp-rounded
+    divergence matches despite the transcendental ln (≤1 ulp apart).
+    """
+    e = load(spark, sf_dir, "events")
+    binned = e.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / _BIN_W), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "p"
+        )
+        .otherwise("q")
+        .alias("half"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bin"))))
+    p = binned.filter(F.col("half") == "p").select(
+        "event_type", "bin", F.col("c").alias("cp")
+    )
+    q = binned.filter(F.col("half") == "q").select(
+        "event_type", "bin", F.col("c").alias("cq")
+    )
+    cells = (
+        grid.join(p, ["event_type", "bin"], "left")
+        .join(q, ["event_type", "bin"], "left")
+        .fillna(0, ["cp", "cq"])
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq")
+    )
+    pp = (F.col("cp") + 1.0) / (F.col("np") + 10)
+    qq = (F.col("cq") + 1.0) / (F.col("nq") + 10)
+    return (
+        cells.join(F.broadcast(totals), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("np").cast("bigint").alias("n_first"),
+            F.col("nq").cast("bigint").alias("n_second"),
+        )
+        .agg(F.round(F.sum(pp * F.log(pp / qq)), 6).alias("kl"))
+        .orderBy("event_type")
+    )
