@@ -302,3 +302,77 @@ def prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "pattern")
     )
+
+
+@query("mllib_word2vec", oracle=None)
+def mllib_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Word2Vec (skip-gram, 16-dim, fixed seed) trained on the
+    document token streams; returns the 5 nearest synonyms of the
+    corpus's most frequent token. Rows-only check (SGD embeddings are not
+    SQL-expressible; determinism is best-effort under fixed seed +
+    single-partition fit).
+
+    Scale: Word2Vec distributes by sentence partitions with periodic
+    weight averaging; vocabulary-sized state broadcasts per iteration.
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    d = load(spark, sf_dir, "documents").select(
+        F.split(F.trim("text"), " ").alias("words")
+    )
+    top = (
+        d.select(F.explode("words").alias("t"))
+        .groupBy("t")
+        .count()
+        .orderBy(F.col("count").desc(), "t")
+        .first()["t"]
+    )
+    model = Word2Vec(
+        vectorSize=16, minCount=5, seed=7, inputCol="words", outputCol="v"
+    ).fit(d)
+    syn = model.findSynonyms(top, 5)
+    return syn.select(
+        F.lit(top).alias("query_token"),
+        F.col("word").alias("synonym"),
+        F.round("similarity", 6).alias("similarity"),
+    ).orderBy(F.col("similarity").desc(), "synonym")
+
+
+@query("mllib_als_recs", oracle=None)
+def mllib_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib ALS implicit-feedback recommender on the user × event-type
+    interaction-count matrix; returns top-2 recommendations for the first
+    10 users. Rows-only check (factorization is seed-stable but not
+    SQL-expressible).
+
+    Scale: ALS alternates block-solved least squares with both factor
+    matrices block-partitioned — the canonical distributed matrix
+    factorization; interaction building is one map-combined count agg.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    item = F.array_position(
+        F.array(*[F.lit(t) for t in types]), F.col("event_type")
+    ).cast("int")
+    inter = (
+        e.groupBy(
+            F.col("user_id").cast("int").alias("user"),
+            item.alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    model = ALS(
+        rank=4, maxIter=5, seed=11, implicitPrefs=True,
+        userCol="user", itemCol="item", ratingCol="rating",
+    ).fit(inter)
+    recs = model.recommendForAllUsers(2)
+    return (
+        recs.filter(F.col("user") < 10)
+        .select(
+            "user",
+            F.expr("transform(recommendations, r -> r.item)").alias("items"),
+        )
+        .orderBy("user")
+    )

@@ -460,3 +460,121 @@ def lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""r{k} AS (
+      SELECT nd.t, 0.15 / nn.n + 0.85 * coalesce(sum(r.r * e.p), 0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN edges e ON e.w2 = nd.t
+      LEFT JOIN {prev} r ON r.t = e.w1
+      GROUP BY nd.t, nn.n
+    )"""
+
+
+@query(
+    "pagerank_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_DUCK_TOKS} AS w FROM documents
+      WHERE len({_DUCK_TOKS}) >= 2
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(2, len(w)),
+                                   i -> struct_pack(w1 := w[i - 1],
+                                                    w2 := w[i]))) AS p
+      FROM toks
+    ), cnt AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n FROM pairs GROUP BY 1, 2
+    ), nodes AS (
+      SELECT DISTINCT w1 AS t FROM cnt
+    ), edges0 AS (
+      SELECT c.w1, c.w2, c.n
+      FROM cnt c JOIN nodes a ON c.w1 = a.t JOIN nodes b ON c.w2 = b.t
+    ), outw AS (
+      SELECT w1, CAST(sum(n) AS DOUBLE) AS ow FROM edges0 GROUP BY 1
+    ), edges AS (
+      SELECT e.w1, e.w2, e.n / o.ow AS p
+      FROM edges0 e JOIN outw o USING (w1)
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT t, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+    {", ".join(_pr_iter_sql(k) for k in range(1, 6))},
+    deg AS (
+      SELECT w1 AS t, count(*) AS out_degree FROM edges GROUP BY 1
+    )
+    SELECT r5.t AS token, CAST(deg.out_degree AS BIGINT) AS out_degree,
+           round(r5.r, 6) AS rank
+    FROM r5 JOIN deg USING (t) ORDER BY token
+    """,
+)
+def pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, damping 0.85) over the token
+    co-occurrence digraph — iterative graph analytics expressed as pure
+    DataFrame join+agg rounds, the pattern for any Pregel-style algorithm
+    when GraphX/GraphFrames isn't on the cluster.
+
+    Scale: each iteration is one shuffle — contributions flow along
+    edges (join rank onto edge source, group by target); the rank vector
+    is |nodes| rows and broadcasts, so per-iteration cost is one pass over
+    the edge list. The oracle unrolls the same 5 iterations as SQL CTEs
+    with the identical teleport + damped-sum expression; transition
+    probabilities come from exact integer bigram counts.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.split(F.trim("text"), " ").alias("w")
+    )
+    cnt = (
+        d.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS w1, w[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nodes = cnt.select(F.col("w1").alias("t")).distinct()
+    edges0 = cnt.join(
+        F.broadcast(nodes), cnt.w1 == nodes.t
+    ).drop("t").join(F.broadcast(nodes), cnt.w2 == nodes.t).drop("t")
+    outw = edges0.groupBy("w1").agg(F.sum("n").cast("double").alias("ow"))
+    edges = (
+        edges0.join(F.broadcast(outw), "w1")
+        .select("w1", "w2", (F.col("n") / F.col("ow")).alias("p"))
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "t", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(5):
+        contrib = (
+            edges.join(F.broadcast(r), edges.w1 == r.t)
+            .select(F.col("w2").alias("t"), (F.col("p") * F.col("r")).alias("c"))
+            .groupBy("t")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "t", "left")
+            .select(
+                "t",
+                (
+                    0.15 / F.col("n")
+                    + 0.85 * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    deg = edges.groupBy("w1").agg(F.count(F.lit(1)).alias("out_degree"))
+    return (
+        r.join(F.broadcast(deg), r.t == deg.w1)
+        .select(
+            F.col("t").alias("token"),
+            F.col("out_degree").cast("bigint").alias("out_degree"),
+            F.round("r", 6).alias("rank"),
+        )
+        .orderBy("token")
+    )
