@@ -517,3 +517,114 @@ def kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(pp * F.log(pp / qq)), 6).alias("kl"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "dq_constraint_suite",
+    oracle="""
+    SELECT 'events.event_type accepted-values' AS check_name,
+           count(*) AS n_checked,
+           CAST(sum(CASE WHEN event_type NOT IN
+                    ('click', 'error', 'purchase', 'signup', 'view')
+                    OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'events.ts in 2024', count(*),
+           CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                    OR ts >= TIMESTAMP '2025-01-01 00:00:00'
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events.value non-negative', count(*),
+           CAST(sum(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem.l_orderkey FK -> orders', count(*),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey FK -> customer', count(*),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders ord
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON ord.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders.o_orderkey unique',
+           count(*), count(*) - count(DISTINCT o_orderkey)
+    FROM orders
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint suite: uniqueness, referential
+    integrity (two FK edges of the star schema), accepted values, range,
+    and time-domain checks — one violations report per pipeline run, the
+    gate that blocks a bad batch from publishing.
+
+    Scale: every check is a map-combined aggregate or a broadcast-probed
+    left join flagged inline (never an anti-join that re-shuffles the
+    fact table); uniqueness is count-vs-count-distinct in a single agg.
+    All verdicts are integer counts — bit-exact across engines.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    def check(df: DataFrame, name: str, viol) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias(
+                "n_violations"
+            ),
+        ).select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    c1 = check(
+        e,
+        "events.event_type accepted-values",
+        ~F.col("event_type").isin(types) | F.col("event_type").isNull(),
+    )
+    c2 = check(
+        e,
+        "events.ts in 2024",
+        (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2025-01-01 00:00:00").cast("timestamp")),
+    )
+    c3 = check(
+        e,
+        "events.value non-negative",
+        (F.col("value") < 0) | F.col("value").isNull(),
+    )
+    ok = o.select("o_orderkey").distinct().withColumn("hit", F.lit(1))
+    c4 = check(
+        li.join(F.broadcast(ok), li.l_orderkey == ok.o_orderkey, "left"),
+        "lineitem.l_orderkey FK -> orders",
+        F.col("hit").isNull(),
+    )
+    ck = cust.select("c_custkey").distinct().withColumn("chit", F.lit(1))
+    c5 = check(
+        o.join(F.broadcast(ck), o.o_custkey == ck.c_custkey, "left"),
+        "orders.o_custkey FK -> customer",
+        F.col("chit").isNull(),
+    )
+    c6 = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit("orders.o_orderkey unique").alias("check_name"),
+        "n_checked",
+        "n_violations",
+    )
+    out = c1
+    for c in [c2, c3, c4, c5, c6]:
+        out = out.unionAll(c)
+    return out.orderBy("check_name")
