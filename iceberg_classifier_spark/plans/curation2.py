@@ -333,3 +333,71 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sample_weighted_det",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+             least(len({_DUCK_TOKS}) / 200.0, 1.0) AS keep_p,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(generate_series(1, 32),
+                                           i -> ord(substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)))),
+               (acc, c) -> (acc * {T.FP_BASE} + c) % {T.FP_MOD}) * 1.0
+               / {T.FP_MOD} AS u
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_total,
+           CAST(sum(CASE WHEN u < keep_p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN u < keep_p THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS kept_frac,
+           round(sum(CASE WHEN u < keep_p THEN n_tokens ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN u < keep_p THEN 1 ELSE 0 END), 1),
+                 6) AS avg_tokens_kept
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_weighted_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: each document's keep
+    probability scales with its token count (capped at 1), and the accept
+    decision compares that weight against a portable hash of the doc key
+    mapped to [0, 1) — weighted sampling with zero RNG state, the
+    primitive behind quality-weighted corpus mixing ("sample good docs
+    more") in training-data pipelines.
+
+    Scale: accept/reject is a pure per-row function of (key, weight) —
+    stable under retries, repartitions and re-runs, trivially parallel,
+    exactly reproducible across engines (the hash is the repo's integer
+    polynomial fold, so the oracle verifies the SAME sample, not just
+    sample-rate statistics). One scan + one tiny per-lang shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), " "))
+    keep_p = F.least(n_tokens / 200.0, F.lit(1.0))
+    # fold over the 32-char md5 hex of the key: short raw keys would fold
+    # to tiny values and accept everything — md5 mixes first
+    u = (
+        T.rolling_fingerprint(F.md5(F.col("doc_id").cast("string"))) * 1.0
+        / T.FP_MOD
+    )
+    kept = F.when(u < keep_p, 1).otherwise(0)
+    return (
+        d.select("lang", n_tokens.cast("bigint").alias("n_tokens"),
+                 kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("kept_frac"),
+            F.round(
+                F.sum(F.when(F.col("kept") == 1, F.col("n_tokens")).otherwise(0))
+                / F.greatest(F.sum("kept"), F.lit(1)),
+                6,
+            ).alias("avg_tokens_kept"),
+        )
+        .orderBy("lang")
+    )

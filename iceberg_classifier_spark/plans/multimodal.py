@@ -147,3 +147,90 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         "doc_id long, frame_idx int, frame_len long, frame_checksum long",
     ).orderBy("doc_id", "frame_idx")
+
+
+AUDIO_FRAME = 256
+
+
+@query(
+    "multimodal_audio_rms",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, text AS payload FROM documents),
+    fr AS (
+      SELECT doc_id,
+             CAST(length(payload) // {AUDIO_FRAME} AS BIGINT) AS n_frames,
+             payload
+      FROM m WHERE length(payload) >= {AUDIO_FRAME}
+    ), rms AS (
+      SELECT doc_id, n_frames,
+             list_transform(generate_series(1, n_frames), f ->
+               sqrt(list_sum(list_transform(
+                      generate_series((f - 1) * {AUDIO_FRAME} + 1,
+                                      f * {AUDIO_FRAME}),
+                      i -> ord(substr(payload, CAST(i AS INTEGER), 1))
+                           * ord(substr(payload, CAST(i AS INTEGER), 1))))
+                    / {AUDIO_FRAME}.0)) AS r
+      FROM fr
+    )
+    SELECT doc_id, n_frames, round(r[1], 6) AS rms_first,
+           round(list_max(r), 6) AS rms_max
+    FROM rms ORDER BY doc_id
+    """,
+)
+def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over a binary "audio" column: bytes are
+    interpreted as unsigned 8-bit samples, framed into 256-sample
+    windows, and each frame's root-mean-square energy is computed in a
+    vectorized numpy kernel under mapInPandas — the feature-extraction
+    shape for audio corpora (a real PCM/codec decode replaces the byte
+    interpretation; see decode_image for the stub policy).
+
+    Scale: framing and RMS run inside the Arrow batch (numpy reshape +
+    row-wise reduction), so cost is one pass over the bytes with no
+    Spark-side explode and no shuffle. Sums of squares are exact int64
+    and /256 is an exact power-of-two division, so the only float op is
+    one IEEE sqrt — bit-identical across engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    m = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def rms(batches):
+        for pdf in batches:
+            ids, nfs, firsts, maxs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(a) // AUDIO_FRAME
+                if n < 1:
+                    continue
+                w = a[: n * AUDIO_FRAME].reshape(n, AUDIO_FRAME)
+                r = np.sqrt((w * w).sum(axis=1) / float(AUDIO_FRAME))
+                ids.append(doc_id)
+                nfs.append(n)
+                firsts.append(float(r[0]))
+                maxs.append(float(r.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfs,
+                    "rms_first": firsts,
+                    "rms_max": maxs,
+                }
+            )
+
+    return (
+        m.mapInPandas(
+            rms, "doc_id long, n_frames long, rms_first double, rms_max double"
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            F.round("rms_first", 6).alias("rms_first"),
+            F.round("rms_max", 6).alias("rms_max"),
+        )
+        .orderBy("doc_id")
+    )
