@@ -271,3 +271,57 @@ def events_rolling_1h_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum(cents).over(w) / 100.0, 2).alias("sum_1h"),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "set_ops_users",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'purchase'
+        AND value > 100
+    ), b AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'purchase'
+        AND value > 100
+    )
+    SELECT 'both_halves' AS segment,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS n_users
+    UNION ALL
+    SELECT 'first_only',
+           (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+    UNION ALL
+    SELECT 'second_only',
+           (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+    ORDER BY segment
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation segmentation: high-value purchasers (value > 100)
+    active in both month halves
+    (INTERSECT), churned (EXCEPT), and newly-converted (reverse EXCEPT) —
+    the retention-segment report expressed with relational set operators.
+
+    Scale: INTERSECT/EXCEPT compile to aggregate-based semi/anti plans on
+    the already-distinct key sets, so each segment costs one shuffle of
+    |users| rows — the same plan a hand-written left_semi/left_anti would
+    produce, with clearer intent.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    p = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+    a = p.filter(F.col("ts") < cut).select("user_id").distinct()
+    b = p.filter(F.col("ts") >= cut).select("user_id").distinct()
+
+    def seg(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("segment"), "n_users"
+        )
+
+    return (
+        seg(a.intersect(b), "both_halves")
+        .unionAll(seg(a.exceptAll(b), "first_only"))
+        .unionAll(seg(b.exceptAll(a), "second_only"))
+        .orderBy("segment")
+    )
