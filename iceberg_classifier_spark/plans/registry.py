@@ -61,6 +61,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         mlpipe,
         multimodal,
         streaming_q,
+        advanced,
     )
 
     return REGISTRY
