@@ -51,8 +51,8 @@ def test_pair_generation_is_blocked_no_cartesian(spark, sf_dir):
 
 def test_no_row_python_udfs_in_headline_queries(spark, sf_dir):
     """Hot paths stay JVM-side: no BatchEvalPython (row-at-a-time Python).
-    Arrow-batched mapInPandas is allowed only where a kernel needs it
-    (resize/multimodal), which are not headline queries."""
+    Arrow-batched mapInPandas is allowed where a vectorized kernel beats
+    JVM expression trees (multimodal decode, the ANN blocked GEMM)."""
     for name, qd in REGISTRY.items():
         if not qd.headline:
             continue
