@@ -412,3 +412,104 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report(compacted, "after").unionAll(report(frag, "before")).orderBy(
         "stage"
     )
+
+
+@query(
+    "zorder_cluster",
+    oracle="""
+    WITH r AS (
+      SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+             min(CAST(o_orderdate AS DATE)) AS mind,
+             max(CAST(o_orderdate AS DATE)) AS maxd
+      FROM orders
+    ), g AS (
+      SELECT ((o_custkey - r.minc) * 256) // (r.maxc - r.minc + 1) AS xb,
+             (date_diff('day', r.mind, CAST(o_orderdate AS DATE)) * 256)
+               // (date_diff('day', r.mind, r.maxd) + 1) AS yb,
+             o_custkey,
+             date_diff('day', r.mind, CAST(o_orderdate AS DATE)) AS day_off,
+             r.maxc - r.minc AS crange, date_diff('day', r.mind, r.maxd) AS drange
+      FROM orders, r
+    ), z AS (
+      SELECT *,
+             list_sum(list_transform(generate_series(0, 7),
+               i -> (((xb >> i) & 1) << (2 * i + 1)) + (((yb >> i) & 1) << (2 * i))))
+               AS zval
+      FROM g
+    )
+    SELECT CAST(zval >> 12 AS BIGINT) AS bucket, count(*) AS n,
+           min(o_custkey) AS cust_lo, max(o_custkey) AS cust_hi,
+           CAST(min(day_off) AS BIGINT) AS day_lo,
+           CAST(max(day_off) AS BIGINT) AS day_hi,
+           round((max(o_custkey) - min(o_custkey)) * 1.0 / any_value(crange), 6)
+             AS cust_span_frac,
+           round((max(day_off) - min(day_off)) * 1.0 / any_value(drange), 6)
+             AS day_span_frac
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (custkey, orderdate): each
+    dimension normalized to 8 bits, bits interleaved into a 16-bit z-value,
+    rows assigned to 16 z-range buckets. The report shows every bucket
+    spanning ~25% of BOTH dimensions — the multi-dimensional locality that
+    makes file-level min/max skipping work for predicates on EITHER column
+    (single-dim range layout gives 1/16 on one dim, 100% on the other).
+
+    Scale: this is the Delta/Iceberg OPTIMIZE ZORDER kernel — computing z is
+    a map-only integer expression; writing clustered files is then just
+    ``repartitionByRange(zval)``. Min/max normalization uses one tiny
+    pre-aggregate broadcast; all bucket arithmetic is exact integers, so
+    the oracle matches bit-for-bit including the span fractions.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    r = o.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("od").alias("mind"),
+        F.max("od").alias("maxd"),
+    )
+    g = o.crossJoin(F.broadcast(r)).select(
+        "o_custkey",
+        F.floor(
+            ((F.col("o_custkey") - F.col("minc")) * 256)
+            / (F.col("maxc") - F.col("minc") + 1)
+        ).alias("xb"),
+        F.datediff("od", "mind").alias("day_off"),
+        F.floor(
+            (F.datediff("od", "mind").cast("long") * 256)
+            / (F.datediff("maxd", "mind") + 1)
+        ).alias("yb"),
+        (F.col("maxc") - F.col("minc")).alias("crange"),
+        F.datediff("maxd", "mind").alias("drange"),
+    )
+    zval = None
+    for i in range(8):
+        term = F.shiftleft(F.shiftright(F.col("xb"), i).bitwiseAND(1), 2 * i + 1) + (
+            F.shiftleft(F.shiftright(F.col("yb"), i).bitwiseAND(1), 2 * i)
+        )
+        zval = term if zval is None else zval + term
+    z = g.withColumn("zval", zval)
+    return (
+        z.groupBy(F.shiftright("zval", 12).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").alias("cust_lo"),
+            F.max("o_custkey").alias("cust_hi"),
+            F.min("day_off").cast("bigint").alias("day_lo"),
+            F.max("day_off").cast("bigint").alias("day_hi"),
+            F.round(
+                (F.max("o_custkey") - F.min("o_custkey"))
+                * 1.0
+                / F.any_value("crange"),
+                6,
+            ).alias("cust_span_frac"),
+            F.round(
+                (F.max("day_off") - F.min("day_off")) * 1.0 / F.any_value("drange"),
+                6,
+            ).alias("day_span_frac"),
+        )
+        .orderBy("bucket")
+    )
