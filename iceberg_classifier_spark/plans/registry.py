@@ -63,6 +63,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         streaming_q,
         advanced,
         pysource,
+        modernapi,
     )
 
     return REGISTRY
