@@ -107,3 +107,93 @@ def python_datasource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "python_datasource_writer",
+    oracle="""
+    SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write half of the Python DataSource API: orders stream through a
+    custom sink (one file per task, a WriterCommitMessage per partition,
+    driver-side commit), then the files are read back and aggregated; the
+    oracle aggregates the source table, so the sink must be exactly-once
+    and lossless.
+
+    Scale: write tasks are embarrassingly parallel; the two-phase
+    task-message → driver-commit protocol is what makes speculative retries
+    and task failures safe (only committed messages count) — the same
+    contract JVM FileFormatWriter implements, exposed to Python for systems
+    Spark has no native sink for.
+    """
+    import os
+    import shutil
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/icebergspark_pysink_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    class SinkMsg(WriterCommitMessage):
+        def __init__(self, path: str, n: int):
+            self.path, self.n = path, n
+
+    class LineSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "line_sink_py"
+
+        def writer(self, schema, overwrite):
+            return LineSinkWriter(self.options["path"])
+
+    class LineSinkWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, it):
+            pid = TaskContext.get().partitionId()
+            p = os.path.join(self.path, f"part-{pid:05d}.txt")
+            n = 0
+            with open(p, "w") as f:
+                for row in it:
+                    f.write(f"{row.o_orderkey},{row.priority},{row.cents}\n")
+                    n += 1
+            return SinkMsg(p, n)
+
+        def commit(self, messages):
+            pass  # all task files already in place; nothing to finalize
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    spark.dataSource.register(LineSink)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    o.repartition(4).write.format("line_sink_py").mode("append").option(
+        "path", path
+    ).save()
+    back = spark.read.text(path).select(F.split("value", ",").alias("p")).select(
+        F.col("p")[1].alias("priority"), F.col("p")[2].cast("bigint").alias("cents")
+    )
+    return (
+        back.groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents_total"))
+        .orderBy("priority")
+    )
