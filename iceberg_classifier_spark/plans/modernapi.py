@@ -124,3 +124,68 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_kept bigint, cents_total bigint, cust_min bigint, cust_max bigint",
     )
+
+
+@query("hll_union_setops")  # binary Datasketches internals — rows-only check
+def hll_union_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-cardinality algebra on Spark's built-in Datasketches HLL
+    surface: one ``hll_sketch_agg`` sketch per order priority, pairwise
+    ``hll_union`` + ``hll_sketch_estimate``, reported next to the exact
+    distinct counts with realized relative error. The portable-hash theta
+    op (`theta_sketch_setops`) carries the full cross-engine oracle; this
+    is the production path — a binary, mergeable, persistable sketch.
+
+    Scale: sketches are fixed-size (lgConfigK=12 → 4 KB) and merge
+    associatively, so distinct-users-per-segment over 100 TB is one
+    map-side-combined pass, and cross-segment unions cost microseconds on
+    stored sketches instead of re-scanning raw keys. (HLL has no
+    intersection operator — inclusion-exclusion on union estimates is the
+    standard workaround, shown here.)
+    """
+    o = load(spark, sf_dir, "orders")
+    sk = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_n"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.p") < F.col("b.p"))
+    est_union = F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
+    dua = o.select(F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("k")).distinct()
+    exu = (
+        dua.alias("x")
+        .join(dua.alias("y"), F.col("x.k") == F.col("y.k"))
+        .where(F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").alias("pa"), F.col("y.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    return (
+        pairs.select(
+            F.col("a.p").alias("pa"),
+            F.col("b.p").alias("pb"),
+            F.hll_sketch_estimate("a.sk").alias("est_a"),
+            F.hll_sketch_estimate("b.sk").alias("est_b"),
+            est_union.alias("est_union"),
+            F.col("a.exact_n").alias("exact_a"),
+            F.col("b.exact_n").alias("exact_b"),
+        )
+        .join(exu, ["pa", "pb"])
+        .select(
+            "pa",
+            "pb",
+            F.round("est_a", 2).alias("est_a"),
+            F.round("est_b", 2).alias("est_b"),
+            F.round("est_union", 2).alias("est_union"),
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            F.round(
+                F.abs(
+                    F.col("est_union")
+                    - (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+                )
+                / (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")),
+                6,
+            ).alias("rel_err_union"),
+        )
+        .orderBy("pa", "pb")
+    )
