@@ -95,3 +95,19 @@ def test_funnel_stages_broadcast_user_frames(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_funnel")
     assert "BroadcastHashJoin" in plan, "per-user stage frames not broadcast"
     assert "CartesianProduct" not in plan
+
+
+def test_motif_enumeration_is_broadcast(spark, sf_dir):
+    """Triangle enumeration must run on the aggregated edge list via
+    broadcast joins — never a shuffled join of fact-sized inputs."""
+    plan = plan_of(spark, sf_dir, "motif_trade_triangles")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_is_single_aggregation_pass(spark, sf_dir):
+    """Morton coding is map-only: exactly one grouping aggregate (the
+    bucket report), no joins beyond the tiny min/max broadcast."""
+    plan = plan_of(spark, sf_dir, "zorder_cluster")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
