@@ -1,0 +1,551 @@
+"""Second advanced round: higher-order graph motifs, a deterministic
+t-digest-style mergeable quantile sketch, an interval sweep-line
+(max-concurrency) operator, gaps-and-islands streak detection, and a
+bit-exact exponentially-weighted moving average.
+
+These extend the saturated SURVEY §2 inventory with the stretch items the
+build plan named (4-node motif chains, t-digest quantile merge) plus three
+classic warehouse/time-series patterns every OLAP engine is asked for. All
+five carry full value oracles — including the sketch and the EWMA, which
+are normally float-order-dependent: the sketch uses a deterministic
+rank-strided compression rule both engines can replay, and the EWMA picks
+alpha = 1/2 so every weight is a power of two and the accumulation is
+EXACT integer arithmetic until one final division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# 4-node motif chains with a negated-edge (chordless) test
+# ---------------------------------------------------------------------------
+
+def _heavy_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-weight edges of the buyer-nation -> supplier-nation
+    trade graph (exact integer cents x pct weights; same construction as
+    ``motif_trade_triangles``)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    w_int = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    e = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.sum(w_int).alias("w"))
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_edges"), F.sum("w").alias("total"))
+    return (
+        e.crossJoin(F.broadcast(tot))
+        .where(F.col("w") * F.col("n_edges") > F.col("total"))
+        .select("src", "dst", "w")
+    )
+
+
+@query(
+    "motif_trade_quads",
+    oracle="""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS w
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ), tot AS (SELECT count(*) AS n_edges, sum(w) AS total FROM e),
+    he AS (SELECT e.src, e.dst, e.w FROM e, tot
+           WHERE e.w * tot.n_edges > tot.total),
+    quad AS (
+      SELECT e1.src AS a, e2.src AS b, e3.src AS c, e4.src AS d,
+             e1.w + e2.w + e3.w + e4.w AS wsum
+      FROM he e1 JOIN he e2 ON e1.dst = e2.src
+      JOIN he e3 ON e2.dst = e3.src
+      JOIN he e4 ON e3.dst = e4.src AND e4.dst = e1.src
+      WHERE e1.src < e2.src AND e1.src < e3.src AND e1.src < e4.src
+        AND e2.src <> e4.src
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           round(wsum / 10000.0, 2) AS cycle_value,
+           (NOT EXISTS (SELECT 1 FROM he x
+                        WHERE x.src = quad.a AND x.dst = quad.c)
+            AND NOT EXISTS (SELECT 1 FROM he x
+                            WHERE x.src = quad.b AND x.dst = quad.d))
+             AS chordless
+    FROM quad ORDER BY a, b, c, d
+    """,
+)
+def motif_trade_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style 4-node motif ``(a)-[]->(b); (b)-[]->(c);
+    (c)-[]->(d); (d)-[]->(a)`` over the heavy-edge nation trade graph,
+    with the negated-edge test GraphFrames writes as ``!(a)-[]->(c)``:
+    each directed 4-cycle is flagged ``chordless`` when neither diagonal
+    a->c nor b->d is itself a heavy edge. Canonical rotation puts the
+    smallest node first; node distinctness comes from the strict
+    inequalities plus b != d (edge endpoints already differ).
+
+    Scale: like the triangle motif, the only large shuffle is the star
+    join collapsing the fact table to a |nations|^2 edge list; the 4-way
+    cycle enumeration and the two diagonal anti-join probes all run on
+    broadcast copies of the ~hundreds-row heavy-edge table, so motif
+    arity grows the number of broadcast joins, never the shuffled bytes.
+    """
+    he = _heavy_trade_edges(spark, sf_dir)
+    e1 = he.alias("e1")
+    e2, e3, e4 = (F.broadcast(he.alias(n)) for n in ("e2", "e3", "e4"))
+    quad = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(e3, F.col("e2.dst") == F.col("e3.src"))
+        .join(
+            e4,
+            (F.col("e3.dst") == F.col("e4.src"))
+            & (F.col("e4.dst") == F.col("e1.src")),
+        )
+        .where(
+            (F.col("e1.src") < F.col("e2.src"))
+            & (F.col("e1.src") < F.col("e3.src"))
+            & (F.col("e1.src") < F.col("e4.src"))
+            & (F.col("e2.src") != F.col("e4.src"))
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e2.src").alias("b"),
+            F.col("e3.src").alias("c"),
+            F.col("e4.src").alias("d"),
+            (F.col("e1.w") + F.col("e2.w") + F.col("e3.w") + F.col("e4.w")).alias(
+                "wsum"
+            ),
+        )
+    )
+    ac = F.broadcast(he.select(F.col("src").alias("xa"), F.col("dst").alias("xc")))
+    bd = F.broadcast(he.select(F.col("src").alias("xb"), F.col("dst").alias("xd")))
+    return (
+        quad.join(ac, (F.col("a") == F.col("xa")) & (F.col("c") == F.col("xc")), "left")
+        .join(bd, (F.col("b") == F.col("xb")) & (F.col("d") == F.col("xd")), "left")
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.col("c").cast("bigint").alias("c"),
+            F.col("d").cast("bigint").alias("d"),
+            F.round(F.col("wsum") / 10000.0, 2).alias("cycle_value"),
+            (F.col("xa").isNull() & F.col("xb").isNull()).alias("chordless"),
+        )
+        .orderBy("a", "b", "c", "d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic t-digest-style mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+_TD_K = 64  # max centroids per sketch
+_TD_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@query(
+    "tdigest_quantile_merge",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderpriority AS p,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders
+    ), r1 AS (
+      SELECT p, cents,
+             row_number() OVER (PARTITION BY p ORDER BY cents, k) AS rn,
+             count(*) OVER (PARTITION BY p) AS ns
+      FROM v
+    ), c1 AS (
+      SELECT p, (rn - 1) // ((ns + {_TD_K - 1}) // {_TD_K}) AS b1,
+             CAST(sum(cents) AS BIGINT) AS s, count(*) AS cnt
+      FROM r1 GROUP BY 1, 2
+    ), r2 AS (
+      SELECT s, cnt,
+             row_number() OVER (ORDER BY s * 1.0 / cnt, s, cnt, p) AS rn2,
+             count(*) OVER () AS nc
+      FROM c1
+    ), c2 AS (
+      SELECT (rn2 - 1) // ((nc + {_TD_K - 1}) // {_TD_K}) AS b2,
+             CAST(sum(s) AS BIGINT) AS s2, CAST(sum(cnt) AS BIGINT) AS w
+      FROM r2 GROUP BY 1
+    ), cum AS (
+      SELECT b2, s2, w, CAST(sum(w) OVER (ORDER BY b2) AS BIGINT) AS cw,
+             CAST(sum(w) OVER () AS BIGINT) AS n,
+             count(*) OVER () AS n_centroids
+      FROM c2
+    ), qs AS (SELECT unnest([{", ".join(str(q) for q in _TD_QS)}]) AS q),
+    hit AS (
+      SELECT qs.q, cum.s2, cum.w, cum.n, cum.n_centroids, cum.b2
+      FROM qs JOIN cum ON cum.cw >= CAST(ceil(qs.q * cum.n) AS BIGINT)
+      QUALIFY row_number() OVER (PARTITION BY qs.q ORDER BY cum.b2) = 1
+    ), ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, k) AS rn3 FROM v
+    )
+    SELECT hit.q, round(hit.s2 * 1.0 / hit.w / 100.0, 6) AS est,
+           round(ranked.cents / 100.0, 6) AS exact,
+           round(abs(hit.s2 * 1.0 / hit.w / 100.0 - ranked.cents / 100.0), 6)
+             AS abs_err,
+           hit.n_centroids
+    FROM hit JOIN ranked ON ranked.rn3 = CAST(ceil(hit.q * hit.n) AS BIGINT)
+    ORDER BY q
+    """,
+)
+def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-style mergeable quantile sketch over order totals: each
+    order-priority segment compresses its values into <= 64 weighted
+    centroids (sum, count — exact integer cents), the per-segment sketches
+    MERGE by sorting all centroids by mean and re-compressing to <= 64, and
+    quantile queries interpolate the merged cumulative weights. Estimates
+    are reported next to the exact order statistics with realized error.
+
+    Unlike a textbook t-digest (whose centroids depend on input order),
+    the compression rule here is rank-strided — bucket = rank div
+    ceil(n/k) under a total order with explicit tiebreaks — so the sketch
+    is DETERMINISTIC and the SQL oracle rebuilds it bit-for-bit: a
+    quantile sketch with a full value oracle, not a rows-only check.
+
+    Scale: stage 1 is a per-segment distributed sort (the same single
+    shuffle any exact percentile needs); from there on everything is
+    sketch algebra — merging S segments costs O(S*k log(S*k)) on k-row
+    sketches regardless of raw data size, which is the t-digest property
+    that matters at 100 TB: per-partition/per-day sketches roll up to
+    global quantiles without ever re-touching the data. The exact-answer
+    column is the demo's verification path only.
+    """
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    wp = Window.partitionBy("p")
+    r1 = v.select(
+        "p",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "k")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("ns"),
+    )
+    c1 = (
+        r1.withColumn("b1", F.expr(f"(rn - 1) div ((ns + {_TD_K - 1}) div {_TD_K})"))
+        .groupBy("p", "b1")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    r2 = c1.select(
+        "s",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("s") / F.col("cnt"), "s", "cnt", "p"))
+        .alias("rn2"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nc"),
+    )
+    c2 = (
+        r2.withColumn("b2", F.expr(f"(rn2 - 1) div ((nc + {_TD_K - 1}) div {_TD_K})"))
+        .groupBy("b2")
+        .agg(F.sum("s").alias("s2"), F.sum("cnt").alias("w"))
+    )
+    wall = Window.partitionBy()
+    cum = c2.select(
+        "b2",
+        "s2",
+        "w",
+        F.sum("w").over(Window.orderBy("b2")).alias("cw"),
+        F.sum("w").over(wall).alias("n"),
+        F.count(F.lit(1)).over(wall).alias("n_centroids"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _TD_QS])).alias("q")
+    )
+    hit = (
+        F.broadcast(qs)
+        .join(cum, F.col("cw") >= F.ceil(F.col("q") * F.col("n")))
+        .withColumn(
+            "hrn", F.row_number().over(Window.partitionBy("q").orderBy("b2"))
+        )
+        .where(F.col("hrn") == 1)
+    )
+    ranked = v.select(
+        "cents", F.row_number().over(Window.orderBy("cents", "k")).alias("rn3")
+    )
+    est = F.col("s2") / F.col("w") / 100.0
+    exact = F.col("cents") / 100.0
+    return (
+        hit.join(ranked, F.col("rn3") == F.ceil(F.col("q") * F.col("n")))
+        .select(
+            "q",
+            F.round(est, 6).alias("est"),
+            F.round(exact, 6).alias("exact"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+            "n_centroids",
+        )
+        .orderBy("q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval sweep-line: peak concurrent in-flight orders
+# ---------------------------------------------------------------------------
+
+@query(
+    "interval_inflight_peak",
+    oracle="""
+    WITH last_ship AS (
+      SELECT l_orderkey, max(l_shipdate) AS endts FROM lineitem GROUP BY 1
+    ), iv AS (
+      SELECT o.o_orderdate AS startts, ls.endts
+      FROM orders o JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey
+    ), deltas AS (
+      SELECT date_trunc('day', startts) AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT date_trunc('day', endts) + INTERVAL 1 DAY AS day, -1 AS delta
+      FROM iv
+    ), daily AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY 1
+    ), run AS (
+      SELECT day, CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS inflight
+      FROM daily
+    )
+    SELECT CAST(extract(year FROM day) AS BIGINT) AS year,
+           max(inflight) AS peak_inflight,
+           min(day) FILTER (WHERE inflight = peak) AS peak_day
+    FROM (SELECT day, inflight,
+                 max(inflight) OVER (PARTITION BY extract(year FROM day)) AS peak
+          FROM run)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def interval_inflight_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval max-concurrency via a sweep line: each order is 'in flight'
+    from its order date until its last line-item ships; emit +1/-1 boundary
+    deltas, collapse them to per-day nets, run a cumulative sum over days,
+    and report each year's peak concurrent in-flight count with the
+    earliest day it was hit. The classic room-scheduling/max-overlap
+    operator, done without expanding intervals into their covered days.
+
+    Scale: the sweep reduces N intervals to <= 2N boundary events, then
+    immediately to |distinct days| rows in one map-side-combined groupBy —
+    the running sum's single-partition window touches only ~thousands of
+    day rows no matter how many billions of intervals feed it (day
+    cardinality grows with time span, not data volume). Interval
+    expansion (one row per covered day) would be O(N x avg_duration);
+    the sweep is O(N + days).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("endts"))
+    iv = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey).select(
+        F.col("o_orderdate").alias("startts"), "endts"
+    )
+    deltas = iv.select(
+        F.date_trunc("day", "startts").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            (F.date_trunc("day", "endts") + F.expr("INTERVAL 1 DAY")).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    run = daily.select(
+        "day", F.sum("net").over(Window.orderBy("day")).alias("inflight")
+    )
+    yearly = run.select(
+        "day",
+        "inflight",
+        F.max("inflight")
+        .over(Window.partitionBy(F.year("day")))
+        .alias("peak"),
+    )
+    return (
+        yearly.groupBy(F.year("day").cast("bigint").alias("year"))
+        .agg(
+            F.max("inflight").alias("peak_inflight"),
+            F.min(F.when(F.col("inflight") == F.col("peak"), F.col("day"))).alias(
+                "peak_day"
+            ),
+        )
+        .orderBy("year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+@query(
+    "user_streak_islands",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(extract(day FROM ts) AS BIGINT) AS day
+      FROM events
+    ), g AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM active
+    ), streaks AS (
+      SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+      FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks, max(len) AS longest_streak,
+           min(start_day) FILTER (WHERE len = ml) AS longest_start_day
+    FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM streaks)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def user_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over user activity: collapse events to distinct
+    active days (all of January 2024, so day-of-month is the integer time
+    axis), tag each island of consecutive days with the classic
+    ``day - row_number()`` group key, and report per user the active-day
+    total, streak count, longest streak, and the earliest day the longest
+    streak started.
+
+    Scale: one exchange on user_id serves the dedup, the island window,
+    and the two aggregations — Spark reuses the hash partitioning across
+    all four (single shuffle, then partition-local sorts). Integer
+    day arithmetic everywhere; deterministic earliest-start tiebreak.
+    """
+    active = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.dayofmonth("ts").cast("bigint").alias("day"))
+        .distinct()
+    )
+    g = active.select(
+        "user_id",
+        "day",
+        (
+            F.col("day")
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+        ).alias("grp"),
+    )
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    ranked = streaks.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.max("len").over(Window.partitionBy("user_id")).alias("ml"),
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+            F.min(F.when(F.col("len") == F.col("ml"), F.col("start_day"))).alias(
+                "longest_start_day"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact EWMA (alpha = 1/2) with spike flags
+# ---------------------------------------------------------------------------
+
+@query(
+    "ewma_user_activity",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(extract(day FROM ts) AS BIGINT) AS day,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t,
+             first_value(x) OVER (PARTITION BY user_id ORDER BY day) AS x1
+      FROM daily
+    ), acc AS (
+      SELECT user_id, day, x, t, x1,
+             CAST(sum(x * (CAST(1 AS BIGINT) << (t - 1)))
+                  OVER (PARTITION BY user_id ORDER BY t) AS BIGINT) AS s
+      FROM seq
+    ), y AS (
+      SELECT user_id, day, x,
+             (x1 + s) / power(2.0, t) AS ewma,
+             lag((x1 + s) / power(2.0, t))
+               OVER (PARTITION BY user_id ORDER BY t) AS prev_ewma
+      FROM acc
+    )
+    SELECT user_id, day, x, round(ewma, 6) AS ewma,
+           round(coalesce(x - prev_ewma, 0.0), 6) AS dev,
+           coalesce(abs(x - prev_ewma) >= 3.0, FALSE) AS is_spike
+    FROM y ORDER BY user_id, day
+    """,
+)
+def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's daily event
+    count (recursive form y_t = a*x_t + (1-a)*y_{t-1}, a = 1/2) plus a
+    spike flag when a day's count departs >= 3 from the prior smoothed
+    level. EWMA is the textbook 'SQL can't do recursion' operator; the
+    closed form 2^t * y_t = x_1 + sum_j x_j * 2^(j-1) turns it into a
+    plain cumulative sum.
+
+    Choosing alpha = 1/2 makes every weight a power of two, so the
+    accumulation is EXACT int64 arithmetic (counts <= ~100, t <= 31 →
+    no overflow) and the single final division by 2^t is lossless in
+    IEEE doubles — the EWMA matches the oracle bit-for-bit, no float
+    order-of-summation hazard. For general alpha the same shape works
+    with per-partition rescaling to bound the weight ratio.
+
+    Scale: one exchange on user_id covers the daily rollup and every
+    window; time series of any length stream through partition-local
+    sorts. The integer closed form needs t bounded per partition (weight
+    ratio 2^t) — production would chunk long series and carry the chunk
+    boundary, still one pass.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.dayofmonth("ts").cast("bigint").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.select(
+        "user_id",
+        "day",
+        "x",
+        F.row_number().over(wu).alias("t"),
+        F.first("x").over(wu).alias("x1"),
+    )
+    acc = seq.withColumn(
+        "s",
+        F.sum(F.expr("x * shiftleft(CAST(1 AS BIGINT), CAST(t - 1 AS INT))")).over(
+            Window.partitionBy("user_id").orderBy("t")
+        ),
+    )
+    ewma = (F.col("x1") + F.col("s")) / F.pow(F.lit(2.0), F.col("t"))
+    y = acc.select(
+        "user_id",
+        "day",
+        "x",
+        ewma.alias("ewma_raw"),
+        F.lag(ewma).over(Window.partitionBy("user_id").orderBy("t")).alias(
+            "prev_ewma"
+        ),
+    )
+    return y.select(
+        "user_id",
+        "day",
+        "x",
+        F.round("ewma_raw", 6).alias("ewma"),
+        F.round(F.coalesce(F.col("x") - F.col("prev_ewma"), F.lit(0.0)), 6).alias(
+            "dev"
+        ),
+        F.coalesce(
+            F.abs(F.col("x") - F.col("prev_ewma")) >= 3.0, F.lit(False)
+        ).alias("is_spike"),
+    ).orderBy("user_id", "day")

@@ -62,6 +62,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         multimodal,
         streaming_q,
         advanced,
+        advanced2,
         pysource,
         modernapi,
     )
