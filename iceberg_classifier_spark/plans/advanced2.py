@@ -412,10 +412,12 @@ def user_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, streak count, longest streak, and the earliest day the longest
     streak started.
 
-    Scale: one exchange on user_id serves the dedup, the island window,
-    and the two aggregations — Spark reuses the hash partitioning across
-    all four (single shuffle, then partition-local sorts). Integer
-    day arithmetic everywhere; deterministic earliest-start tiebreak.
+    Scale: two exchanges, both right-sized — the distinct runs map-side
+    partial aggregation on (user, day) so the first shuffle moves only
+    day-level rows, then one regroup on user_id serves the island window
+    and both aggregations (shuffling raw events straight to user_id would
+    move strictly more bytes). Integer day arithmetic everywhere;
+    deterministic earliest-start tiebreak.
     """
     active = (
         load(spark, sf_dir, "events")
@@ -502,9 +504,10 @@ def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-of-summation hazard. For general alpha the same shape works
     with per-partition rescaling to bound the weight ratio.
 
-    Scale: one exchange on user_id covers the daily rollup and every
-    window; time series of any length stream through partition-local
-    sorts. The integer closed form needs t bounded per partition (weight
+    Scale: the daily rollup partially aggregates map-side so the first
+    shuffle moves day-level rows, then a single user_id regroup covers
+    every window; time series of any length stream through
+    partition-local sorts. The integer closed form needs t bounded (weight
     ratio 2^t) — production would chunk long series and carry the chunk
     boundary, still one pass.
     """

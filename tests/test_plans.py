@@ -111,3 +111,45 @@ def test_zorder_is_single_aggregation_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "zorder_cluster")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quad_motif_stays_broadcast(spark, sf_dir):
+    """4-cycle enumeration and both chord anti-probes run on broadcast
+    copies of the edge list — motif arity adds broadcast joins, never a
+    shuffled or cartesian join (the only nested-loop joins are the
+    deliberate 1-row threshold broadcasts)."""
+    plan = plan_of(spark, sf_dir, "motif_trade_quads")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tdigest_sketch_algebra_is_tiny(spark, sf_dir):
+    """Exactly one fact-sized hash exchange (the per-segment sort rank);
+    everything after operates on <=k-row sketches in single-partition
+    stages — no shuffled joins anywhere."""
+    plan = plan_of(spark, sf_dir, "tdigest_quantile_merge")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_sweep_never_expands(spark, sf_dir):
+    """The sweep line must stay O(intervals + days): no Generate (per-day
+    interval explosion) and no cartesian; the running sum's single
+    partition only ever sees collapsed per-day net rows."""
+    plan = plan_of(spark, sf_dir, "interval_inflight_peak")
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_islands_and_ewma_shuffle_aggregates_not_events(spark, sf_dir):
+    """Both per-user series ops are join-free with exactly two right-sized
+    exchanges: map-side (user, day) partial aggregation first, so the
+    initial shuffle moves day-level rows, then one user_id regroup feeds
+    every window."""
+    for name in ("user_streak_islands", "ewma_user_activity"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Join" not in plan, f"{name}: unexpected join"
+        assert plan.count("Exchange hashpartitioning") == 2, f"{name}"
+        assert "HashAggregate" in plan, f"{name}: no map-side partial agg"
