@@ -552,3 +552,233 @@ def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("x") - F.col("prev_ewma")) >= 3.0, F.lit(False)
         ).alias("is_spike"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (runtime-filter pattern, value-checked)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_SEEDS = [1, 2, 3]
+_BLOOM_NATION = 7
+
+
+def _bloom_pos_sql(key_expr: str, seed_expr: str) -> str:
+    """DuckDB expression: portable md5 -> polynomial-fold hash of
+    ``key:seed`` reduced mod _BLOOM_M (identical to the Spark side)."""
+    from iceberg_classifier_spark.functions import text as T
+
+    return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, 32),
+        i -> ord(substr(md5(CAST({key_expr} AS VARCHAR) || ':' ||
+                        CAST({seed_expr} AS VARCHAR)),
+                 CAST(i AS INTEGER), 1)))),
+      (acc, c) -> (acc * {T.FP_BASE} + c) % {T.FP_MOD}) % {_BLOOM_M}"""
+
+
+@query(
+    "bloom_semijoin_reduction",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT o.o_orderkey AS k
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = {_BLOOM_NATION}
+    ), pos AS (
+      SELECT DISTINCT {_bloom_pos_sql("k", "seed")} AS p
+      FROM keys, (SELECT unnest([{", ".join(map(str, _BLOOM_SEEDS))}]) AS seed)
+    ), bloom AS (
+      SELECT list(p ORDER BY p) AS bits, count(*) AS bits_set FROM pos
+    ), flags AS (
+      SELECT ({" AND ".join(
+          f"list_contains(bloom.bits, {_bloom_pos_sql('l.l_orderkey', s)})"
+          for s in _BLOOM_SEEDS)}) AS cand,
+             (k.k IS NOT NULL) AS ex
+      FROM lineitem l CROSS JOIN bloom
+      LEFT JOIN keys k ON l.l_orderkey = k.k
+    )
+    SELECT (SELECT count(*) FROM keys) AS n_keys,
+           (SELECT bits_set FROM bloom) AS bits_set,
+           count(*) AS fact_rows,
+           CAST(count(*) FILTER (WHERE cand) AS BIGINT) AS candidate_rows,
+           CAST(count(*) FILTER (WHERE ex) AS BIGINT) AS exact_rows,
+           CAST(count(*) FILTER (WHERE cand AND NOT ex) AS BIGINT)
+             AS false_positives,
+           round(count(*) FILTER (WHERE cand AND NOT ex) * 1.0
+                 / count(*) FILTER (WHERE NOT ex), 6) AS fp_rate
+    FROM flags
+    """,
+)
+def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern: build a {_BLOOM_M}-bit bloom filter over the
+    order keys of one nation's customers (the small semi-join side), apply
+    it to the lineitem scan as a cheap pre-filter, and report the reduction
+    it buys — candidate rows vs the exact semi-join, false positives, and
+    realized false-positive rate. The bloom uses the portable md5-fold
+    hash, so the oracle rebuilds the IDENTICAL filter and the fp counts
+    match exactly — the sketch itself is value-checked, not just the final
+    join result.
+
+    Scale: this is what Spark's own runtime row-group filtering / bloom
+    join pushdown does under AQE — built here explicitly: the filter is a
+    one-row broadcast (a sorted position array), the fact side evaluates
+    j=3 JVM-side hashes per row with NO shuffle, and only surviving
+    candidates reach the exact (broadcast) semi-join. At 100 TB the bloom
+    drops ~(1-fp) of non-matching fact rows before any join exchange; bits
+    scale as ~1.44*log2(1/fp)*n_keys independent of fact size.
+    """
+    from iceberg_classifier_spark.functions import text as T
+
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_nationkey") == _BLOOM_NATION
+    )
+    o = load(spark, sf_dir, "orders")
+    keys = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def pos(key, seed):
+        return T.rolling_fingerprint(
+            F.md5(F.concat_ws(":", key.cast("string"), seed.cast("string")))
+        ) % _BLOOM_M
+
+    bloom = (
+        keys.select(
+            F.explode(F.array(*[F.lit(s) for s in _BLOOM_SEEDS])).alias("seed"),
+            "k",
+        )
+        .select(pos(F.col("k"), F.col("seed")).alias("p"))
+        .distinct()
+        .groupBy()
+        .agg(
+            F.sort_array(F.collect_list("p")).alias("bits"),
+            F.count(F.lit(1)).alias("bits_set"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cand = None
+    for s in _BLOOM_SEEDS:
+        hit = F.array_contains(
+            F.col("bits"), pos(F.col("l_orderkey"), F.lit(s))
+        )
+        cand = hit if cand is None else (cand & hit)
+    flags = (
+        li.crossJoin(F.broadcast(bloom))
+        .join(F.broadcast(keys), li.l_orderkey == keys.k, "left")
+        .select(
+            cand.alias("cand"),
+            F.col("k").isNotNull().alias("ex"),
+            "bits_set",
+        )
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    agg = flags.groupBy("bits_set").agg(
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.sum(F.when(F.col("cand"), 1).otherwise(0)).alias("candidate_rows"),
+        F.sum(F.when(F.col("ex"), 1).otherwise(0)).alias("exact_rows"),
+        F.sum(F.when(F.col("cand") & ~F.col("ex"), 1).otherwise(0)).alias(
+            "false_positives"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(n_keys)).select(
+        "n_keys",
+        "bits_set",
+        "fact_rows",
+        "candidate_rows",
+        "exact_rows",
+        "false_positives",
+        F.round(
+            F.col("false_positives")
+            * 1.0
+            / (F.col("fact_rows") - F.col("exact_rows")),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users per event type (day-grain set algebra)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_distinct_users",
+    oracle="""
+    WITH ad AS (
+      SELECT DISTINCT event_type, CAST(extract(day FROM ts) AS BIGINT) AS day,
+             user_id
+      FROM events
+    ), days AS (SELECT DISTINCT event_type, day FROM ad),
+    w AS (
+      SELECT d.event_type, d.day, count(DISTINCT a.user_id) AS users_7d
+      FROM days d JOIN ad a ON a.event_type = d.event_type
+                           AND a.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1, 2
+    ), today AS (
+      SELECT event_type, day, count(*) AS users_today FROM ad GROUP BY 1, 2
+    ), prev AS (
+      SELECT d.event_type, d.day, count(DISTINCT a.user_id) AS users_prev6
+      FROM days d LEFT JOIN ad a ON a.event_type = d.event_type
+                                AND a.day BETWEEN d.day - 6 AND d.day - 1
+      GROUP BY 1, 2
+    )
+    SELECT w.event_type, w.day, w.users_7d, t.users_today,
+           w.users_7d - p.users_prev6 AS new_users
+    FROM w JOIN today t USING (event_type, day)
+    JOIN prev p USING (event_type, day)
+    ORDER BY 1, 2
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per event type, plus how many
+    of today's users are NEW (absent from the prior 6 days) — the rolling
+    COUNT(DISTINCT) window SQL engines refuse (DISTINCT aggregates over
+    window frames), solved with day-grain set algebra: collect each
+    (type, day)'s user set once, then union/diff sets across a 6-day RANGE
+    frame. new = |7d set| - |prev-6d set| since the 7d window is the
+    disjoint-union of 'today' and 'previous six'.
+
+    Scale: the only fact-sized operation is the (type, day, user) dedup
+    with map-side partial aggregation; the windows slide over day-grain
+    rows (|types| x |days|), each carrying a bounded user set. When per-day
+    sets outgrow memory, the same plan holds with mergeable sketches in
+    place of exact sets — HLL for counts (events_approx_distinct shows the
+    union algebra) or roaring bitmaps for exact — because only the
+    per-day PARTIALS, never raw rows, enter the window.
+    """
+    ad = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.dayofmonth("ts").cast("bigint").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    daysets = ad.groupBy("event_type", "day").agg(
+        F.collect_set("user_id").alias("u")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    )
+    w6 = (
+        Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, -1)
+    )
+    both = daysets.select(
+        "event_type",
+        "day",
+        F.size(F.array_distinct(F.flatten(F.collect_list("u").over(w7)))).alias(
+            "users_7d"
+        ),
+        F.size("u").alias("users_today"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("u").over(w6)))
+        ).alias("users_prev6"),
+    )
+    return both.select(
+        "event_type",
+        "day",
+        "users_7d",
+        "users_today",
+        (F.col("users_7d") - F.col("users_prev6")).alias("new_users"),
+    ).orderBy("event_type", "day")
