@@ -304,7 +304,8 @@ def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH last_ship AS (
       SELECT l_orderkey, max(l_shipdate) AS endts FROM lineitem GROUP BY 1
     ), iv AS (
-      SELECT o.o_orderdate AS startts, ls.endts
+      SELECT o.o_orderdate AS startts,
+             greatest(o.o_orderdate, ls.endts) AS endts
       FROM orders o JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey
     ), deltas AS (
       SELECT date_trunc('day', startts) AS day, 1 AS delta FROM iv
@@ -344,9 +345,13 @@ def interval_inflight_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("endts"))
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("ship"))
+    # clamp: the synthetic data has last shipments BEFORE the order date;
+    # an inverted interval would emit its -1 before its +1 and silently
+    # undercount the sweep (caught by the direct-coverage kernel test)
     iv = o.join(last_ship, o.o_orderkey == last_ship.l_orderkey).select(
-        F.col("o_orderdate").alias("startts"), "endts"
+        F.col("o_orderdate").alias("startts"),
+        F.greatest("o_orderdate", "ship").alias("endts"),
     )
     deltas = iv.select(
         F.date_trunc("day", "startts").alias("day"), F.lit(1).alias("delta")

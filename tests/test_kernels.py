@@ -98,3 +98,143 @@ def test_zorder_interleave_matches_python(spark, sf_dir):
             expect = (interleave(xb, yb)) >> 12
             assert expect == ((xq >> 1) << 3 | (yq >> 1) << 2
                               | (xq & 1) << 1 | (yq & 1)), (xq, yq)
+
+
+def test_ewma_matches_direct_recursion(spark, duck, sf_dir):
+    """The closed-form integer EWMA equals the textbook recursion
+    y_t = a*x_t + (1-a)*y_{t-1} run directly in floats — exact equality,
+    since with a = 1/2 both paths are dyadic-rational arithmetic."""
+    got = REGISTRY["ewma_user_activity"].fn(spark, sf_dir).collect()
+    series: dict[int, list[tuple[int, int]]] = {}
+    for uid, day, x in duck.execute(
+        "SELECT user_id, CAST(extract(day FROM ts) AS BIGINT), count(*) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall():
+        series.setdefault(uid, []).append((day, x))
+    ref = {}
+    for uid, pts in series.items():
+        y = None
+        for day, x in pts:
+            y = float(x) if y is None else 0.5 * x + 0.5 * y
+            ref[(uid, day)] = y
+    assert len(got) == len(ref)
+    for r in got:
+        # 5e-7 tolerance: Spark rounds half-up, Python half-even; the
+        # unrounded dyadic values are identical
+        assert abs(r.ewma - ref[(r.user_id, r.day)]) <= 5.1e-7, (r.user_id, r.day)
+
+
+def test_bloom_admits_every_member(spark, sf_dir):
+    """No false negatives: every exact semi-join row must be a bloom
+    candidate, so candidates decompose exactly into members + false
+    positives; and the filter actually filters (candidates < fact rows)."""
+    row = REGISTRY["bloom_semijoin_reduction"].fn(spark, sf_dir).collect()[0]
+    assert row.candidate_rows == row.exact_rows + row.false_positives
+    assert row.candidate_rows < row.fact_rows
+    assert 0 < row.bits_set <= 3 * row.n_keys
+
+
+def _td_compress(vals: list[int], k: int) -> list[tuple[int, int]]:
+    """Rank-strided centroid compression of sorted values: (sum, count)."""
+    vals = sorted(vals)
+    cap = (len(vals) + k - 1) // k
+    out = []
+    for i in range(0, len(vals), cap):
+        chunk = vals[i : i + cap]
+        out.append((sum(chunk), len(chunk)))
+    return out
+
+
+def _td_quantile(cents: list[tuple[int, int]], q: float) -> float:
+    cents = sorted(cents, key=lambda c: (c[0] / c[1], c[0], c[1]))
+    n = sum(c[1] for c in cents)
+    target = math.ceil(q * n)
+    cum = 0
+    for s, w in cents:
+        cum += w
+        if cum >= target:
+            return s / w
+    raise AssertionError("unreachable")
+
+
+def test_tdigest_kernel_properties():
+    """Pure-python replica of the sketch: estimates are bounded by the data
+    range, monotone in q, and exact once k covers n (cap = 1)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(0, 10**6), min_size=1, max_size=200),
+        st.integers(2, 32),
+    )
+    def prop(vals, k):
+        cents = _td_compress(vals, k)
+        assert len(cents) <= k
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        ests = [_td_quantile(cents, q) for q in qs]
+        assert min(vals) <= min(ests) and max(ests) <= max(vals)
+        assert all(a <= b + 1e-12 for a, b in zip(ests, ests[1:]))
+        exactk = _td_compress(vals, len(vals))
+        sv = sorted(vals)
+        for q in qs:
+            assert _td_quantile(exactk, q) == sv[math.ceil(q * len(vals)) - 1]
+
+    prop()
+
+
+def test_islands_formula_matches_scan():
+    """day - rank(day) groups exactly the maximal consecutive runs, for
+    arbitrary day sets."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sets(st.integers(1, 31), min_size=1))
+    def prop(days):
+        ds = sorted(days)
+        # reference: linear scan
+        runs, start = [], ds[0]
+        for prev, cur in zip(ds, ds[1:]):
+            if cur != prev + 1:
+                runs.append((start, prev))
+                start = cur
+        runs.append((start, ds[-1]))
+        # formula: group by day - rank
+        groups: dict[int, list[int]] = {}
+        for rank, d in enumerate(ds, 1):
+            groups.setdefault(d - rank, []).append(d)
+        got = sorted((g[0], g[-1]) for g in groups.values())
+        assert got == sorted(runs)
+
+    prop()
+
+
+def test_rolling_distinct_identities(spark, sf_dir):
+    """Set-algebra invariants: today ⊆ 7d window, new users are a subset of
+    today's, and on day 1 (empty lookback) all three collapse."""
+    rows = REGISTRY["rolling_distinct_users"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.new_users <= r.users_today <= r.users_7d
+        if r.day == 1:
+            assert r.new_users == r.users_today == r.users_7d
+
+
+def test_inflight_peak_matches_direct_coverage(spark, duck, sf_dir):
+    """Independent check of the sweep line: for each year's reported peak
+    day, counting intervals that COVER that day directly (no sweep, no
+    running sum) must reproduce the peak concurrency."""
+    for r in REGISTRY["interval_inflight_peak"].fn(spark, sf_dir).collect():
+        n = duck.execute(
+            """
+            WITH iv AS (
+              SELECT o.o_orderdate AS s,
+                     greatest(o.o_orderdate, max(l.l_shipdate)) AS e
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              GROUP BY o.o_orderkey, o.o_orderdate
+            )
+            SELECT count(*) FROM iv
+            WHERE date_trunc('day', s) <= ? AND ? <= date_trunc('day', e)
+            """,
+            [r.peak_day, r.peak_day],
+        ).fetchone()[0]
+        assert n == r.peak_inflight, (r.year, n, r.peak_inflight)
