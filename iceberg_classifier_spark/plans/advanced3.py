@@ -1,0 +1,282 @@
+"""Analytics-breadth round: Pareto concentration analysis, key-skew
+diagnostics for shuffle planning, and level-synchronous BFS shortest
+paths with path counting.
+
+The skew report deliberately uses exact-integer concentration metrics
+(top-k shares, Gini from the rank formula) instead of entropy: a float
+Σ p·ln p over thousands of keys is order-dependent across engines, while
+the Gini numerator Σ (2i−n−1)·c_i is a pure int64 sum under a total order
+with explicit tiebreaks — bit-exact, like every other float-noise-prone
+op in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.advanced2 import _heavy_trade_edges
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_CENTS_W = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Pareto / revenue-concentration deciles
+# ---------------------------------------------------------------------------
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey AS ck,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS cents
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1
+    ), ranked AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents DESC, ck) AS decile
+      FROM rev
+    ), dec AS (
+      SELECT decile, count(*) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS dec_cents
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_customers,
+           round(dec_cents / 10000.0, 2) AS decile_revenue,
+           round(CAST(sum(dec_cents) OVER (ORDER BY decile) AS BIGINT) * 1.0
+                 / CAST(sum(dec_cents) OVER () AS BIGINT), 6) AS cum_share
+    FROM dec ORDER BY decile
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration analysis: rank customers by lifetime
+    revenue, cut them into deciles, and report each decile's revenue plus
+    the cumulative share — the 'top 10% of customers produce X% of
+    revenue' curve. Revenue is exact integer cents×pct; the decile cut has
+    a deterministic tiebreak, so shares are bit-stable.
+
+    Scale: the fact-sized work is one groupBy(custkey) with map-side
+    partial aggregation; ntile then globally sorts only the per-customer
+    aggregate (orders of magnitude smaller than the fact table). At
+    extreme customer cardinality the exact ntile becomes a ranged sort —
+    or swap in approx-percentile revenue boundaries broadcast to a single
+    map pass; the decile aggregate itself stays ten rows either way.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    rev = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.expr(_CENTS_W)).alias("cents"))
+    )
+    ranked = rev.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy(F.desc("cents"), F.col("ck"))).alias(
+            "decile"
+        ),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("dec_cents"),
+    )
+    return (
+        dec.select(
+            "decile",
+            "n_customers",
+            F.round(F.col("dec_cents") / 10000.0, 2).alias("decile_revenue"),
+            F.round(
+                F.sum("dec_cents").over(Window.orderBy("decile"))
+                * 1.0
+                / F.sum("dec_cents").over(Window.partitionBy()),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics (shuffle-planning observability)
+# ---------------------------------------------------------------------------
+
+@query(
+    "key_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT 'l_suppkey' AS key_col, l_suppkey AS k, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'l_partkey', l_partkey, count(*) FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'o_custkey', o_custkey, count(*) FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT key_col, cnt,
+             row_number() OVER (PARTITION BY key_col ORDER BY cnt, k) AS i,
+             row_number() OVER (PARTITION BY key_col ORDER BY cnt DESC, k)
+               AS ri,
+             count(*) OVER (PARTITION BY key_col) AS nk,
+             CAST(sum(cnt) OVER (PARTITION BY key_col) AS BIGINT) AS nr
+      FROM c
+    )
+    SELECT key_col, any_value(nk) AS n_keys, any_value(nr) AS n_rows,
+           round(max(CASE WHEN ri = 1 THEN cnt END) * 1.0 / any_value(nr), 6)
+             AS top1_share,
+           round(CAST(sum(CASE WHEN ri <= 5 THEN cnt ELSE 0 END) AS BIGINT)
+                 * 1.0 / any_value(nr), 6) AS top5_share,
+           round(CAST(sum((2 * i - nk - 1) * cnt) AS BIGINT) * 1.0
+                 / (CAST(any_value(nk) AS BIGINT) * any_value(nr)), 6) AS gini
+    FROM r GROUP BY key_col ORDER BY key_col
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning observability: for each candidate join/aggregation
+    key, report cardinality, the share of rows behind the hottest 1 and 5
+    keys, and the Gini coefficient of the key-frequency distribution — the
+    numbers that decide whether a key needs salting, AQE skew splitting,
+    or is safe to hash-partition as-is (see skew_salted_join for the cure
+    this op diagnoses).
+
+    Gini comes from the rank formula Σ(2i−n−1)·c_i / (n·Σc) under an
+    ascending-count order with key tiebreaks: an exact int64 numerator and
+    one final division, bit-identical across engines (an entropy metric
+    would be an order-dependent float sum — wrong tool for a parity-tested
+    engine).
+
+    Scale: each key profile is a groupBy with map-side combine — the
+    shuffled rows are (key, count) pairs, not facts. The rank windows run
+    per key_col over key-cardinality rows; at extreme cardinality swap the
+    exact ranks for a CMS top-k plus a sampled Gini, same output shape.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    parts = [
+        l.groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("l_suppkey").alias("key_col"), "k", "cnt"),
+        l.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("l_partkey").alias("key_col"), "k", "cnt"),
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("o_custkey").alias("key_col"), "k", "cnt"),
+    ]
+    c = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    wc = Window.partitionBy("key_col")
+    r = c.select(
+        "key_col",
+        "cnt",
+        F.row_number().over(wc.orderBy("cnt", "k")).alias("i"),
+        F.row_number().over(wc.orderBy(F.desc("cnt"), "k")).alias("ri"),
+        F.count(F.lit(1)).over(wc).alias("nk"),
+        F.sum("cnt").over(wc).alias("nr"),
+    )
+    return (
+        r.groupBy("key_col")
+        .agg(
+            F.any_value("nk").alias("n_keys"),
+            F.any_value("nr").alias("n_rows"),
+            F.round(
+                F.max(F.when(F.col("ri") == 1, F.col("cnt"))) * 1.0
+                / F.any_value("nr"),
+                6,
+            ).alias("top1_share"),
+            F.round(
+                F.sum(F.when(F.col("ri") <= 5, F.col("cnt")).otherwise(0)) * 1.0
+                / F.any_value("nr"),
+                6,
+            ).alias("top5_share"),
+            F.round(
+                F.sum((2 * F.col("i") - F.col("nk") - 1) * F.col("cnt")) * 1.0
+                / (F.any_value("nk") * F.any_value("nr")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("key_col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Level-synchronous BFS with shortest-path counting
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 4
+
+
+@query(
+    "graph_shortest_hops",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS w
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ), tot AS (SELECT count(*) AS n_edges, sum(w) AS total FROM e),
+    he AS (SELECT e.src, e.dst FROM e, tot
+           WHERE e.w * tot.n_edges > tot.total),
+    w AS (
+      SELECT (SELECT min(src) FROM he) AS node, 0 AS len
+      UNION ALL
+      SELECT he.dst, w.len + 1 FROM w JOIN he ON he.src = w.node
+      WHERE w.len < {_BFS_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(min(len) AS BIGINT) AS dist,
+           CAST(count(*) FILTER (WHERE len = md) AS BIGINT) AS shortest_paths
+    FROM (SELECT node, len, min(len) OVER (PARTITION BY node) AS md FROM w)
+    GROUP BY node ORDER BY node
+    """,
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS over the heavy-edge trade graph from its
+    smallest source node: minimum hop distance to every reachable nation
+    within {_BFS_HOPS} hops, plus the NUMBER of distinct shortest paths
+    (walk counting — minimal-length walks cannot revisit a node, so walk
+    counts at the minimal length are exactly shortest-path counts, which
+    is what the oracle's recursive CTE enumerates row by row).
+
+    Scale: the iterative frontier expansion is the Pregel/GraphFrames
+    pattern expressed as {_BFS_HOPS} broadcast joins on the aggregated
+    edge list — per level the frontier is (node, path_count) AGGREGATED,
+    so state stays |V|-bounded regardless of how many walks exist. The
+    only fact-sized work is the one-time star join building the edges;
+    on a billion-edge graph each level becomes one shuffled join+groupBy,
+    i.e. cost = diameter × (join + agg), the standard distributed-BFS
+    bound.
+    """
+    he = _heavy_trade_edges(spark, sf_dir).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).cache()
+    seed = he.agg(F.min("src")).first()[0]
+    frontier = spark.createDataFrame([(int(seed), 1)], "node bigint, cnt bigint")
+    levels = [frontier.select("node", "cnt", F.lit(0).alias("len"))]
+    for depth in range(1, _BFS_HOPS + 1):
+        frontier = (
+            frontier.join(F.broadcast(he), frontier.node == he.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        levels.append(frontier.select("node", "cnt", F.lit(depth).alias("len")))
+    walks = levels[0]
+    for lv in levels[1:]:
+        walks = walks.unionAll(lv)
+    md = walks.withColumn(
+        "md", F.min("len").over(Window.partitionBy("node"))
+    )
+    return (
+        md.groupBy("node")
+        .agg(
+            F.min("len").cast("bigint").alias("dist"),
+            F.sum(F.when(F.col("len") == F.col("md"), F.col("cnt"))).alias(
+                "shortest_paths"
+            ),
+        )
+        .orderBy("node")
+    )

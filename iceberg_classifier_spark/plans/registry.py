@@ -63,6 +63,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         streaming_q,
         advanced,
         advanced2,
+        advanced3,
         pysource,
         modernapi,
     )
