@@ -35,21 +35,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ at µs precision.
+
+    The driver's events parquet has carried the timestamp as either
+    TIMESTAMP(NANOS) (arriving as long ns under
+    spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (arriving as TIMESTAMP_NTZ, which
+    unix_micros/window/watermark reject). Both normalize to the same UTC
+    instant DuckDB's naive timestamp uses, since the session timezone is
+    pinned to UTC.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # integer `div`, not `/`: float division of an ~1.7e18 ns epoch
+        # loses µs precision in double.
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp_ltz"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds —
-        # truncate to µs (DuckDB's native precision, so oracles agree).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer `div`, not `/`: float division of an ~1.7e18 ns epoch
-            # loses µs precision in double.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_ts(df)
     return df
 
 

@@ -17,7 +17,34 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_classifier_spark.sources.tables import table_path
+from iceberg_classifier_spark.sources.tables import normalize_ts, table_path
+
+
+def _stage_dir(sf_dir: str, kind: str) -> str:
+    """Temp staging dir for the single-file→directory stream adapter, keyed
+    by the source file's (mtime, size) fingerprint so driver-regenerated
+    testdata never hits a stale cache from a previous run."""
+    src = os.stat(table_path(sf_dir, "events"))
+    tag = f"{src.st_mtime_ns:x}_{src.st_size:x}"
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+    )
+
+
+def _epoch_ints(table):
+    """(int64 epoch array, ticks-per-second) for the raw events ts column,
+    whatever unit the parquet carries (ns longs, or µs/ns timestamps)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = table["ts"]
+    t = col.type
+    if pa.types.is_timestamp(t):
+        unit = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[t.unit]
+    else:
+        unit = 10**9  # raw int64 column = legacy nanos
+    return pc.cast(col, "int64"), unit
 
 
 def hourly_counts_stream(
@@ -31,17 +58,12 @@ def hourly_counts_stream(
     # FileStreamSource requires a directory; testdata ships a single parquet
     # file, so stage a symlink dir (the production layout IS a directory of
     # arriving files — this adapter only exists for the single-file testdata).
-    stage = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    stage = _stage_dir(sf_dir, "events_stream")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(table_path(sf_dir, "events"), link)
-    stream = spark.readStream.schema(batch_schema).parquet(stage)
-    # nanos ts arrives as long under the nanosAsLong flag (see tables.py)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_ts(spark.readStream.schema(batch_schema).parquet(stage))
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
@@ -71,18 +93,12 @@ def hourly_counts_stream(
 def _events_stream(spark: SparkSession, sf_dir: str):
     """readStream over the staged events dir with ts normalized to µs."""
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"events_stream_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    stage = _stage_dir(sf_dir, "events_stream")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(table_path(sf_dir, "events"), link)
-    stream = spark.readStream.schema(batch_schema).parquet(stage)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return normalize_ts(spark.readStream.schema(batch_schema).parquet(stage))
 
 
 def session_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
@@ -222,22 +238,19 @@ def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    d8_ns = 1704672000 * 10**9   # 2024-01-08T00:00:00Z epoch nanos
-    d20_ns = 1705708800 * 10**9  # 2024-01-20T00:00:00Z
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"events_late3_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    stage = _stage_dir(sf_dir, "events_late3")
     if not os.path.exists(os.path.join(stage, "c_late.parquet")):
         os.makedirs(stage, exist_ok=True)
         t = pq.read_table(table_path(sf_dir, "events"))
-        ns = pc.cast(t["ts"], "int64")
+        ns, unit = _epoch_ints(t)
+        d8 = 1704672000 * unit   # 2024-01-08T00:00:00Z
+        d20 = 1705708800 * unit  # 2024-01-20T00:00:00Z
         parts = {
             "a_mid.parquet": t.filter(
-                pc.and_(pc.greater_equal(ns, d8_ns), pc.less(ns, d20_ns))
+                pc.and_(pc.greater_equal(ns, d8), pc.less(ns, d20))
             ),
-            "b_recent.parquet": t.filter(pc.greater_equal(ns, d20_ns)),
-            "c_late.parquet": t.filter(pc.less(ns, d8_ns)),
+            "b_recent.parquet": t.filter(pc.greater_equal(ns, d20)),
+            "c_late.parquet": t.filter(pc.less(ns, d8)),
         }
         for i, (name, part) in enumerate(parts.items()):
             path = os.path.join(stage, name)
@@ -246,13 +259,11 @@ def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(path, (1_700_000_000 + i * 100,) * 2)
 
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = (
+    stream = normalize_ts(
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"))
@@ -278,22 +289,19 @@ def _jan_thirds_stream(spark: SparkSession, sf_dir: str):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    cut1_ns = 1704931200 * 10**9  # 2024-01-11T00:00:00Z epoch nanos
-    cut2_ns = 1705795200 * 10**9  # 2024-01-21T00:00:00Z
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"events_upsert3_jan_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    stage = _stage_dir(sf_dir, "events_upsert3_jan")
     if not os.path.exists(os.path.join(stage, "c_tail.parquet")):
         os.makedirs(stage, exist_ok=True)
         t = pq.read_table(table_path(sf_dir, "events"))
-        ns = pc.cast(t["ts"], "int64")
+        ns, unit = _epoch_ints(t)
+        cut1 = 1704931200 * unit  # 2024-01-11T00:00:00Z
+        cut2 = 1705795200 * unit  # 2024-01-21T00:00:00Z
         parts = {
-            "a_early.parquet": t.filter(pc.less(ns, cut1_ns)),
+            "a_early.parquet": t.filter(pc.less(ns, cut1)),
             "b_mid.parquet": t.filter(
-                pc.and_(pc.greater_equal(ns, cut1_ns), pc.less(ns, cut2_ns))
+                pc.and_(pc.greater_equal(ns, cut1), pc.less(ns, cut2))
             ),
-            "c_tail.parquet": t.filter(pc.greater_equal(ns, cut2_ns)),
+            "c_tail.parquet": t.filter(pc.greater_equal(ns, cut2)),
         }
         for i, (name, part) in enumerate(parts.items()):
             path = os.path.join(stage, name)
@@ -301,13 +309,11 @@ def _jan_thirds_stream(spark: SparkSession, sf_dir: str):
             os.utime(path, (1_700_000_000 + i * 100,) * 2)
 
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = (
+    stream = normalize_ts(
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream
 
 
