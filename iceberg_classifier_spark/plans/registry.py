@@ -64,6 +64,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         advanced,
         advanced2,
         advanced3,
+        analytics,
         pysource,
         modernapi,
     )
