@@ -68,10 +68,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.expr(_O_CENTS)).alias("cents"),
     )
-    ref = o.select(F.max(F.col("o_orderdate").cast("date")).alias("ref_date"))
+    # corpus max date as a global window max over the per-customer aggregate
+    # (max of maxes) — one scan of orders, no second-scan scalar subquery
     scored = (
-        per_cust.crossJoin(F.broadcast(ref))
-        .withColumn("recency_days", F.datediff("ref_date", "last_order"))
+        per_cust.withColumn(
+            "recency_days",
+            F.datediff(
+                F.max("last_order").over(Window.partitionBy()), F.col("last_order")
+            ),
+        )
         .select(
             "recency_days",
             "frequency",
@@ -340,17 +345,17 @@ def welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sxx"),
     )
-    tot = m.agg(
-        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sxx").alias("tsxx")
-    )
-    pair = m.crossJoin(F.broadcast(tot)).select(
+    # complement-group moments from global window sums over the 5-row
+    # aggregate (total − group) — one scan of orders, no self-join
+    wall = Window.partitionBy()
+    pair = m.select(
         "grp",
         F.col("n").alias("n1"),
         F.col("sx").alias("sx1"),
         F.col("sxx").alias("sxx1"),
-        (F.col("tn") - F.col("n")).alias("n2"),
-        (F.col("tsx") - F.col("sx")).alias("sx2"),
-        (F.col("tsxx") - F.col("sxx")).alias("sxx2"),
+        (F.sum("n").over(wall) - F.col("n")).alias("n2"),
+        (F.sum("sx").over(wall) - F.col("sx")).alias("sx2"),
+        (F.sum("sxx").over(wall) - F.col("sxx")).alias("sxx2"),
     )
     st = pair.select(
         "grp",

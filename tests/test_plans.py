@@ -153,3 +153,46 @@ def test_islands_and_ewma_shuffle_aggregates_not_events(spark, sf_dir):
         assert "Join" not in plan, f"{name}: unexpected join"
         assert plan.count("Exchange hashpartitioning") == 2, f"{name}"
         assert "HashAggregate" in plan, f"{name}: no map-side partial agg"
+
+
+def test_geo_ops_are_grid_blocked(spark, sf_dir):
+    """The radius predicate must ride an equi-join on cell keys — never a
+    cartesian/nested-loop pair enumeration (the only broadcast nested loop
+    allowed is the deliberate 9-row offset-ring replication)."""
+    for name in ("geo_radius_pairs", "geo_cell_hotspots"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), (
+            f"{name}: no hash join on grid cells"
+        )
+
+
+def test_single_scan_moment_ops(spark, sf_dir):
+    """rfm/welch derive their global references (corpus max date, total
+    moments) from window functions over the tiny pre-aggregate — the fact
+    table is scanned exactly once, with no scalar-subquery second scan."""
+    for name in ("rfm_segments", "welch_ttest_priority"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, (
+            f"{name}: fact table scanned more than once"
+        )
+        assert "Join" not in plan, f"{name}: unexpected join"
+
+
+def test_proration_and_pit_join_once(spark, sf_dir):
+    """Largest-remainder proration and the PIT lookup are one equi-join
+    each (orders⋈lineitem / fact⋈history) plus windows — no cartesian and
+    no row-at-a-time Python."""
+    for name in ("proration_largest_remainder", "pit_scd2_lookup"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python in plan"
+
+
+def test_snapshot_diff_is_one_outer_join(spark, sf_dir):
+    """The reconciliation diff is a single full-outer equi-join on the key
+    (bucket checksums need no join at all); both snapshot derivations prune
+    to the two columns they read."""
+    plan = plan_of(spark, sf_dir, "snapshot_diff_checksum")
+    assert plan.count("FullOuter") >= 1
+    assert "CartesianProduct" not in plan
