@@ -65,6 +65,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         advanced2,
         advanced3,
         analytics,
+        analytics2,
         geo,
         pysource,
         modernapi,
