@@ -569,16 +569,17 @@ _BLOOM_NATION = 7
 
 
 def _bloom_pos_sql(key_expr: str, seed_expr: str) -> str:
-    """DuckDB expression: portable md5 -> polynomial-fold hash of
-    ``key:seed`` reduced mod _BLOOM_M (identical to the Spark side)."""
-    from iceberg_classifier_spark.functions import text as T
-
+    """DuckDB expression: first 8 hex digits of md5(key:seed) as an int,
+    reduced mod _BLOOM_M (identical to the Spark side's
+    conv(substr(md5, 1, 8), 16, 10) — one hash call per probe instead of a
+    32-step character fold, which dominated the fact-side scan cost)."""
     return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-      list_transform(generate_series(1, 32),
-        i -> ord(substr(md5(CAST({key_expr} AS VARCHAR) || ':' ||
-                        CAST({seed_expr} AS VARCHAR)),
-                 CAST(i AS INTEGER), 1)))),
-      (acc, c) -> (acc * {T.FP_BASE} + c) % {T.FP_MOD}) % {_BLOOM_M}"""
+      list_transform(generate_series(1, 8),
+        i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST({key_expr} AS VARCHAR) || ':' ||
+                                    CAST({seed_expr} AS VARCHAR)),
+                                CAST(i AS INTEGER), 1)) - 1 AS BIGINT))),
+      (acc, c) -> acc * 16 + c) % {_BLOOM_M}"""
 
 
 @query(
@@ -618,7 +619,7 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     order keys of one nation's customers (the small semi-join side), apply
     it to the lineitem scan as a cheap pre-filter, and report the reduction
     it buys — candidate rows vs the exact semi-join, false positives, and
-    realized false-positive rate. The bloom uses the portable md5-fold
+    realized false-positive rate. The bloom uses the portable md5-prefix
     hash, so the oracle rebuilds the IDENTICAL filter and the fp counts
     match exactly — the sketch itself is value-checked, not just the final
     join result.
@@ -631,8 +632,6 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops ~(1-fp) of non-matching fact rows before any join exchange; bits
     scale as ~1.44*log2(1/fp)*n_keys independent of fact size.
     """
-    from iceberg_classifier_spark.functions import text as T
-
     c = load(spark, sf_dir, "customer").where(
         F.col("c_nationkey") == _BLOOM_NATION
     )
@@ -644,9 +643,18 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pos(key, seed):
-        return T.rolling_fingerprint(
-            F.md5(F.concat_ws(":", key.cast("string"), seed.cast("string")))
-        ) % _BLOOM_M
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", key.cast("string"), seed.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
 
     bloom = (
         keys.select(

@@ -3,7 +3,7 @@ Kaplan-Meier survival curves, a deterministic Poisson-bootstrap CI, and two
 ingestion-robustness paths (mergeSchema evolution, corrupt-record routing).
 
 Exactness discipline as everywhere in this repo: integer cents, portable
-md5-fold hashes for anything sampled, float formulas evaluated in an
+md5-derived hashes for anything sampled, float formulas evaluated in an
 explicit deterministic order on both engines.
 """
 
@@ -16,7 +16,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iceberg_classifier_spark.functions import text as T
 from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load, table_path
 
@@ -24,13 +23,17 @@ _CENTS_V = "CAST(round(value * 100) AS BIGINT)"
 _O_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 
 
-def _fp_sql(expr: str) -> str:
-    """DuckDB: portable md5 → polynomial-fold hash of ``expr`` (identical
-    to functions.text.rolling_fingerprint on the Spark side)."""
+def _md5_prefix_sql(expr: str) -> str:
+    """DuckDB: first 8 hex digits of md5(expr) as a bigint — identical to
+    Spark's ``conv(substr(md5(x), 1, 8), 16, 10)``. An 8-step hex fold
+    beats the 32-step char fold the bloom op uses when the hash sits in a
+    per-row×replicate hot loop."""
     return f"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-      list_transform(generate_series(1, 32),
-        i -> ord(substr(md5({expr}), CAST(i AS INTEGER), 1)))),
-      (acc, c) -> (acc * {T.FP_BASE} + c) % {T.FP_MOD})"""
+      list_transform(generate_series(1, 8),
+        i -> CAST(strpos('0123456789abcdef',
+                         substr(md5({expr}), CAST(i AS INTEGER), 1)) - 1
+             AS BIGINT))),
+      (acc, c) -> acc * 16 + c)"""
 
 
 def _stage(sf_dir: str, kind: str) -> str:
@@ -261,7 +264,8 @@ def _pois_case_sql(h: str) -> str:
     ), reps AS (
       SELECT b, x.cents,
              {_pois_case_sql(
-                 _fp_sql("CAST(x.k AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+                 _md5_prefix_sql(
+                     "CAST(x.k AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
                  + " % 10000")} AS w
       FROM x, generate_series(1, {_B}) AS g(b)
     ), means AS (
@@ -285,7 +289,7 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap — the distributed-systems formulation (each row draws an
     independent Poisson(1) replication weight per replicate, so resampling
     needs no global n and streams in one pass). The RNG is the portable
-    md5-fold hash of (orderkey, replicate) against exact integer Poisson
+    md5-prefix hash of (orderkey, replicate) against exact integer Poisson
     CDF thresholds, so both engines draw IDENTICAL resamples and the CI is
     bit-reproducible: [5th, 96th] order statistic of {_B} replicate means.
 
@@ -305,13 +309,21 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "cents",
         _pois_weight(
-            T.rolling_fingerprint(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("k").cast("string"), F.col("b").cast("string")
-                    )
-                )
-            )
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("k").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
             % 10000
         ).alias("w"),
     )

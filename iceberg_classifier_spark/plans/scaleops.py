@@ -104,13 +104,17 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("epoch")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the nearest FOLLOWING measurement via a running frame over DESC order:
+    # Spark executes a (1, unboundedFollowing) first_value frame by
+    # re-aggregating from scratch per row — O(rows²) per partition — while
+    # both running frames here are a single O(rows) pass
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy("epoch")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("epoch"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     pv = F.last(mk, ignorenulls=True).over(w_prev)
-    nx = F.first(mk, ignorenulls=True).over(w_next)
+    nx = F.last(mk, ignorenulls=True).over(w_next)
     interp = pv["v"] + (nx["v"] - pv["v"]) * (F.col("epoch") - pv["e"]) / (
         nx["e"] - pv["e"]
     )
