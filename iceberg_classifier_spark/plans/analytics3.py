@@ -1,0 +1,267 @@
+"""Third analytics batch: CUSUM changepoint detection, day-of-week
+seasonality indices, and association-rule mining with exact SQL oracles.
+
+Same exactness rules as the rest of the repo: cents as int64, CUSUM scores
+as exact integer cross-products compared without division, one final float
+step at the query edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_CENTS_V = "CAST(round(value * 100) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# CUSUM mean-shift changepoint per series
+# ---------------------------------------------------------------------------
+
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(extract(day FROM ts) AS BIGINT) AS day,
+             sum({_CENTS_V}) AS cents
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, day, cents,
+             sum(cents) OVER (PARTITION BY event_type ORDER BY day) AS sk,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             sum(cents) OVER (PARTITION BY event_type) AS sn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily
+    ), scored AS (
+      SELECT event_type, day, k, n,
+             abs(n * sk - k * sn) AS score,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(n * sk - k * sn) DESC, day) AS r,
+             sk, sn
+      FROM cum WHERE k < n
+    )
+    SELECT event_type, day AS changepoint_day,
+           round(abs(n * sk - k * sn) * 1.0 / (n * n), 2) AS shift_score,
+           round(sk * 1.0 / k / 100.0, 2) AS mean_before,
+           round((sn - sk) * 1.0 / (n - k) / 100.0, 2) AS mean_after
+    FROM scored WHERE r = 1 ORDER BY event_type
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event series: the split day k that
+    maximizes |S_k − (k/n)·S_n| — the binary-segmentation statistic for a
+    mean shift — plus before/after means. The score is compared as the
+    EXACT integer cross-product |n·S_k − k·S_n| (no division, no floats in
+    the argmax), with a day tiebreak, so the detected changepoint is
+    bit-stable across engines; divisions happen once on the winning row.
+
+    Scale: the fact table collapses to per-(series, day) sums with
+    map-side combine; the CUSUM windows run over day-level rows per
+    series. Recursing into sub-segments (full binary segmentation) reuses
+    the same daily aggregate with segment-bounded windows.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.dayofmonth("ts").cast("bigint").alias("day")
+    ).agg(F.sum(F.expr(_CENTS_V)).alias("cents"))
+    ws = Window.partitionBy("event_type").orderBy("day")
+    wp = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(ws).alias("sk"),
+        F.row_number().over(ws).alias("k"),
+        F.sum("cents").over(wp).alias("sn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    score = F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("sn"))
+    scored = cum.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(score.desc(), "day")
+        ),
+    )
+    return (
+        scored.filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.round(score * 1.0 / (F.col("n") * F.col("n")), 2).alias(
+                "shift_score"
+            ),
+            F.round(F.col("sk") * 1.0 / F.col("k") / 100.0, 2).alias(
+                "mean_before"
+            ),
+            F.round(
+                (F.col("sn") - F.col("sk"))
+                * 1.0
+                / (F.col("n") - F.col("k"))
+                / 100.0,
+                2,
+            ).alias("mean_after"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality indices
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonal_dow_index",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(extract(isodow FROM ts) AS BIGINT) AS dow,
+             CAST(ts AS DATE) AS d,
+             sum({_CENTS_V}) AS cents,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(cents) * 1.0 / count(*) / 100.0, 2) AS avg_daily_value,
+           round((sum(cents) * 1.0 / count(*))
+                 / ((sum(sum(cents)) OVER ()) * 1.0
+                    / (sum(count(*)) OVER ())), 6) AS seasonal_index
+    FROM daily GROUP BY 1 ORDER BY dow
+    """,
+)
+def seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: average daily value per ISO
+    weekday and the multiplicative seasonal index (weekday average ÷
+    all-days average) — the classical-decomposition building block used to
+    deseasonalize series before trend/anomaly work (the ratio-to-moving-
+    average method's seasonal step). Index > 1 = that weekday runs hot.
+
+    Scale: one (weekday, date) aggregation with map-side combine, then the
+    index from global window sums over the ≤7-row result — a single scan,
+    no join, same shape at any volume.
+    """
+    e = load(spark, sf_dir, "events")
+    # ISO weekday (1=Mon..7=Sun) to match DuckDB's isodow
+    daily = e.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.sum(F.expr(_CENTS_V)).alias("cents"), F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    by_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("cents"),
+    )
+    return by_dow.select(
+        "dow",
+        "n_days",
+        "n_events",
+        F.round(F.col("cents") * 1.0 / F.col("n_days") / 100.0, 2).alias(
+            "avg_daily_value"
+        ),
+        F.round(
+            (F.col("cents") * 1.0 / F.col("n_days"))
+            / (
+                F.sum("cents").over(wall)
+                * 1.0
+                / F.sum("n_days").over(wall)
+            ),
+            6,
+        ).alias("seasonal_index"),
+    ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# Association rules (support / confidence / lift) over daily baskets
+# ---------------------------------------------------------------------------
+
+@query(
+    "association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(extract(day FROM ts) AS BIGINT) AS day,
+             event_type
+      FROM events
+    ), nb AS (
+      SELECT count(DISTINCT (user_id, day)) AS n
+      FROM baskets
+    ), item AS (
+      SELECT event_type, count(*) AS cnt FROM baskets GROUP BY 1
+    ), pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS cnt
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.cnt AS pair_count,
+           round(p.cnt * 1.0 / nb.n, 6) AS support,
+           round(p.cnt * 1.0 / ia.cnt, 6) AS confidence,
+           round((p.cnt * 1.0 / ia.cnt) / (ic.cnt * 1.0 / nb.n), 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.ante = ia.event_type
+    JOIN item ic ON p.cons = ic.event_type
+    CROSS JOIN nb
+    ORDER BY ante, cons
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules ante→cons over (user, day) baskets of event
+    types: support, confidence and lift from exact basket counts — the
+    rule-quality layer on top of frequent-itemset mining (the
+    `fpgrowth_itemsets` op finds the itemsets; this scores the directed
+    rules, fully SQL-oracle-checked).
+
+    Scale: baskets dedup with one (user, day, type) aggregation; the pair
+    join is blocked on the basket key (never a cross join) and collapses
+    immediately to a |types|² count table; item counts and the basket
+    total broadcast onto it. At larger vocabularies the same plan holds —
+    the pair explosion is bounded by items-per-basket², not corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id", F.dayofmonth("ts").cast("bigint").alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    ia = F.broadcast(item.select(F.col("event_type").alias("ante"), F.col("cnt").alias("ante_cnt")))
+    ic = F.broadcast(item.select(F.col("event_type").alias("cons"), F.col("cnt").alias("cons_cnt")))
+    return (
+        pair.join(ia, "ante")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "pair_count",
+            F.round(F.col("pair_count") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("pair_count") * 1.0 / F.col("ante_cnt"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("pair_count") * 1.0 / F.col("ante_cnt"))
+                / (F.col("cons_cnt") * 1.0 / F.col("n")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )

@@ -66,6 +66,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         advanced3,
         analytics,
         analytics2,
+        analytics3,
         geo,
         pysource,
         modernapi,
