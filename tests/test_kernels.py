@@ -238,3 +238,107 @@ def test_inflight_peak_matches_direct_coverage(spark, duck, sf_dir):
             [r.peak_day, r.peak_day],
         ).fetchone()[0]
         assert n == r.peak_inflight, (r.year, n, r.peak_inflight)
+
+
+def test_clamped_balance_closed_form_matches_recurrence():
+    """b_n = S_n − min(0, min prefix S) equals the sequential recurrence
+    b_t = max(0, b_{t-1} + d_t) on randomized flows, and the zero-touch
+    test (S ≤ 0 ∧ S = running min) fires exactly when the recurrence
+    lands on 0."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        deltas = [rng.randint(-50, 50) for _ in range(rng.randint(1, 40))]
+        b, touches_ref = 0, 0
+        s = m = 0
+        for i, d in enumerate(deltas):
+            b = max(0, b + d)
+            if b == 0:
+                touches_ref += 1
+            s += d
+            m = min(m, s)
+            assert b == s - min(0, m), (deltas, i)
+        # replay the closed-form touch count
+        s = m = 0
+        touches = 0
+        for d in deltas:
+            s += d
+            m = min(m, s)
+            if s <= 0 and s == m:
+                touches += 1
+        assert touches == touches_ref, deltas
+
+
+def test_largest_remainder_conserves_and_stays_proportional():
+    """Largest-remainder allocation sums exactly to the header and every
+    line sits within 1 cent of its unrounded proportional share."""
+    import random
+
+    rng = random.Random(11)
+    for _ in range(300):
+        n = rng.randint(1, 8)
+        lines = [rng.randint(1, 10**7) for _ in range(n)]
+        header = rng.randint(1, 10**8)
+        t = sum(lines)
+        base = [header * c // t for c in lines]
+        rem = sorted(
+            range(n), key=lambda i: (-(header * lines[i] % t), i)
+        )
+        deficit = header - sum(base)
+        assert 0 <= deficit < n or n == 1 and deficit == 0
+        alloc = list(base)
+        for i in rem[:deficit]:
+            alloc[i] += 1
+        assert sum(alloc) == header
+        for i in range(n):
+            assert abs(alloc[i] - header * lines[i] / t) < 1.0
+
+
+def test_poisson_bootstrap_thresholds_match_cdf():
+    """The integer CDF cut points used for Poisson(1) replicate weights are
+    round(10000 * P(X ≤ k)) for k = 0..4."""
+    import math
+
+    from iceberg_classifier_spark.plans.analytics2 import _POIS
+
+    cum = 0.0
+    for (threshold, k), kk in zip(_POIS, range(5)):
+        assert k == kk
+        cum += math.exp(-1) / math.factorial(k)
+        assert threshold == round(10000 * cum)
+
+
+def test_cusum_argmax_matches_bruteforce():
+    """The integer cross-product form |n·S_k − k·S_n| picks the same split
+    as the float CUSUM statistic |S_k − (k/n)·S_n| with the same
+    tiebreak."""
+    import random
+
+    rng = random.Random(5)
+    for _ in range(200):
+        xs = [rng.randint(-100, 100) for _ in range(rng.randint(2, 30))]
+        n = len(xs)
+        sn = sum(xs)
+        best_int = best_float = None
+        s = 0
+        for k in range(1, n):
+            s += xs[k - 1]
+            key_i = (abs(n * s - k * sn), -k)
+            key_f = (abs(s - k / n * sn), -k)
+            if best_int is None or key_i > best_int[0]:
+                best_int = (key_i, k)
+            if best_float is None or key_f > best_float[0]:
+                best_float = (key_f, k)
+        assert best_int[1] == best_float[1], xs
+
+
+def test_kaplan_meier_matches_reference(spark, sf_dir):
+    """Ŝ(t) from the windowed log-sum equals a direct sequential product
+    over the same risk table."""
+    rows = REGISTRY["kaplan_meier_shipping"].fn(spark, sf_dir).collect()
+    s = 1.0
+    for r in sorted(rows, key=lambda r: r.t):
+        assert r.d_events <= r.n_risk
+        s *= 1 - r.d_events / r.n_risk
+        assert abs(r.s_t - s) < 1e-6, (r.t, r.s_t, s)

@@ -196,3 +196,23 @@ def test_snapshot_diff_is_one_outer_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "snapshot_diff_checksum")
     assert plan.count("FullOuter") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_association_rules_pair_join_is_blocked(spark, sf_dir):
+    """The ante→cons pair enumeration joins on the (user, day) basket key —
+    never a cartesian — and the item/total counts broadcast onto the tiny
+    pair aggregate."""
+    plan = plan_of(spark, sf_dir, "association_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cusum_and_seasonal_are_single_scan_join_free(spark, sf_dir):
+    """Both series ops collapse the fact table to a tiny aggregate first
+    and derive their global references from windows — one scan, no join."""
+    for name in ("cusum_changepoint", "seasonal_dow_index"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Join" not in plan, f"{name}: unexpected join"
+        assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, (
+            f"{name}: fact table scanned more than once"
+        )
