@@ -87,17 +87,20 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_classifier_spark.streaming.events import _events_stream
     import uuid as _uuid
 
+    from iceberg_classifier_spark.streaming.events import streaming_shuffle
+
     stream = _events_stream(spark, sf_dir).select("user_id")
     deduped = stream.dropDuplicates(["user_id"])
     sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("user_id")
 
 
@@ -138,15 +141,18 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
     )
+    from iceberg_classifier_spark.streaming.events import streaming_shuffle
+
     sink = f"stream_static_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("event_type")
 
 

@@ -20,6 +20,27 @@ from pyspark.sql import functions as F
 from iceberg_classifier_spark.sources.tables import normalize_ts, table_path
 
 
+def streaming_shuffle(spark: SparkSession, n: int = 8):
+    """Context manager pinning spark.sql.shuffle.partitions for a streaming
+    drain. Stateful streaming cost scales with state-store instances =
+    shuffle partitions × stateful operators × micro-batches, and the
+    testdata drain needs nowhere near the batch setting (measured: the
+    stream-stream join drops 12s → 4.4s at 8 partitions, identical rows).
+    Production sizes this to key cardinality instead."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _ctx()
+
+
 def _stage_dir(sf_dir: str, kind: str) -> str:
     """Temp staging dir for the single-file→directory stream adapter, keyed
     by the source file's (mtime, size) fingerprint so driver-regenerated
@@ -79,14 +100,15 @@ def hourly_counts_stream(
         )
     )
     sink = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -127,14 +149,15 @@ def session_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") ->
         )
     )
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -201,14 +224,15 @@ def user_stats_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"stream_userstats_{uuid.uuid4().hex[:8]}"
-    q = (
-        emitted.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            emitted.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # keep each user's final emission (counts are monotone across batches)
     return (
         spark.table(sink)
@@ -271,14 +295,15 @@ def late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("hour_start"), "n_events")
     )
     sink = f"stream_late_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")  # only watermark-finalized windows are emitted
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")  # only watermark-finalized windows are emitted
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -368,13 +393,14 @@ def upsert_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(out)
         versions.append(out)
 
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(state_root, "_chk"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(state_root, "_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = spark.read.parquet(versions[-1])
     return final.select(
         "user_id",
@@ -427,12 +453,13 @@ def attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"), "purchase_id", "click_id"
     )
     sink = f"stream_attrib_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with streaming_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
