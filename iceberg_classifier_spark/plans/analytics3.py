@@ -265,3 +265,85 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ante", "cons")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly z-scores (residuals vs the weekday-hour profile)
+# ---------------------------------------------------------------------------
+
+@query(
+    "seasonal_anomaly_zscore",
+    oracle=f"""
+    WITH slot AS (
+      SELECT CAST(extract(isodow FROM ts) AS BIGINT) AS dow,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(ts AS DATE) AS d,
+             sum({_CENTS_V}) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ), prof AS (
+      SELECT dow, hr, cents, d,
+             count(*) OVER w AS n,
+             sum(cents) OVER w AS sx,
+             sum(CAST(cents AS HUGEINT) * cents) OVER w AS sxx
+      FROM slot WINDOW w AS (PARTITION BY dow, hr)
+    ), z AS (
+      SELECT dow, hr, d, cents, n,
+             (cents - sx * 1.0 / n)
+             / sqrt((sxx - sx * 1.0 / n * sx) / (n - 1)) AS zscore
+      FROM prof WHERE n >= 3
+        AND (sxx - sx * 1.0 / n * sx) > 0
+    )
+    SELECT dow, hr, CAST(d AS VARCHAR) AS day, round(cents / 100.0, 2)
+             AS slot_value,
+           round(zscore, 4) AS zscore
+    FROM z
+    ORDER BY abs(round(zscore, 4)) DESC, dow, hr, day LIMIT 20
+    """,
+)
+def seasonal_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: each (weekday, hour, date) slot's value
+    is z-scored against the profile of the SAME weekday-hour across all
+    weeks — so a quiet Sunday 3am doesn't alarm against a busy Monday noon
+    baseline — and the 20 most anomalous slots surface. Mean and variance
+    come from exact integer moment sums per profile (the Σx² rides as
+    int128/decimal), so the z-scores are a fixed double formula over exact
+    integers — bit-stable across engines.
+
+    Scale: one (dow, hr, date) aggregation with map-side combine; the
+    profile moments are window sums over that ~(7·24·31)-row aggregate.
+    Streaming flavor: the same profile broadcast against a live window agg.
+    """
+    e = load(spark, sf_dir, "events")
+    slot = e.groupBy(
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.col("ts").cast("date").alias("d"),
+    ).agg(F.sum(F.expr(_CENTS_V)).alias("cents"))
+    wp = Window.partitionBy("dow", "hr")
+    prof = slot.select(
+        "dow",
+        "hr",
+        "d",
+        "cents",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        )
+        .over(wp)
+        .alias("sxx"),
+    )
+    mean = F.col("sx") * 1.0 / F.col("n")
+    var = (F.col("sxx") - mean * F.col("sx")) / (F.col("n") - 1)
+    z = prof.filter((F.col("n") >= 3) & (var > 0)).select(
+        "dow",
+        "hr",
+        F.col("d").cast("string").alias("day"),
+        F.round(F.col("cents") / 100.0, 2).alias("slot_value"),
+        F.round((F.col("cents") - mean) / F.sqrt(var), 4).alias("zscore"),
+    )
+    # top-k by |z|, not a fixed σ gate: with w weeks of history a profile
+    # has n = w points and max |z| = (n-1)/sqrt(n) — a 2σ cut is
+    # unreachable until n > 5, so it silently returns nothing on short
+    # histories; ranking always surfaces the most anomalous slots
+    return z.orderBy(F.abs(F.col("zscore")).desc(), "dow", "hr", "day").limit(20)
