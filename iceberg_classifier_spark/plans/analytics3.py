@@ -347,3 +347,195 @@ def seasonal_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unreachable until n > 5, so it silently returns nothing on short
     # histories; ranking always surfaces the most anomalous slots
     return z.orderBy(F.abs(F.col("zscore")).desc(), "dow", "hr", "day").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (open-high-low-close per series per hour)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_ohlc_bars",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id,
+             {_CENTS_V} AS cents,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, CAST(bar AS VARCHAR) AS bar_start,
+           round(max(CASE WHEN rn_open = 1 THEN cents END) / 100.0, 2)
+             AS open,
+           round(max(cents) / 100.0, 2) AS high,
+           round(min(cents) / 100.0, 2) AS low,
+           round(max(CASE WHEN rn_close = 1 THEN cents END) / 100.0, 2)
+             AS close,
+           count(*) AS n_ticks
+    FROM v GROUP BY 1, 2 ORDER BY event_type, bar_start
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candlestick bars per event series: open and close come
+    from deterministic (ts, event_id) first/last ranks — never
+    shuffle-order first()/last(), which are nondeterministic in a
+    distributed engine — high/low/count are plain aggregates. The
+    market-data downsampling every time-series store ships.
+
+    Scale: one window + aggregation pass partitioned by (series, hour) —
+    the same exchange serves both; bars are emitted with map-side partial
+    aggregation for high/low/count. Finer bars = same plan, more groups.
+    """
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+        "ts",
+        "event_id",
+        F.expr(_CENTS_V).alias("cents"),
+    )
+    wb = Window.partitionBy("event_type", "bar")
+    v = base.select(
+        "event_type",
+        "bar",
+        "cents",
+        F.row_number().over(wb.orderBy("ts", "event_id")).alias("rn_open"),
+        F.row_number()
+        .over(wb.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn_close"),
+    )
+    return (
+        v.groupBy("event_type", F.col("bar").cast("string").alias("bar_start"))
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_open") == 1, F.col("cents"))) / 100.0, 2
+            ).alias("open"),
+            F.round(F.max("cents") / 100.0, 2).alias("high"),
+            F.round(F.min("cents") / 100.0, 2).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_close") == 1, F.col("cents"))) / 100.0, 2
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIFO inventory matching via cumulative-interval overlap join
+# ---------------------------------------------------------------------------
+
+@query(
+    "fifo_inventory_matching",
+    oracle="""
+    WITH flow AS (
+      SELECT l_partkey AS pk, l_returnflag AS f,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), cum AS (
+      SELECT pk, f, q,
+             sum(q) OVER (PARTITION BY pk, f
+                          ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+      FROM flow
+    ), supply AS (
+      SELECT pk, hi - q AS lo, hi FROM cum WHERE f = 'R'
+    ), demand AS (
+      SELECT pk, hi - q AS lo, hi FROM cum WHERE f = 'N'
+    ), matches AS (
+      SELECT s.pk,
+             least(s.hi, d.hi) - greatest(s.lo, d.lo) AS mq
+      FROM supply s JOIN demand d
+        ON s.pk = d.pk AND s.lo < d.hi AND d.lo < s.hi
+    ), totals AS (
+      SELECT pk,
+             sum(CASE WHEN f = 'R' THEN q ELSE 0 END) AS ts,
+             sum(CASE WHEN f = 'N' THEN q ELSE 0 END) AS td
+      FROM flow GROUP BY 1
+    )
+    SELECT t.pk % 8 AS bucket,
+           CAST(count(DISTINCT t.pk) AS BIGINT) AS n_parts,
+           CAST(coalesce(sum(m.n_matches), 0) AS BIGINT) AS n_matches,
+           CAST(coalesce(sum(m.matched_qty), 0) AS BIGINT) AS matched_qty,
+           CAST(sum(greatest(t.td - t.ts, 0)) AS BIGINT) AS unmet_demand
+    FROM totals t LEFT JOIN (
+      SELECT pk, count(*) AS n_matches, sum(mq) AS matched_qty
+      FROM matches GROUP BY 1
+    ) m ON t.pk = m.pk
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def fifo_inventory_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory matching: per part, receipts (returnflag R) and
+    issues (returnflag N) each become cumulative-quantity intervals
+    [cum−q, cum) in FIFO order, and an issue consumes exactly the receipt
+    intervals it overlaps — the standard costing/lot-attribution
+    construction that turns a sequential 'walk both lists' algorithm into
+    a relational interval-overlap join. Matched quantity is the overlap
+    length (exact int64); unmet demand is the demand tail beyond total
+    supply. Reported per part-bucket.
+
+    Scale: the overlap join is an equi-join on partkey with the interval
+    predicate applied post-join; FIFO geometry bounds true matches at
+    supplies+demands per part, so per-key fan-out is linear in chain
+    length. For parts with huge chains, block the join further on
+    (partkey, cum div B) so candidates stay near the diagonal.
+    """
+    flow = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_returnflag").alias("f"),
+            F.round("l_quantity").cast("bigint").alias("q"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wc = Window.partitionBy("pk", "f").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    cum = flow.select(
+        "pk", "f", "q", F.sum("q").over(wc).alias("hi")
+    ).withColumn("lo", F.col("hi") - F.col("q"))
+    supply = cum.filter(F.col("f") == "R").select(
+        "pk", F.col("lo").alias("slo"), F.col("hi").alias("shi")
+    )
+    demand = cum.filter(F.col("f") == "N").select(
+        F.col("pk").alias("dpk"), F.col("lo").alias("dlo"), F.col("hi").alias("dhi")
+    )
+    matches = (
+        supply.join(
+            demand,
+            (F.col("pk") == F.col("dpk"))
+            & (F.col("slo") < F.col("dhi"))
+            & (F.col("dlo") < F.col("shi")),
+        )
+        .select(
+            "pk",
+            (
+                F.least("shi", "dhi") - F.greatest("slo", "dlo")
+            ).alias("mq"),
+        )
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("n_matches"), F.sum("mq").alias("matched_qty"))
+    )
+    totals = flow.groupBy("pk").agg(
+        F.sum(F.when(F.col("f") == "R", F.col("q")).otherwise(0)).alias("ts"),
+        F.sum(F.when(F.col("f") == "N", F.col("q")).otherwise(0)).alias("td"),
+    )
+    return (
+        totals.join(matches, "pk", "left")
+        .groupBy((F.col("pk") % 8).alias("bucket"))
+        .agg(
+            F.count_distinct("pk").alias("n_parts"),
+            F.coalesce(F.sum("n_matches"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.sum("matched_qty"), F.lit(0)).alias("matched_qty"),
+            F.sum(F.greatest(F.col("td") - F.col("ts"), F.lit(0))).alias(
+                "unmet_demand"
+            ),
+        )
+        .orderBy("bucket")
+    )
