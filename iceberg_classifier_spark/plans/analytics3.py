@@ -539,3 +539,81 @@ def fifo_inventory_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown per user (running peak-to-trough)
+# ---------------------------------------------------------------------------
+
+@query(
+    "max_drawdown_users",
+    oracle=f"""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN {_CENTS_V}
+                  ELSE -{_CENTS_V} END AS d
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), eq AS (
+      SELECT user_id, ts, event_id,
+             sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s
+      FROM flows
+    ), dd AS (
+      SELECT user_id, s,
+             max(s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS peak
+      FROM eq
+    )
+    SELECT user_id,
+           round(max(peak - s) / 100.0, 2) AS max_drawdown,
+           round(max(peak) / 100.0, 2) AS peak_equity,
+           round(CAST(sum(CASE WHEN s = peak THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1.0 / count(*), 6) AS at_peak_frac
+    FROM dd GROUP BY 1
+    ORDER BY max(peak - s) DESC, user_id LIMIT 20
+    """,
+)
+def max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user equity curve (purchases credit, clicks
+    debit): the largest peak-to-trough drop of the running balance — the
+    risk metric every portfolio/treasury dashboard carries — plus the peak
+    itself and the fraction of time spent AT the running peak. The same
+    prefix-extremum trick as `clamped_running_balance` with min flipped to
+    max: drawdown_t = (running max of S) − S_t, all exact int64 cents, so
+    a single window pass replaces the sequential scan.
+
+    Scale: one (user) shuffle feeding two stacked running windows and a
+    final aggregate — no join, no recursion; top-20 with deterministic
+    tiebreaks keeps the output bounded.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    flows = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.expr(_CENTS_V))
+        .otherwise(-F.expr(_CENTS_V))
+        .alias("d"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eq = flows.select("user_id", "ts", "event_id", F.sum("d").over(w).alias("s"))
+    dd = eq.select("user_id", "s", F.max("s").over(w).alias("peak"))
+    return (
+        dd.groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("s")) / 100.0, 2).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak") / 100.0, 2).alias("peak_equity"),
+            F.round(
+                F.sum((F.col("s") == F.col("peak")).cast("bigint"))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("at_peak_frac"),
+            F.max(F.col("peak") - F.col("s")).alias("_dd_cents"),
+        )
+        .orderBy(F.desc("_dd_cents"), "user_id")
+        .limit(20)
+        .drop("_dd_cents")
+    )
