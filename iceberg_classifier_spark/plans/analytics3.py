@@ -617,3 +617,160 @@ def max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_dd_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (posting-list intersection)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "value")
+
+
+@query(
+    "phrase_search",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             len(list_filter(generate_series(1, len(toks) - 1),
+                 i -> toks[i] = '{_PHRASE[0]}'
+                      AND toks[i + 1] = '{_PHRASE[1]}')) AS n_hits
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), nz AS (SELECT * FROM hits WHERE n_hits > 0)
+    SELECT doc_id, n_hits,
+           CAST(sum(n_hits) OVER () AS BIGINT) AS total_hits,
+           CAST(count(*) OVER () AS BIGINT) AS n_matching_docs
+    FROM nz ORDER BY n_hits DESC, doc_id LIMIT 10
+    """,
+)
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('{_PHRASE[0]} {_PHRASE[1]}') the way a search
+    engine executes it: tokenize once into a POSITIONAL posting list
+    (doc_id, term, position), then intersect the two terms' postings with
+    an adjacency predicate pos₂ = pos₁ + 1 — a doc-blocked equi-join, not
+    a rescan of the corpus per query. Returns the top-10 matching docs
+    plus corpus-wide totals.
+
+    Scale: the posting build is one map-side explode pruned to the query
+    terms BEFORE any shuffle (predicate on the exploded term), so the join
+    input is |occurrences of the two terms|, not |tokens|. A real index
+    would persist the posting list partitioned by term — this op is the
+    query-side plan over it; longer phrases chain more adjacency joins.
+    """
+    from iceberg_classifier_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    posting = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    ).filter(F.col("term").isin(*_PHRASE))
+    p1 = posting.filter(F.col("term") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    p2 = posting.filter(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("p1") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    wall = Window.partitionBy()
+    return (
+        hits.select(
+            "doc_id",
+            "n_hits",
+            F.sum("n_hits").over(wall).alias("total_hits"),
+            F.count(F.lit(1)).over(wall).alias("n_matching_docs"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend per series
+# ---------------------------------------------------------------------------
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(extract(day FROM ts) AS BIGINT) AS day,
+             sum({_CENTS_V}) AS cents
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             (b.cents - a.cents) * 1.0 / (b.day - a.day) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ), ranked AS (
+      SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS r,
+             count(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs
+    )
+    SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+           round(max(CASE WHEN r = (np + 1) // 2 THEN slope END) / 100.0, 4)
+             AS theil_sen_slope
+    FROM ranked GROUP BY 1 ORDER BY event_type
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event series: the MEDIAN of all pairwise
+    day-to-day slopes of the daily totals — up to ~29% of outlier days
+    cannot move it, unlike the least-squares slope (`events_trend`), its
+    non-robust counterpart here. Slopes are exact-integer differences with
+    one division; the lower median is picked by rank over a (slope) order
+    — identical doubles on both engines, so the rank order agrees.
+
+    Scale: the pairwise self-join runs on the per-(series, day) AGGREGATE
+    (≤31 rows per series → ≤465 pairs), never raw events — the fact-sized
+    work is one map-side-combined aggregation. For very long series,
+    Theil-Sen has O(n log n) randomized variants; the aggregate-first
+    shape is the part that carries to 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.dayofmonth("ts").cast("bigint").alias("day")
+    ).agg(F.sum(F.expr(_CENTS_V)).alias("cents"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            * 1.0
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr.orderBy("slope")).alias("r"),
+        F.count(F.lit(1)).over(wr).alias("np"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("np").alias("n_pairs"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("r") == F.expr("(np + 1) div 2"),
+                        F.col("slope"),
+                    )
+                )
+                / 100.0,
+                4,
+            ).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )
