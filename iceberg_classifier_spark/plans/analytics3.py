@@ -774,3 +774,165 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression on the daily series (minimax closed form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "isotonic_regression_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(extract(day FROM ts) AS BIGINT) AS day,
+             sum({_CENTS_V}) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), idx AS (
+      SELECT day, cents,
+             row_number() OVER (ORDER BY day) AS i,
+             sum(cents) OVER (ORDER BY day) AS s
+      FROM daily
+    ), seg AS (
+      SELECT a.i AS j, b.i AS k,
+             (b.s - coalesce(a.s - a.cents, 0)) * 1.0 / (b.i - a.i + 1)
+               AS seg_mean
+      FROM idx a JOIN idx b ON a.i <= b.i
+    ), mn AS (
+      SELECT j, k,
+             min(seg_mean) OVER (PARTITION BY j ORDER BY k DESC) AS m_jk
+      FROM seg
+    ), fit AS (
+      SELECT k AS i, max(m_jk) OVER (PARTITION BY k ORDER BY j) AS f
+      FROM mn
+    ), best AS (
+      SELECT i, max(f) AS fitted FROM (
+        SELECT i, f, row_number() OVER (PARTITION BY i ORDER BY f DESC) AS r
+        FROM fit) WHERE r = 1 GROUP BY 1
+    )
+    SELECT idx.day, round(idx.cents / 100.0, 2) AS observed,
+           round(best.fitted / 100.0, 2) AS fitted
+    FROM idx JOIN best ON idx.i = best.i
+    ORDER BY idx.day
+    """,
+)
+def isotonic_regression_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression of the daily purchase
+    totals — the shape-constrained fit used for calibration curves and
+    monotone dose-response — computed NOT by the sequential
+    pool-adjacent-violators algorithm but by its minimax closed form:
+    fitted_i = max_{j≤i} min_{k≥i} mean(y_j..y_k). Segment means come from
+    exact integer prefix sums; the max-of-min runs as two window passes
+    over the all-segments table, so the whole fit is declarative.
+
+    Scale: the fact-sized work is one aggregated scan; the O(n²) segment
+    table is over the 31-row daily aggregate. For series too long for n²,
+    PAVA runs inside applyInPandas per series — this op is the exact
+    closed form where n is aggregate-sized, which is the common reporting
+    case.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.dayofmonth("ts").cast("bigint").alias("day")).agg(
+        F.sum(F.expr(_CENTS_V)).alias("cents")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(wd).alias("i"),
+        F.sum("cents").over(wd).alias("s"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    seg = a.join(b, F.col("a.i") <= F.col("b.i")).select(
+        F.col("a.i").alias("j"),
+        F.col("b.i").alias("k"),
+        (
+            (F.col("b.s") - F.coalesce(F.col("a.s") - F.col("a.cents"), F.lit(0)))
+            * 1.0
+            / (F.col("b.i") - F.col("a.i") + 1)
+        ).alias("seg_mean"),
+    )
+    mn = seg.select(
+        "j",
+        "k",
+        F.min("seg_mean")
+        .over(Window.partitionBy("j").orderBy(F.desc("k")))
+        .alias("m_jk"),
+    )
+    fit = mn.select(
+        F.col("k").alias("i"),
+        F.max("m_jk").over(Window.partitionBy("k").orderBy("j")).alias("f"),
+    )
+    best = (
+        fit.withColumn(
+            "r", F.row_number().over(Window.partitionBy("i").orderBy(F.desc("f")))
+        )
+        .filter(F.col("r") == 1)
+        .groupBy("i")
+        .agg(F.max("f").alias("fitted"))
+    )
+    return (
+        idx.join(best, "i")
+        .select(
+            "day",
+            F.round(F.col("cents") / 100.0, 2).alias("observed"),
+            F.round(F.col("fitted") / 100.0, 2).alias("fitted"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week growth report
+# ---------------------------------------------------------------------------
+
+@query(
+    "wow_growth_report",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT event_type, CAST(extract(week FROM ts) AS BIGINT) AS wk,
+             sum({_CENTS_V}) AS cents, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, wk,
+           round(cents / 100.0, 2) AS value,
+           CAST(n AS BIGINT) AS n_events,
+           round((cents - lag(cents) OVER w) * 1.0
+                 / lag(cents) OVER w, 6) AS wow_growth,
+           round((n - lag(n) OVER w) * 1.0 / lag(n) OVER w, 6)
+             AS wow_event_growth
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    ORDER BY event_type, wk
+    """,
+)
+def wow_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per series: ISO-week totals with relative
+    growth in value and event count against the previous week (NULL for
+    the first week) — the staple KPI report. Growth ratios are one
+    division over exact integer weekly sums.
+
+    Scale: one map-side-combined weekly aggregation; the lag windows run
+    on the ~(series × weeks) aggregate. The same plan feeds MoM/QoQ by
+    swapping the bucket function.
+    """
+    e = load(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.weekofyear("ts").cast("bigint").alias("wk")
+    ).agg(F.sum(F.expr(_CENTS_V)).alias("cents"), F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return weekly.select(
+        "event_type",
+        "wk",
+        F.round(F.col("cents") / 100.0, 2).alias("value"),
+        F.col("n").alias("n_events"),
+        F.round(
+            (F.col("cents") - F.lag("cents").over(w))
+            * 1.0
+            / F.lag("cents").over(w),
+            6,
+        ).alias("wow_growth"),
+        F.round(
+            (F.col("n") - F.lag("n").over(w)) * 1.0 / F.lag("n").over(w), 6
+        ).alias("wow_event_growth"),
+    ).orderBy("event_type", "wk")
