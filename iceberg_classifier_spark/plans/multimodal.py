@@ -234,3 +234,128 @@ def multimodal_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup over the binary payload
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8        # rolling-hash window (bytes)
+_CDC_MASK = 64    # boundary when hash % mask == 0 → ~64-byte expected chunks
+_CDC_B = 31
+_CDC_M = 1_000_000_007
+
+
+@query(
+    "multimodal_cdc_chunk_dedup",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_filter(generate_series({_CDC_W}, length(text)),
+               i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(i - {_CDC_W - 1}, i),
+                        j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * {_CDC_B} + c) % {_CDC_M})
+                    % {_CDC_MASK} = 0) AS cuts
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(parts) - 1),
+               x -> substr(text, parts[x] + 1, parts[x + 1] - parts[x])))
+               AS chunk
+      FROM (SELECT doc_id, text,
+                   list_concat(list_concat([0], cuts), [n]) AS parts
+            FROM bounds)
+    ), nz AS (SELECT doc_id, chunk FROM chunks WHERE length(chunk) > 0)
+    SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+           CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS unique_chunks,
+           CAST(sum(length(chunk)) AS BIGINT) AS total_bytes,
+           CAST((SELECT sum(length(chunk)) FROM
+                 (SELECT DISTINCT md5(chunk) AS h, chunk FROM nz))
+                AS BIGINT) AS unique_bytes,
+           round(avg(length(chunk)), 4) AS avg_chunk_len
+    FROM nz
+    """,
+)
+def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup over the binary payload — the
+    rsync/restic/storage-dedup algorithm: a {_CDC_W}-byte rolling hash cuts
+    each blob where hash % {_CDC_MASK} == 0, so chunk boundaries follow
+    CONTENT, not offsets — an insertion early in a file shifts every
+    fixed-size block but leaves all later CDC chunks identical, which is
+    what makes chunk-level dedup survive edits. Chunks dedup corpus-wide
+    by digest; the report carries total vs unique chunks/bytes (the dedup
+    ratio a storage engine would realize) and the realized mean chunk
+    length (expected ≈ {_CDC_MASK}).
+
+    Both engines replay the identical polynomial rolling hash, so the cut
+    positions — and therefore every chunk digest — match exactly.
+
+    Scale: chunking is per-row JVM higher-order-function work (no shuffle,
+    no Python); only (digest, length) pairs reach the distinct —
+    at 100 TB that is the standard two-level dedup: per-partition digest
+    sets, then one exchange of digests, never chunk bytes.
+    """
+    d = load(spark, sf_dir, "documents")
+    ch = F.expr(
+        f"""
+        filter(
+          transform(
+            sequence({_CDC_W}, length(text)),
+            i -> named_struct(
+              'pos', i,
+              'cut', aggregate(sequence(i - {_CDC_W - 1}, i),
+                               0L,
+                               (acc, j) -> (acc * {_CDC_B}
+                                            + ascii(substring(text, j, 1)))
+                                           % {_CDC_M}) % {_CDC_MASK} = 0)),
+          s -> s.cut)
+        """
+    )
+    # guard: Spark's sequence(a, b) steps BACKWARDS when b < a, so a short
+    # text would produce bogus cut positions instead of none
+    bounds = d.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.when(
+            F.length("text") >= _CDC_W, F.transform(ch, lambda s: s["pos"])
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("cuts"),
+    )
+    chunks = (
+        bounds.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.array(F.lit(0)), F.col("cuts"), F.array(F.col("n"))
+            ).alias("parts"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(parts) - 1), "
+                    "x -> substring(text, parts[x - 1] + 1, "
+                    "parts[x] - parts[x - 1]))"
+                )
+            ).alias("chunk"),
+        )
+        .filter(F.length("chunk") > 0)
+    )
+    uniq = chunks.select(F.md5("chunk").alias("h"), F.length("chunk").alias("l"))
+    per_digest = uniq.groupBy("h").agg(F.any_value("l").alias("l"))
+    totals = chunks.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum(F.length("chunk")).alias("total_bytes"),
+        F.round(F.avg(F.length("chunk")), 4).alias("avg_chunk_len"),
+    )
+    uq = per_digest.agg(
+        F.count(F.lit(1)).alias("unique_chunks"),
+        F.sum("l").alias("unique_bytes"),
+    )
+    return totals.crossJoin(F.broadcast(uq)).select(
+        "total_chunks", "unique_chunks", "total_bytes", "unique_bytes",
+        "avg_chunk_len",
+    )
