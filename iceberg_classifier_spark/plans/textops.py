@@ -578,3 +578,147 @@ def pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# ---------------------------------------------------------------------------
+# GPT-style concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512  # tokens per training sequence
+
+
+@query(
+    "concat_chunk_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS n FROM documents
+    ), cum AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id) AS s
+      FROM toks
+    ), spans AS (
+      SELECT doc_id, n,
+             (s - n) // {_PACK_CAP} AS c_start,
+             (s - 1) // {_PACK_CAP} AS c_end
+      FROM cum WHERE n > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST((sum(n) + {_PACK_CAP - 1}) // {_PACK_CAP} AS BIGINT)
+             AS n_sequences,
+           CAST(sum(CASE WHEN c_end > c_start THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary_docs,
+           CAST(max(c_end - c_start + 1) AS BIGINT) AS max_seqs_per_doc,
+           round(sum(n) * 1.0
+                 / (((sum(n) + {_PACK_CAP - 1}) // {_PACK_CAP})
+                    * {_PACK_CAP}), 6) AS utilization
+    FROM spans
+    """,
+)
+def concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining, concat-and-chunk style: the
+    corpus is logically concatenated in doc_id order and sliced into
+    fixed {_PACK_CAP}-token training sequences. Everything falls out of
+    one token-count cumulative sum — each doc's sequence span is
+    [prefix//{_PACK_CAP}, (prefix+n-1)//{_PACK_CAP}] — with no
+    materialized concatenation: docs crossing a boundary, max sequences a
+    doc spans, and packing utilization (always 1.0 minus final-sequence
+    padding in this scheme — the reason pretraining uses it over padded
+    per-doc batches).
+
+    Scale: one scan for token counts; the cumulative sum over per-doc
+    counts is the only ordered step (range-partitioned sort at scale, or
+    per-shard offsets + a broadcast shard-prefix table — the standard
+    distributed prefix-sum). The actual sequence materialization would be
+    a map-side substring pass using these exact offsets.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n")
+    )
+    cum = toks.select(
+        "doc_id", "n", F.sum("n").over(Window.orderBy("doc_id")).alias("s")
+    ).filter(F.col("n") > 0)
+    spans = cum.select(
+        "n",
+        F.expr(f"(s - n) div {_PACK_CAP}").alias("c_start"),
+        F.expr(f"(s - 1) div {_PACK_CAP}").alias("c_end"),
+    )
+    cap = F.lit(_PACK_CAP)
+    n_seq = F.expr(f"(sum(n) + {_PACK_CAP - 1}) div {_PACK_CAP}")
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        F.sum((F.col("c_end") > F.col("c_start")).cast("bigint")).alias(
+            "n_boundary_docs"
+        ),
+        F.max(F.col("c_end") - F.col("c_start") + 1).alias("max_seqs_per_doc"),
+        F.round(F.sum("n") * 1.0 / (n_seq * cap), 6).alias("utilization"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary OOV-rate audit
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS t FROM documents
+    ), vocab AS (
+      SELECT t FROM (
+        SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS r
+        FROM tok GROUP BY t
+      ) WHERE r <= {_VOCAB_K}
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-{_VOCAB_K}
+    corpus vocabulary (frequency order, token tiebreak) and report each
+    language's out-of-vocabulary token rate — the metric that decides
+    whether a tokenizer/vocab fits a corpus slice before training on it.
+
+    Scale: vocabulary construction is a map-side-combined token count plus
+    a top-k (tiny); the OOV probe joins the token stream against the
+    BROADCAST vocabulary — no shuffle of the corpus; per-language rates
+    aggregate with map-side combine.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(T.tokens(F.col("text"))).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("c"), "t"))
+        )
+        .filter(F.col("r") <= _VOCAB_K)
+        .select(F.col("t").alias("vt"))
+    )
+    probed = tok.join(
+        F.broadcast(vocab), tok.t == F.col("vt"), "left"
+    )
+    return (
+        probed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("vt").isNull().cast("bigint")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("vt").isNull().cast("bigint")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
