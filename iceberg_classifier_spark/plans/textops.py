@@ -722,3 +722,124 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption accounting
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3   # tokens per seeded mask span
+_SPAN_MOD = 7   # a position seeds a span when hash % mod == 0 (~1/7 seeds)
+
+
+@query(
+    "t5_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len({_DUCK_TOKS}) AS n FROM documents
+    ), pos AS (
+      SELECT doc_id, n, unnest(generate_series(1, n)) AS i FROM tok
+    ), seeds AS (
+      SELECT doc_id, n, i AS s FROM pos
+      WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(generate_series(1, 8),
+                k -> CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                  CAST(i AS VARCHAR)), CAST(k AS INTEGER), 1))
+                     - 1 AS BIGINT))),
+              (acc, c) -> acc * 16 + c) % {_SPAN_MOD} = 0
+    ), masked AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT doc_id,
+               unnest(generate_series(s, least(s + {_SPAN_LEN - 1}, n))) AS p
+        FROM seeds)
+    ), islands AS (
+      SELECT doc_id,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM masked
+    ), per_doc AS (
+      SELECT m.doc_id, count(*) AS n_masked,
+             (SELECT count(DISTINCT grp) FROM islands i
+              WHERE i.doc_id = m.doc_id) AS n_sentinels
+      FROM masked m GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs_masked,
+           CAST(sum(t.n) AS BIGINT) AS total_tokens,
+           CAST(sum(p.n_masked) AS BIGINT) AS masked_tokens,
+           round(sum(p.n_masked) * 1.0 / sum(t.n), 6) AS corruption_rate,
+           CAST(sum(p.n_sentinels) AS BIGINT) AS n_sentinels,
+           round(sum(p.n_masked) * 1.0 / sum(p.n_sentinels), 6)
+             AS avg_span_len
+    FROM per_doc p JOIN tok t ON p.doc_id = t.doc_id
+    """,
+)
+def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption accounting: deterministic mask spans —
+    position i seeds a {_SPAN_LEN}-token span when the portable md5-prefix
+    hash of (doc, i) hits 1/{_SPAN_MOD} — overlapping spans merge into
+    islands (each island = one sentinel in the denoising objective), and
+    the report carries the realized corruption rate, sentinel count and
+    mean merged-span length. Hash-seeded spans make the corruption
+    reproducible across engines AND across re-runs at 100 TB — the
+    property RNG-based masking loses the moment tasks retry.
+
+    Scale: seeding is a map-side explode over token positions with the
+    hash evaluated JVM-side; island merging is the gaps-and-islands
+    row_number trick per doc (one doc-partitioned window); everything
+    aggregates with map-side combine.
+    """
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n")
+    )
+    pos = tok.select(
+        "doc_id", "n", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), F.col("i").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    seeds = pos.filter(h % _SPAN_MOD == 0)
+    masked = (
+        seeds.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("i"), F.least(F.col("i") + _SPAN_LEN - 1, F.col("n"))
+                )
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    islands = masked.select(
+        "doc_id",
+        "p",
+        (
+            F.col("p")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("p"))
+        ).alias("grp"),
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_masked"),
+        F.count_distinct("grp").alias("n_sentinels"),
+    )
+    return per_doc.join(tok, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs_masked"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("n_masked").alias("masked_tokens"),
+        F.round(F.sum("n_masked") * 1.0 / F.sum("n"), 6).alias(
+            "corruption_rate"
+        ),
+        F.sum("n_sentinels").alias("n_sentinels"),
+        F.round(F.sum("n_masked") * 1.0 / F.sum("n_sentinels"), 6).alias(
+            "avg_span_len"
+        ),
+    )

@@ -342,3 +342,51 @@ def test_kaplan_meier_matches_reference(spark, sf_dir):
         assert r.d_events <= r.n_risk
         s *= 1 - r.d_events / r.n_risk
         assert abs(r.s_t - s) < 1e-6, (r.t, r.s_t, s)
+
+
+def test_cdc_chunks_reconstruct_text(spark, duck, sf_dir):
+    """CDC chunk boundaries partition each document exactly: DuckDB's
+    replay of the rolling-hash cuts reassembles every original text."""
+    rows = duck.execute(
+        """
+        WITH bounds AS (
+          SELECT doc_id, text, length(text) AS n,
+                 list_filter(generate_series(8, length(text)),
+                   i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(generate_series(i - 7, i),
+                            j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) % 64 = 0)
+                   AS cuts
+          FROM documents
+        )
+        SELECT text,
+               list_aggregate(
+                 list_transform(generate_series(1, len(parts) - 1),
+                   x -> substr(text, parts[x] + 1, parts[x + 1] - parts[x])),
+                 'string_agg', '') AS rebuilt
+        FROM (SELECT text, list_concat(list_concat([0], cuts), [n]) AS parts
+              FROM bounds)
+        """
+    ).fetchall()
+    assert rows and all(t == r for t, r in rows)
+
+
+def test_packing_spans_cover_all_sequences():
+    """The integer-division sequence spans tile the concatenated corpus:
+    consecutive docs' spans abut or overlap by exactly the boundary
+    sequence, and the last doc ends in the last sequence."""
+    import random
+
+    rng = random.Random(3)
+    cap = 16
+    for _ in range(100):
+        lens = [rng.randint(1, 40) for _ in range(rng.randint(1, 30))]
+        s = 0
+        prev_end = 0
+        for n in lens:
+            c_start, c_end = s // cap, (s + n - 1) // cap
+            assert c_start <= c_end
+            assert c_start in (prev_end, prev_end + 1) or s == 0
+            prev_end = c_end
+            s += n
+        assert prev_end == (s - 1) // cap

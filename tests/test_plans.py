@@ -216,3 +216,13 @@ def test_cusum_and_seasonal_are_single_scan_join_free(spark, sf_dir):
         assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, (
             f"{name}: fact table scanned more than once"
         )
+
+
+def test_phrase_and_vocab_prune_before_shuffle(spark, sf_dir):
+    """phrase_search prunes the posting explode to the query terms before
+    the adjacency join; vocab_oov_rate probes the corpus against a
+    broadcast vocabulary — neither does a cartesian."""
+    for name in ("phrase_search", "vocab_oov_rate"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian"
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "vocab_oov_rate")
