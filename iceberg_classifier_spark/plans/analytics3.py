@@ -936,3 +936,77 @@ def wow_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.lag("n").over(w)) * 1.0 / F.lag("n").over(w), 6
         ).alias("wow_event_growth"),
     ).orderBy("event_type", "wk")
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact median (bracket-then-count, no global sort)
+# ---------------------------------------------------------------------------
+
+_TPM_BUCKETS = 1024
+
+
+@query(
+    "two_pass_median",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey AS k
+      FROM orders
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, k) AS r,
+             count(*) OVER () AS n
+      FROM v
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           round(max(CASE WHEN r = (n + 1) // 2 THEN c END) / 100.0, 2)
+             AS median_price
+    FROM ranked
+    """,
+)
+def two_pass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (lower) median with NO global sort — the two-pass bracketing
+    algorithm a distributed engine actually uses when the exact quantile
+    of billions of rows is required: pass 1 histograms values into 1024
+    fixed-width buckets (map-side combined, one tiny exchange) and locates
+    the bucket holding the median rank; pass 2 scans only values inside
+    that bucket, ranking a sliver of the data. The oracle is the plain
+    order-statistic — same answer, but its global sort is exactly what
+    this plan avoids.
+
+    Scale: both passes are full scans but shuffle almost nothing (1024
+    counter rows, then one bucket's values — expected n/1024). Iterating
+    the bracket instead of ranking pass-2 gives exact quantiles in
+    O(log_B n) passes at any size.
+    """
+    v = load(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+    lohi = v.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    lo, hi, n = lohi.lo, lohi.hi, lohi.n
+    width = max(1, (hi - lo) // _TPM_BUCKETS + 1)
+    hist = (
+        v.groupBy(((F.col("c") - lo) / width).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("b")
+        .collect()
+    )
+    target = (n + 1) // 2
+    acc = 0
+    for row in hist:
+        if acc + row.cnt >= target:
+            med_bucket, rank_in_bucket = row.b, target - acc
+            break
+        acc += row.cnt
+    b_lo = lo + med_bucket * width
+    b_hi = b_lo + width
+    in_bucket = v.filter((F.col("c") >= b_lo) & (F.col("c") < b_hi))
+    ranked = in_bucket.select(
+        "c", F.row_number().over(Window.orderBy("c", "k")).alias("r")
+    )
+    return ranked.filter(F.col("r") == rank_in_bucket).select(
+        F.lit(n).cast("bigint").alias("n_rows"),
+        F.round(F.col("c") / 100.0, 2).alias("median_price"),
+    )
