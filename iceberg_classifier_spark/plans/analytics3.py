@@ -1010,3 +1010,89 @@ def two_pass_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("n_rows"),
         F.round(F.col("c") / 100.0, 2).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival exponential fit + KS goodness-of-fit
+# ---------------------------------------------------------------------------
+
+@query(
+    "interarrival_exp_ks",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, ts, event_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+      FROM events
+    ), xs AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, ts, event_id) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(x) OVER (PARTITION BY event_type) AS sx
+      FROM arr WHERE x IS NOT NULL
+    ), d AS (
+      SELECT event_type, n, sx,
+             greatest(i * 1.0 / n - (1 - exp(-(n * 1.0 / sx) * x)),
+                      (1 - exp(-(n * 1.0 / sx) * x)) - (i - 1) * 1.0 / n)
+               AS dd
+      FROM xs
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+           round(max(sx) * 1.0 / max(n) / 1000000, 4) AS mean_gap_s,
+           round(max(n) * 3600.0 * 1000000 / max(sx), 4) AS rate_per_hour,
+           round(max(dd), 6) AS ks_stat
+    FROM d GROUP BY 1 ORDER BY event_type
+    """,
+)
+def interarrival_exp_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process model check per event series: fit an exponential
+    inter-arrival distribution (λ = n/Σx from exact µs-integer gaps) and
+    compute the two-sided Kolmogorov-Smirnov statistic against it —
+    max(i/n − F(xᵢ), F(xᵢ) − (i−1)/n) over the rank-ordered gaps — the
+    standard 'is this actually Poisson?' test behind alerting thresholds
+    and queueing models. Deterministic: gaps and their ranks are exact
+    integers with (ts, event_id) tiebreaks; F(x) is exp() of identical
+    doubles on both engines.
+
+    Scale: one (series)-partitioned window pass produces gaps; the KS scan
+    is a second window over the same partitioning (the sort is reused);
+    the per-row ECDF never leaves the executor — only 4 numbers per series
+    come back.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    arr = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    wp = Window.partitionBy("event_type")
+    xs = arr.select(
+        "event_type",
+        "x",
+        F.row_number().over(wp.orderBy("x", "ts", "event_id")).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    cdf = 1 - F.exp(-(F.col("n") * 1.0 / F.col("sx")) * F.col("x"))
+    dd = F.greatest(
+        F.col("i") * 1.0 / F.col("n") - cdf,
+        cdf - (F.col("i") - 1) * 1.0 / F.col("n"),
+    )
+    return (
+        xs.select("event_type", "n", "sx", dd.alias("dd"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.round(F.max("sx") * 1.0 / F.max("n") / 1000000, 4).alias(
+                "mean_gap_s"
+            ),
+            F.round(
+                F.max("n") * 3600.0 * 1000000 / F.max("sx"), 4
+            ).alias("rate_per_hour"),
+            F.round(F.max("dd"), 6).alias("ks_stat"),
+        )
+        .orderBy("event_type")
+    )
