@@ -1096,3 +1096,103 @@ def interarrival_exp_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN extract(day FROM ts) <= 15
+                      THEN {_CENTS_V} ELSE 0 END) AS x,
+             sum(CASE WHEN extract(day FROM ts) > 15
+                      THEN {_CENTS_V} ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM per_user
+    ), st AS (
+      SELECT n,
+             sy * 1.0 / n AS mean_y,
+             (sxy - sx * 1.0 / n * sy) / (n - 1) AS cov_xy,
+             (sxx - sx * 1.0 / n * sx) / (n - 1) AS var_x,
+             (syy - sy * 1.0 / n * sy) / (n - 1) AS var_y
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(mean_y / 100.0, 2) AS mean_post_value,
+           round(cov_xy / var_x, 6) AS theta,
+           round(cov_xy * cov_xy / (var_x * var_y), 6)
+             AS variance_reduction
+    FROM st
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): each
+    user's pre-period value (days 1-15) becomes the covariate x for their
+    experiment-period metric y (days 16-31); θ = cov(x,y)/var(x) is the
+    adjustment coefficient and cov²/(var_x·var_y) = ρ² is the variance an
+    A/B test's metric loses after adjustment — the sensitivity boost
+    experimentation platforms quote. All second moments ride as exact
+    integer sums (decimal/int128), so θ and the reduction are a fixed
+    double formula over exact integers.
+
+    Scale: one scan with conditional map-side-combined sums per user, one
+    5-number moment aggregate — the same single-pass moment shape as
+    welch_ttest_priority; per-variant CUPED just adds a group key.
+    """
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= 15, F.expr(_CENTS_V)).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.dayofmonth("ts") > 15, F.expr(_CENTS_V)).otherwise(0)
+        ).alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.expr("CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")
+        ).alias("sxy"),
+        F.sum(
+            F.expr("CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))")
+        ).alias("sxx"),
+        F.sum(
+            F.expr("CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")
+        ).alias("syy"),
+    )
+    st = m.select(
+        "n",
+        (F.col("sy") * 1.0 / F.col("n")).alias("mean_y"),
+        (
+            (F.col("sxy") - F.col("sx") * 1.0 / F.col("n") * F.col("sy"))
+            / (F.col("n") - 1)
+        ).alias("cov_xy"),
+        (
+            (F.col("sxx") - F.col("sx") * 1.0 / F.col("n") * F.col("sx"))
+            / (F.col("n") - 1)
+        ).alias("var_x"),
+        (
+            (F.col("syy") - F.col("sy") * 1.0 / F.col("n") * F.col("sy"))
+            / (F.col("n") - 1)
+        ).alias("var_y"),
+    )
+    return st.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("mean_y") / 100.0, 2).alias("mean_post_value"),
+        F.round(F.col("cov_xy") / F.col("var_x"), 6).alias("theta"),
+        F.round(
+            F.col("cov_xy") * F.col("cov_xy") / (F.col("var_x") * F.col("var_y")),
+            6,
+        ).alias("variance_reduction"),
+    )
