@@ -9,7 +9,7 @@ percentiles in ``events_quantiles``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.plans.registry import query
@@ -231,4 +231,139 @@ def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component", F.round("explained_variance", 6).alias("explained_variance")
         )
         .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding label separation via the sum-vector (bilinearity) identity
+# ---------------------------------------------------------------------------
+
+_SEP_SCALE = 16384  # unit-vector fixed-point scale (2^14)
+
+
+@query(
+    "embedding_label_separation",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS vi
+      FROM embeddings
+    ), u AS (
+      SELECT vec_id, label,
+             list_transform(vi, c -> CAST(round(
+               c * {_SEP_SCALE} / sqrt(list_dot_product(vi, vi))) AS BIGINT))
+               AS uv
+      FROM q
+    ), selfdot AS (
+      SELECT label, count(*) AS n_l,
+             CAST(sum(list_dot_product(uv, uv)) AS BIGINT) AS self_sum
+      FROM u GROUP BY 1
+    ), sumvec AS (
+      SELECT label, pos, CAST(sum(c) AS BIGINT) AS s
+      FROM (SELECT label, unnest(uv) AS c,
+                   generate_subscripts(uv, 1) AS pos FROM u)
+      GROUP BY 1, 2
+    ), labdot AS (
+      SELECT a.label, CAST(sum(a.s * a.s) AS BIGINT) AS ss,
+             CAST(sum(a.s * (t.st - a.s)) AS BIGINT) AS cross_sum
+      FROM sumvec a
+      JOIN (SELECT pos, sum(s) AS st FROM sumvec GROUP BY 1) t
+        ON a.pos = t.pos
+      GROUP BY 1
+    )
+    SELECT d.label, CAST(d.n_l AS BIGINT) AS n_vecs,
+           round((l.ss - d.self_sum) * 1.0
+                 / (d.n_l * (d.n_l - 1))
+                 / {_SEP_SCALE * _SEP_SCALE}, 6) AS mean_intra_cos,
+           round(l.cross_sum * 1.0
+                 / (d.n_l * ((SELECT sum(n_l) FROM selfdot) - d.n_l))
+                 / {_SEP_SCALE * _SEP_SCALE}, 6) AS mean_inter_cos
+    FROM selfdot d JOIN labdot l ON d.label = l.label
+    ORDER BY d.label
+    """,
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning data audit: mean cosine similarity WITHIN each
+    label vs ACROSS labels — the separation gap that predicts whether a
+    classifier/contrastive objective has signal — computed with ZERO pair
+    enumeration: since dot is bilinear, Σ_{{a,b}} uₐ·u_b = (Σu)·(Σu), so
+    per-label SUM VECTORS give the intra sum as (S_L·S_L − Σ‖u‖²)/2 and
+    the inter sum as S_L·(S_total − S_L). The O(n²) pairwise statistic
+    costs one O(n·dim) aggregation.
+
+    Unit vectors are 2^14 fixed-point integers (quantized from 1e-4
+    fixed-point inputs, so the norm is a sqrt of an exact integer), making
+    every sum-vector component and every dot an exact int64 — bit-equal
+    across engines, BLAS or not.
+
+    Scale: one posexplode → (label, pos) aggregation (map-side combined,
+    |labels|·dim rows out); the label-level dots run on that tiny table.
+    The same identity powers cluster-cohesion metrics at any corpus size.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000).cast("long")
+        ).alias("vi"),
+    )
+    self_vi = F.aggregate(
+        F.zip_with("vi", "vi", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    u = q.select(
+        "label",
+        F.transform(
+            "vi",
+            lambda c: F.round(c * _SEP_SCALE / F.sqrt(self_vi)).cast("long"),
+        ).alias("uv"),
+    )
+    self_u = F.aggregate(
+        F.zip_with("uv", "uv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    selfdot = u.select("label", self_u.alias("sd")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_l"), F.sum("sd").alias("self_sum")
+    )
+    sumvec = (
+        u.select("label", F.posexplode("uv").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg(F.sum("c").alias("s"))
+    )
+    tot = sumvec.groupBy("pos").agg(F.sum("s").alias("st"))
+    labdot = (
+        sumvec.join(F.broadcast(tot), "pos")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.sum(F.col("s") * (F.col("st") - F.col("s"))).alias("cross_sum"),
+        )
+    )
+    n_tot = F.sum("n_l").over(Window.partitionBy())
+    sc2 = _SEP_SCALE * _SEP_SCALE
+    return (
+        selfdot.withColumn("n_tot", n_tot)
+        .join(labdot, "label")
+        .select(
+            "label",
+            F.col("n_l").cast("bigint").alias("n_vecs"),
+            F.round(
+                (F.col("ss") - F.col("self_sum"))
+                * 1.0
+                / (F.col("n_l") * (F.col("n_l") - 1))
+                / sc2,
+                6,
+            ).alias("mean_intra_cos"),
+            F.round(
+                F.col("cross_sum")
+                * 1.0
+                / (F.col("n_l") * (F.col("n_tot") - F.col("n_l")))
+                / sc2,
+                6,
+            ).alias("mean_inter_cos"),
+        )
+        .orderBy("label")
     )
