@@ -226,3 +226,20 @@ def test_phrase_and_vocab_prune_before_shuffle(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, f"{name}: cartesian"
     assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "vocab_oov_rate")
+
+
+def test_latest_ops_avoid_quadratic_plans(spark, sf_dir):
+    """FIFO matching joins on the part key (never cartesian); OHLC bars
+    are a join-free window+aggregate; CDC chunking is map-only until the
+    digest aggregate; label separation never enumerates vector pairs."""
+    for name in (
+        "fifo_inventory_matching",
+        "multimodal_cdc_chunk_dedup",
+        "embedding_label_separation",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian"
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python"
+    ohlc = plan_of(spark, sf_dir, "events_ohlc_bars")
+    assert "Join" not in ohlc
+    assert "Window" in ohlc and "HashAggregate" in ohlc
