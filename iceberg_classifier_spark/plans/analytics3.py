@@ -1196,3 +1196,101 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance_reduction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (first / last / exactly-conserved linear)
+# ---------------------------------------------------------------------------
+
+_ATTR_UNITS = 1_000_000  # micro-credits distributed per conversion
+
+
+@query(
+    "multitouch_attribution",
+    oracle=f"""
+    WITH purch AS (
+      SELECT user_id, ts AS pts, event_id AS pid
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS cts, event_id AS cid,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS channel
+      FROM events WHERE event_type = 'click'
+    ), touch AS (
+      SELECT p.pid, c.channel, c.cts, c.cid,
+             count(*) OVER (PARTITION BY p.pid) AS n,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts, c.cid) AS rk,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY c.cts DESC, c.cid DESC) AS rk_last
+      FROM purch p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.cts >= p.pts - INTERVAL 72 HOUR AND c.cts < p.pts
+    )
+    SELECT channel,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(sum(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           round(sum({_ATTR_UNITS} // n
+                     + CASE WHEN rk <= {_ATTR_UNITS} % n THEN 1 ELSE 0 END)
+                 / {_ATTR_UNITS}.0, 6) AS linear_credit,
+           count(*) AS n_touches
+    FROM touch GROUP BY 1 ORDER BY channel
+    """,
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution over the click→purchase journey
+    (clicks within the trailing 72 hours of each purchase): first-touch and
+    last-touch credits as exact counts, plus the LINEAR model with exactly
+    conserved credit — each conversion distributes {_ATTR_UNITS}
+    micro-credits across its n touches by largest remainder (floor + the
+    earliest `rem` touches get one extra), so channel credits sum to
+    exactly the number of attributed conversions; a naive Σ 1/n float sum
+    would drift with aggregation order.
+
+    Scale: the touch join is user-blocked with a time-range predicate
+    (bucket by epoch as in range_join_events for heavy users); the three
+    windows share the per-purchase partitioning; channel rollup is
+    map-side combined. Swapping in U-shaped/time-decay models only changes
+    the credit expression.
+    """
+    e = load(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 4).alias("channel"),
+    )
+    touch = purch.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 72 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+    )
+    wp = Window.partitionBy("pid")
+    scored = touch.select(
+        "channel",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wp.orderBy("cts", "cid")).alias("rk"),
+        F.row_number()
+        .over(wp.orderBy(F.desc("cts"), F.desc("cid")))
+        .alias("rk_last"),
+    )
+    micro = F.expr(f"{_ATTR_UNITS} div n") + (
+        F.col("rk") <= F.expr(f"{_ATTR_UNITS} % n")
+    ).cast("bigint")
+    return (
+        scored.groupBy("channel")
+        .agg(
+            F.sum((F.col("rk") == 1).cast("bigint")).alias("first_touch"),
+            F.sum((F.col("rk_last") == 1).cast("bigint")).alias("last_touch"),
+            F.round(F.sum(micro) / float(_ATTR_UNITS), 6).alias(
+                "linear_credit"
+            ),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("channel")
+    )
