@@ -1294,3 +1294,90 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-day SLA report (weekend-aware delays)
+# ---------------------------------------------------------------------------
+
+_SLA_BDAYS = 600  # synthetic ship delays center near 600 business days
+
+
+@query(
+    "business_days_sla",
+    oracle=f"""
+    WITH d AS (
+      SELECT o.o_orderpriority AS mode,
+             CAST(o.o_orderdate AS DATE) AS a,
+             CAST(l.l_shipdate AS DATE) AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ), bd AS (
+      SELECT mode,
+             5 * (date_diff('day', a, b) // 7)
+             + len(list_filter(generate_series(1, 6),
+                   i -> i <= date_diff('day', a, b) % 7
+                        AND extract(isodow FROM a + to_days(CAST(i AS INTEGER)))
+                            <= 5)) AS bdays
+      FROM d
+    )
+    SELECT mode, count(*) AS n_shipments,
+           round(avg(bdays), 4) AS avg_business_days,
+           CAST(sum(CASE WHEN bdays > {_SLA_BDAYS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_breaches,
+           round(sum(CASE WHEN bdays > {_SLA_BDAYS} THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS breach_rate
+    FROM bd GROUP BY 1 ORDER BY mode
+    """,
+)
+def business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-aware SLA reporting: order→ship delay in BUSINESS days
+    (weekdays in the half-open interval (order, ship]) via the closed
+    form 5·⌊n/7⌋ plus a ≤6-step weekday scan of the remainder window —
+    calendar arithmetic every ops dashboard needs, with no calendar table
+    join. Per ship mode: mean business-day delay, {_SLA_BDAYS}-day breach
+    count and rate — all exact integers until the two final divisions.
+
+    Scale: the business-day expression is per-row JVM codegen (the
+    remainder scan is a bounded 6-element higher-order function, not a
+    per-day explode); the rollup is one map-side-combined aggregation.
+    Holiday calendars would add one broadcast array membership test.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("mode"),
+            F.col("o_orderdate").cast("date").alias("a"),
+            F.col("l_shipdate").cast("date").alias("b"),
+        )
+    )
+    # weekday(a + i) uses Spark weekday (0=Mon..6=Sun) ⇒ weekday <= 4
+    bdays = F.expr(
+        """
+        5 * (datediff(b, a) div 7)
+        + size(filter(sequence(1, 6),
+                      i -> i <= datediff(b, a) % 7
+                           AND weekday(date_add(a, i)) <= 4))
+        """
+    )
+    bd = d.select("mode", bdays.alias("bdays"))
+    return (
+        bd.groupBy("mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(F.avg("bdays"), 4).alias("avg_business_days"),
+            F.sum((F.col("bdays") > _SLA_BDAYS).cast("bigint")).alias(
+                "n_breaches"
+            ),
+            F.round(
+                F.sum((F.col("bdays") > _SLA_BDAYS).cast("bigint"))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("breach_rate"),
+        )
+        .orderBy("mode")
+    )
