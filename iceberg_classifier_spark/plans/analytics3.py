@@ -1381,3 +1381,173 @@ def business_days_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-join size (F2) estimation from a count-min sketch
+# ---------------------------------------------------------------------------
+
+@query(
+    "selfjoin_size_estimate",
+    oracle=f"""
+    WITH seeds(row_i, a, b) AS (VALUES
+      (0, 1000003, 17), (1, 1000033, 29), (2, 1000037, 41), (3, 1000039, 59)
+    ), keys AS (
+      SELECT 'l_partkey' AS key_col, l_partkey AS k, count(*) AS c
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey, count(*) FROM lineitem GROUP BY 1, 2
+    ), cells AS (
+      SELECT key_col, row_i,
+             ((a * (k % 1000000007) + b) % 1000000007) % 256 AS col,
+             CAST(sum(c) AS BIGINT) AS cell_n
+      FROM keys CROSS JOIN seeds GROUP BY 1, 2, 3
+    ), f2est AS (
+      SELECT key_col, row_i,
+             CAST(sum(cell_n * cell_n) AS BIGINT) AS row_f2
+      FROM cells GROUP BY 1, 2
+    ), exact AS (
+      SELECT key_col, CAST(sum(c * c) AS BIGINT) AS f2_exact,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM keys GROUP BY 1
+    )
+    SELECT e.key_col, e.n_keys, e.f2_exact,
+           CAST(min(f.row_f2) AS BIGINT) AS f2_cms,
+           round(min(f.row_f2) * 1.0 / e.f2_exact, 6) AS overestimate_ratio
+    FROM exact e JOIN f2est f ON e.key_col = f.key_col
+    GROUP BY 1, 2, 3 ORDER BY e.key_col
+    """,
+)
+def selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation the optimizer-statistics way: the
+    self-join size on a key (Σ c(k)² — the second frequency moment F2,
+    what `lineitem ⋈ lineitem ON partkey` would produce) estimated from a
+    4×256 count-min sketch as min over rows of Σ cell² — fixed memory,
+    one pass, mergeable — against the exact F2, with the guaranteed
+    overestimate ratio (CMS collisions only inflate Σ cell²). This is the
+    statistic a planner consults before choosing a join strategy at
+    100 TB, where exact key histograms don't fit.
+
+    Sketch cells are exact integer counters built with the portable
+    affine hashes, so DuckDB rebuilds the identical sketch and the
+    estimate itself is value-checked — same discipline as
+    `cms_heavy_hitters`/`theta_sketch_setops`.
+
+    Scale: per-key counts aggregate with map-side combine; the sketch is
+    4×256 counters regardless of key cardinality; F2 of the sketch is a
+    1024-row aggregation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    keys = (
+        li.groupBy(F.lit("l_partkey").alias("key_col"), F.col("l_partkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .unionAll(
+            li.groupBy(
+                F.lit("l_suppkey").alias("key_col"), F.col("l_suppkey").alias("k")
+            ).agg(F.count(F.lit(1)).alias("c"))
+        )
+    )
+    seeds = spark.createDataFrame(
+        [(0, 1000003, 17), (1, 1000033, 29), (2, 1000037, 41), (3, 1000039, 59)],
+        "row_i int, a long, b long",
+    )
+    cells = (
+        keys.crossJoin(F.broadcast(seeds))
+        .groupBy(
+            "key_col",
+            "row_i",
+            F.expr("((a * (k % 1000000007) + b) % 1000000007) % 256").alias("col"),
+        )
+        .agg(F.sum("c").alias("cell_n"))
+    )
+    f2est = cells.groupBy("key_col", "row_i").agg(
+        F.sum(F.col("cell_n") * F.col("cell_n")).alias("row_f2")
+    )
+    exact = keys.groupBy("key_col").agg(
+        F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        exact.join(f2est, "key_col")
+        .groupBy("key_col", "n_keys", "f2_exact")
+        .agg(
+            F.min("row_f2").alias("f2_cms"),
+            F.round(F.min("row_f2") * 1.0 / F.col("f2_exact"), 6).alias(
+                "overestimate_ratio"
+            ),
+        )
+        .orderBy("key_col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped weighted quantiles (p25/p50/p75)
+# ---------------------------------------------------------------------------
+
+@query(
+    "weighted_quantiles_price",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+             CAST(round(l_quantity) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT rf, c, w,
+             sum(w) OVER (PARTITION BY rf
+                          ORDER BY c, l_orderkey, l_linenumber) AS cw,
+             sum(w) OVER (PARTITION BY rf) AS tw
+      FROM li
+    )
+    SELECT rf,
+           round(min(CASE WHEN 4 * cw >= tw THEN c END) / 100.0, 2) AS p25,
+           round(min(CASE WHEN 2 * cw >= tw THEN c END) / 100.0, 2) AS p50,
+           round(min(CASE WHEN 4 * cw >= 3 * tw THEN c END) / 100.0, 2)
+             AS p75,
+           CAST(any_value(tw) AS BIGINT) AS total_qty
+    FROM cum GROUP BY rf ORDER BY rf
+    """,
+)
+def weighted_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted p25/p50/p75 line prices per return flag — the
+    full quartile profile of 'what a typical unit costs', extending
+    `weighted_median_price`: all three quantiles fall out of the SAME
+    cumulative-weight window (the threshold test 4·cw ≥ q·tw is exact
+    int64, no float division), so the marginal cost of more quantiles is
+    zero extra passes.
+
+    Scale: identical to the weighted median — one window sort per group;
+    at extreme group width, bracket with approx quantiles then one exact
+    pass per narrow range (see two_pass_median for the machinery).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+        F.round("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wrf = Window.partitionBy("rf")
+    cum = li.select(
+        "rf",
+        "c",
+        F.sum("w").over(wrf.orderBy("c", "l_orderkey", "l_linenumber")).alias("cw"),
+        F.sum("w").over(wrf).alias("tw"),
+    )
+    def q_at(num, den):
+        return F.round(
+            F.min(F.when(den * F.col("cw") >= num * F.col("tw"), F.col("c")))
+            / 100.0,
+            2,
+        )
+    return (
+        cum.groupBy("rf")
+        .agg(
+            q_at(1, 4).alias("p25"),
+            q_at(1, 2).alias("p50"),
+            q_at(3, 4).alias("p75"),
+            F.any_value("tw").alias("total_qty"),
+        )
+        .orderBy("rf")
+    )
