@@ -325,3 +325,97 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(seg(b.exceptAll(a), "second_only"))
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session MRR (mean reciprocal rank of first conversion)
+# ---------------------------------------------------------------------------
+
+_MRR_UNITS = 1_000_000
+
+
+@query(
+    "session_mrr",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS sid
+      FROM x
+    ), ranked AS (
+      SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rk
+      FROM s
+    ), per_session AS (
+      SELECT user_id, sid,
+             min(CASE WHEN event_type = 'purchase' THEN rk END) AS conv_rk
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(conv_rk) AS BIGINT) AS n_converted,
+           round(count(conv_rk) * 1.0 / count(*), 6) AS conversion_rate,
+           round(sum({_MRR_UNITS} // conv_rk) * 1.0
+                 / count(conv_rk) / {_MRR_UNITS}, 6) AS mrr
+    FROM per_session
+    """,
+)
+def session_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first conversion within a session: the
+    ranking metric search/recommendation teams track, applied to 30-min
+    sessions — how early in a session does the purchase happen (MRR → 1
+    means first-action conversions). Reciprocal ranks are floored integer
+    micro-units ({_MRR_UNITS} div rank), so the mean is an exact-integer
+    sum with one final division — immune to float aggregation order.
+
+    Scale: reuses the sessionization shuffle (one user-partitioned window
+    chain builds session ids AND in-session ranks); per-session reduction
+    and the 1-row rollup are map-side combined.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    x = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us >= 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = x.withColumn("sid", F.sum("new_s").over(w))
+    ranked = s.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id", "sid").orderBy("ts", "event_id"))
+        .alias("rk"),
+    )
+    per_session = ranked.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rk"))
+        ).alias("conv_rk")
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("conv_rk").alias("n_converted"),
+        F.round(F.count("conv_rk") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(
+            F.sum(F.expr(f"{_MRR_UNITS} div conv_rk"))
+            * 1.0
+            / F.count("conv_rk")
+            / _MRR_UNITS,
+            6,
+        ).alias("mrr"),
+    )

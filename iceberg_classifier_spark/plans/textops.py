@@ -843,3 +843,80 @@ def t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_span_len"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality gate
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_entropy_filter",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, string_split(text, '') AS cs, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), ent AS (
+      SELECT doc_id, n,
+             ln(n) - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list_sort(list_distinct(cs)),
+                 c -> len(list_filter(cs, x -> x = c)) * 1.0
+                      * ln(len(list_filter(cs, x -> x = c))))),
+               (acc, v) -> acc + v) / n AS h
+      FROM ch
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars, round(h, 6) AS entropy,
+           (rk_lo <= 10) AS is_low_entropy
+    FROM (SELECT *, row_number() OVER (ORDER BY h, doc_id) AS rk_lo,
+                 row_number() OVER (ORDER BY h DESC, doc_id) AS rk_hi
+          FROM ent)
+    WHERE rk_lo <= 10 OR rk_hi <= 10
+    ORDER BY entropy, doc_id
+    """,
+)
+def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate: per-doc Shannon entropy of the byte
+    distribution — the cheap gibberish/boilerplate detector LLM pipelines
+    run before heavier scoring (repeated-char spam scores near 0, uniform
+    noise near ln|alphabet|) — reporting the 10 lowest- and 10
+    highest-entropy documents. Deterministic despite being float math:
+    H = ln(n) − Σ c·ln(c)/n folds over counts in SORTED character order —
+    a fixed summation order both engines replay, never a shuffle-order
+    float sum.
+
+    Scale: entirely per-row JVM higher-order functions (no shuffle until
+    the top-k), O(alphabet × length) per doc; the alphabet is bounded so
+    this is effectively linear in corpus bytes.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ent = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.expr(
+            """
+            ln(length(text)) - aggregate(
+              array_sort(array_distinct(split(text, ''))),
+              CAST(0.0 AS DOUBLE),
+              (acc, c) -> acc + size(filter(split(text, ''), x -> x = c))
+                          * 1.0D
+                          * ln(size(filter(split(text, ''), x -> x = c)))
+            ) / length(text)
+            """
+        ).alias("h"),
+    )
+    ranked = ent.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        "h",
+        F.row_number().over(Window.orderBy("h", "doc_id")).alias("rk_lo"),
+        F.row_number().over(Window.orderBy(F.desc("h"), "doc_id")).alias("rk_hi"),
+    )
+    return (
+        ranked.filter((F.col("rk_lo") <= 10) | (F.col("rk_hi") <= 10))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("h", 6).alias("entropy"),
+            (F.col("rk_lo") <= 10).alias("is_low_entropy"),
+        )
+        .orderBy("entropy", "doc_id")
+    )
