@@ -272,3 +272,161 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall@k vs exact (the approximation, quality-measured)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (SELECT count(*) AS n FROM e),
+    cents AS (
+      SELECT CAST(vec_id / (SELECT greatest(n // {N_CELLS}, 1) FROM n)
+                  AS INTEGER) AS cell, v AS cv
+      FROM e
+      WHERE vec_id % (SELECT greatest(n // {N_CELLS}, 1) FROM n) = 0
+        AND vec_id / (SELECT greatest(n // {N_CELLS}, 1) FROM n) < {N_CELLS}
+    ), assigned AS (
+      SELECT e.vec_id, e.v, c.cell,
+             list_dot_product(e.v, c.cv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(c.cv, c.cv))) AS ccos,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, c.cv)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(c.cv, c.cv)))
+                                  DESC, c.cell) AS r
+      FROM e CROSS JOIN cents c
+    ), corpus AS (
+      SELECT vec_id, v, cell FROM assigned WHERE r = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell
+      FROM assigned WHERE vec_id < {N_QUERIES} AND r <= {N_PROBE}
+    ), exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.v)
+          / (sqrt(list_dot_product(c.v, c.v))
+             * sqrt(list_dot_product(q.v, q.v))) DESC, c.vec_id)
+        <= {TOP_K}
+    ), approx AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN corpus c
+        ON p.cell = c.cell AND p.query_id <> c.vec_id
+      QUALIFY row_number() OVER (PARTITION BY p.query_id
+        ORDER BY list_dot_product(p.qv, c.v)
+          / (sqrt(list_dot_product(c.v, c.v))
+             * sqrt(list_dot_product(p.qv, p.qv))) DESC, c.vec_id)
+        <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+    FROM exact x LEFT JOIN approx a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY 1 ORDER BY x.query_id
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality measured against exact ground truth: for each query,
+    the top-{TOP_K} neighbors found inside its {N_PROBE} probed cells are
+    compared with the exact top-{TOP_K} over the whole corpus —
+    recall@{TOP_K} per query, the number every ANN deployment tunes
+    nprobe/ncells against. Vectors are 1e-4 fixed-point, so every dot is
+    an exact integer and BOTH rankings (and therefore the recall itself)
+    are bit-stable — the approximation is value-checked, upgrading the
+    rows-only `ann_ivf_topk`.
+
+    Scale: the exact side is the measurement harness (run on a sampled
+    query set, as here); the IVF side is the production path — centroid
+    assignment broadcasts, the probe join is an equi-join on cell id.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
+    )
+    n = e.count()
+    step = max(n // N_CELLS, 1)
+    cents = e.where(
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < N_CELLS)
+    ).select(
+        (F.col("vec_id") / step).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    cos_cv = A.cosine(F.col("v"), F.col("cv"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "v", "cell", cos_cv.alias("ccos"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cell")
+            ),
+        )
+    )
+    corpus = assigned.where(F.col("r") == 1).select("vec_id", "v", "cell")
+    probes = assigned.where(
+        (F.col("vec_id") < N_QUERIES) & (F.col("r") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    qset = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cos_qc = A.cosine(F.col("qv"), F.col("cv2"))
+    exact = (
+        qset.crossJoin(F.broadcast(e.select(F.col("vec_id").alias("nid"), F.col("v").alias("cv2"))))
+        .where(F.col("query_id") != F.col("nid"))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    cos_qc.desc(), "nid"
+                )
+            ),
+        )
+        .where(F.col("rr") <= TOP_K)
+        .select("query_id", F.col("nid").alias("neighbor_id"))
+    )
+    approx = (
+        probes.join(
+            corpus.select(
+                F.col("vec_id").alias("nid"), F.col("v").alias("cv2"), "cell"
+            ),
+            "cell",
+        )
+        .where(F.col("query_id") != F.col("nid"))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(cos_qc.desc(), "nid")
+            ),
+        )
+        .where(F.col("rr") <= TOP_K)
+        .select("query_id", F.col("nid").alias("approx_id"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (F.col("neighbor_id") == F.col("approx_id")),
+            "left",
+        )
+        .drop(approx.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("approx_id").alias("n_hits"),
+            F.round(F.count("approx_id") * 1.0 / TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
