@@ -5,7 +5,7 @@ and after every curation stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.plans.registry import query
@@ -628,3 +628,121 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in [c2, c3, c4, c5, c6]:
         out = out.unionAll(c)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Earth-mover's (Wasserstein-1) drift between half-month distributions
+# ---------------------------------------------------------------------------
+
+@query(
+    "emd_value_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(least(floor(value / {_BIN_W}), 9) AS BIGINT) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'p'
+                  ELSE 'q' END AS half,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT t.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+    ), cells AS (
+      SELECT g.event_type, g.bin,
+             coalesce(p.c, 0) AS cp, coalesce(q.c, 0) AS cq
+      FROM grid g
+      LEFT JOIN binned p ON p.event_type = g.event_type AND p.bin = g.bin
+                        AND p.half = 'p'
+      LEFT JOIN binned q ON q.event_type = g.event_type AND q.bin = g.bin
+                        AND q.half = 'q'
+    ), cum AS (
+      SELECT event_type, bin,
+             sum(cp) OVER (PARTITION BY event_type ORDER BY bin) AS sp,
+             sum(cq) OVER (PARTITION BY event_type ORDER BY bin) AS sq,
+             sum(cp) OVER (PARTITION BY event_type) AS np,
+             sum(cq) OVER (PARTITION BY event_type) AS nq
+      FROM cells
+    )
+    SELECT event_type, CAST(max(np) AS BIGINT) AS n_first,
+           CAST(max(nq) AS BIGINT) AS n_second,
+           round(sum(abs(sp * nq - sq * np)) * 1.0
+                 / (max(np) * max(nq)), 6) AS emd_bins
+    FROM cum GROUP BY 1 ORDER BY event_type
+    """,
+)
+def emd_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover's (Wasserstein-1) distance between each series' first-
+    and second-half-of-month value distributions — the drift metric that,
+    unlike KL (`kl_drift`), stays finite on disjoint support and weighs
+    HOW FAR mass moved, not just that it moved. For 1-D histograms EMD is
+    the area between CDFs: Σ|cumP·nq − cumQ·np| / (np·nq) — an exact
+    int64 numerator per bin (no smoothing, no logs), reported in bin
+    units.
+
+    Scale: identical shape to kl_drift — one (series, bin, half)
+    aggregation with map-side combine, then windows over the 10-bin grid;
+    both drift metrics could share one scan in production.
+    """
+    e = load(spark, sf_dir, "events")
+    binned = e.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / _BIN_W), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "p")
+        .otherwise("q")
+        .alias("half"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(10).select(F.col("id").alias("bin"))))
+    )
+    cells = (
+        grid.join(
+            binned.filter(F.col("half") == "p").select(
+                "event_type", "bin", F.col("c").alias("cp")
+            ),
+            ["event_type", "bin"],
+            "left",
+        )
+        .join(
+            binned.filter(F.col("half") == "q").select(
+                "event_type", "bin", F.col("c").alias("cq")
+            ),
+            ["event_type", "bin"],
+            "left",
+        )
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    wb = Window.partitionBy("event_type").orderBy("bin")
+    wp = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        F.sum("cp").over(wb).alias("sp"),
+        F.sum("cq").over(wb).alias("sq"),
+        F.sum("cp").over(wp).alias("np"),
+        F.sum("cq").over(wp).alias("nq"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("np").alias("n_first"),
+            F.max("nq").alias("n_second"),
+            F.round(
+                F.sum(
+                    F.abs(F.col("sp") * F.col("nq") - F.col("sq") * F.col("np"))
+                )
+                * 1.0
+                / (F.max("np") * F.max("nq")),
+                6,
+            ).alias("emd_bins"),
+        )
+        .orderBy("event_type")
+    )
