@@ -9,7 +9,7 @@ collision density, not n².
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.functions import arrays as A
@@ -685,4 +685,96 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("t").isNotNull().cast("bigint")),
             6,
         ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship over near-dup clusters (MDM merge)
+# ---------------------------------------------------------------------------
+
+@query(
+    "golden_record_merge",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), ed AS (
+      SELECT doc_a, doc_b FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter)
+            >= {JACCARD_MIN}
+    ), sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ed
+      UNION ALL SELECT doc_b, doc_a FROM ed
+    ), nodes AS (SELECT DISTINCT src AS node FROM sym),
+    walk AS (
+      WITH RECURSIVE w(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.dst, w.lbl FROM w JOIN sym s ON s.src = w.node
+      ) SELECT * FROM w
+    ), clusters AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY 1
+    ), members AS (
+      SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           max(CASE WHEN rk = 1 THEN doc_id END) AS golden_doc_id,
+           CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT)
+             AS golden_n_chars,
+           max(CASE WHEN rk = 1 THEN lang END) AS golden_lang,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM members GROUP BY 1 ORDER BY cluster_id
+    """,
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship: each near-dup cluster (connected components from
+    `dedup_clusters` — the same plan, reused) merges into one golden
+    record by the most-complete-record rule (max n_chars, doc_id
+    tiebreak), reporting the survivor plus the attribute spread the merge
+    collapsed (distinct langs/sources across members) — the master-data
+    step after dedup finds the duplicates: pick the keeper, audit what
+    the losers disagreed on.
+
+    Scale: clustering cost is dedup_clusters'; survivorship adds one join
+    of the (doc → cluster) map back to the dimension and a per-cluster
+    ranked aggregate — survivorship rules change only the ORDER BY.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    members = clusters.join(d, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("n_chars"), "doc_id"
+            )
+        ),
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "golden_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "golden_n_chars"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("golden_lang"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("cluster_id")
     )
