@@ -18,7 +18,7 @@ intentionally tiny ones: per-lang sample report, per-label centroids
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.functions import text as T
@@ -176,34 +176,47 @@ def sample_stratified_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            min(ts) AS first_ts, max(ts) AS last_ts,
-           (list(event_type ORDER BY ts, event_id))[1:20] AS history
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:20],
+                           ',') AS history
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
 def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user ordered interaction history (the sequence-features input for
     behavioral / sessionized training data): event count, first/last
-    timestamps, and the first 20 event types ordered by (ts, event_id).
+    timestamps, and the first 20 event types ordered by (ts, event_id),
+    serialized as a comma-joined string so the result is scalar-typed
+    (portable to any result hasher — no array columns at the query edge).
 
-    Scale: one shuffle on user_id; collect_list is bounded per user and the
-    output is capped with slice. At 100 TB with power-law users, cap BEFORE
-    collecting via a row_number window filter (same key, same single
-    shuffle) so no executor materializes a whale user's full history.
+    Scale: the history is capped BEFORE collecting — a row_number window
+    on (user_id | ts, event_id) marks the first 20 events and collect_list
+    only ever sees ≤20 structs per user, so no executor materializes a
+    whale user's full history. The window and the groupBy hash-partition
+    on the same key, so the aggregation reuses the window's exchange: one
+    shuffle total.
     """
     e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w))
     return (
-        e.groupBy("user_id")
+        ranked.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
-            F.slice(
+            F.concat_ws(
+                ",",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= 20,
+                                F.struct("rn", "event_type"),
+                            )
+                        )
+                    ),
                     lambda x: x.event_type,
                 ),
-                1,
-                20,
             ).alias("history"),
         )
         .orderBy("user_id")
@@ -214,48 +227,80 @@ def user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_label_centroids",
     oracle="""
     WITH e AS (
-      SELECT label, unnest(embedding) AS v,
+      SELECT label,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v6,
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
     ), d AS (
-      SELECT label, pos, round(avg(v), 6) AS m FROM e GROUP BY 1, 2
+      SELECT label, pos,
+             CAST(floor((2 * CAST(sum(v6) AS DOUBLE) + count(*))
+                        / (2.0 * count(*))) AS BIGINT) AS m6
+      FROM e GROUP BY 1, 2
+    ), q AS (
+      SELECT label, pos, m6, m6 / CAST(1000000 AS DOUBLE) AS m FROM d
     ), n AS (
       SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY 1
+    ), norms AS (
+      SELECT label,
+             sqrt(CAST(sum(m6 * m6) AS DOUBLE)) / CAST(1000000 AS DOUBLE)
+               AS centroid_norm
+      FROM q GROUP BY 1
     )
-    SELECT d.label, CAST(n.n_vectors AS BIGINT) AS n_vectors,
-           list(d.m ORDER BY d.pos) AS centroid,
-           round(sqrt(sum(d.m * d.m)), 6) AS centroid_norm
-    FROM d JOIN n USING (label)
-    GROUP BY d.label, n.n_vectors ORDER BY d.label
+    SELECT q.label, CAST(n.n_vectors AS BIGINT) AS n_vectors,
+           CAST(q.pos AS BIGINT) AS pos, q.m, norms.centroid_norm
+    FROM q JOIN n USING (label) JOIN norms USING (label)
+    ORDER BY label, pos
     """,
 )
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes for nearest-centroid
-    classification / cluster seeding) with vector counts and norms.
+    classification / cluster seeding) with vector counts and norms, emitted
+    as one row per (label, dimension) — the `band_composites` shape — so
+    every output column is scalar-typed and value-hashable by any harness.
 
     Scale: posexplode → groupBy(label, pos) is the transpose-free
     elementwise mean — the shuffle carries |labels|×dim partial sums (map-
-    side combined), never whole vectors; the re-assembly collect_list is
-    over dim rows per label. Norms are computed from the ROUNDED means so
-    both engines agree bit-for-bit.
+    side combined), never whole vectors. All float math is order-proof AND
+    rendering-proof: elements are quantized to exact int64 micro-units
+    before summing (integer addition commutes; a float sum's rounding
+    would depend on partition order), the mean is a half-up integer
+    division expressed as floor((2s+n)/(2n)) — no round(x, k) whose
+    decimal-rendering rule differs between engines — and the norm is sqrt
+    of an exact integer sum of squares. Every output double is computed by
+    the identical IEEE expression tree on both engines.
     """
     e = load(spark, sf_dir, "embeddings")
-    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
-    d = ex.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("v").cast("double")), 6).alias("m")
+    ex = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("v6"),
     )
-    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    d = ex.groupBy("label", "pos").agg(
+        F.sum("v6").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    q = d.select(
+        "label",
+        "pos",
+        F.expr(
+            "CAST(floor((2 * CAST(s AS DOUBLE) + cnt) / (2.0 * cnt)) AS BIGINT)"
+        ).alias("m6"),
+    ).withColumn("m", F.col("m6") / F.lit(1000000.0))
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    norms = q.groupBy("label").agg(
+        (
+            F.sqrt(F.sum(F.col("m6") * F.col("m6")).cast("double"))
+            / F.lit(1000000.0)
+        ).alias("centroid_norm")
+    )
     return (
-        d.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x.m
-            ).alias("centroid"),
-            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"),
-        )
-        .join(F.broadcast(n), "label")
-        .select("label", F.col("n_vectors").cast("bigint"), "centroid", "centroid_norm")
-        .orderBy("label")
+        q.join(F.broadcast(n), "label")
+        .join(F.broadcast(norms), "label")
+        .select("label", "n_vectors", "pos", "m", "centroid_norm")
+        .orderBy("label", "pos")
     )
 
 
@@ -268,9 +313,16 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v
     )
-    SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
-           list_transform(e, x -> CAST(round(((x - mn) / (mx - mn)) * 255)
-                                       AS INTEGER) - 128) AS qvec
+    SELECT vec_id,
+           CAST(round(mn * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)
+             AS vmin,
+           CAST(round(mx * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)
+             AS vmax,
+           array_to_string(
+             list_transform(e, x -> CAST(CAST(round(((x - mn) / (mx - mn))
+                                               * 255) AS INTEGER) - 128
+                                         AS VARCHAR)),
+             ',') AS qvec
     FROM m ORDER BY vec_id
     """,
 )
@@ -283,7 +335,9 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizing a 100 TB embedding store is a map-only rewrite. The double
     math uses the identical expression tree on both engines so the rounded
     integers match exactly (both round half-away-from-zero on the
-    non-negative scaled values).
+    non-negative scaled values). The int8 vector is emitted comma-joined
+    (scalar string, portable to any result hasher); integer→string
+    rendering is identical on both engines, unlike doubles.
     """
     e = load(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -293,11 +347,16 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mx", F.array_max("e"))
         .select(
             "vec_id",
-            F.round("mn", 6).alias("vmin"),
-            F.round("mx", 6).alias("vmax"),
             F.expr(
-                "transform(e, x -> cast(round(((x - mn) / (mx - mn)) * 255)"
-                " as int) - 128)"
+                "CAST(round(mn * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)"
+            ).alias("vmin"),
+            F.expr(
+                "CAST(round(mx * 1000000) AS BIGINT) / CAST(1000000 AS DOUBLE)"
+            ).alias("vmax"),
+            F.expr(
+                "array_join(transform(e, x ->"
+                " cast(cast(round(((x - mn) / (mx - mn)) * 255) as int) - 128"
+                " as string)), ',')"
             ).alias("qvec"),
         )
         .orderBy("vec_id")

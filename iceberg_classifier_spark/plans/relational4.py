@@ -296,27 +296,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "orders_merge_upsert",
     oracle="""
-    WITH changes AS (
-      SELECT o_orderkey, o_orderstatus, round(o_totalprice * 1.1, 2)
-               AS o_totalprice
-      FROM orders WHERE o_orderkey % 10 = 0
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), changes AS (
+      SELECT o_orderkey, o_orderstatus, (cents * 11 + 5) // 10 AS cents
+      FROM base WHERE o_orderkey % 10 = 0
       UNION ALL
-      SELECT -o_orderkey - 1, 'N', o_totalprice
-      FROM orders WHERE o_orderkey % 100 = 0
+      SELECT -o_orderkey - 1, 'N', cents
+      FROM base WHERE o_orderkey % 100 = 0
     ), merged AS (
       SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
              coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-             coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+             coalesce(c.cents, b.cents) AS cents,
              CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
                   THEN 1 ELSE 0 END AS is_updated,
              CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 0 END AS is_inserted
-      FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)
+      FROM base b FULL OUTER JOIN changes c USING (o_orderkey)
     )
     SELECT o_orderstatus, count(*) AS n_rows,
            CAST(sum(is_updated) AS BIGINT) AS n_updated,
            CAST(sum(is_inserted) AS BIGINT) AS n_inserted,
-           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
-             AS total_price
+           round(sum(cents) / 100.0, 2) AS total_price
     FROM merged GROUP BY 1 ORDER BY o_orderstatus
     """,
 )
@@ -330,22 +332,27 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the merge is one shuffle of base ∪ changes on the merge key
     (or zero extra shuffles if the base is bucketed by key, which is how a
     100 TB dim table should be stored — see `bucketed_join`); a small CDC
-    batch would instead broadcast into a left join + anti-union. Price
-    totals are summed as exact integer cents so the engine-side summation
-    order can't perturb the rounded output.
+    batch would instead broadcast into a left join + anti-union. All price
+    math runs in exact int64 cents — the 10% uplift is `(cents*11+5) div
+    10`, one explicit half-up rule both engines execute identically, so no
+    binary-double .005 boundary can split the engines (round(x*1.1, 2) on
+    doubles did: Spark HALF_UPs the decimal rendering while DuckDB rounds
+    the binary double).
     """
     o = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
     upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.expr("(cents * 11 + 5) div 10").alias("cents"),
     )
     ins = o.filter(F.col("o_orderkey") % 100 == 0).select(
         (-F.col("o_orderkey") - 1).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
-        "o_totalprice",
+        "cents",
     )
     changes = upd.unionByName(ins)
     b, c = o.alias("b"), changes.alias("c")
@@ -353,7 +360,7 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c.o_orderstatus", "b.o_orderstatus").alias(
             "o_orderstatus"
         ),
-        F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+        F.coalesce("c.cents", "b.cents").alias("cents"),
         F.when(
             F.col("c.o_orderstatus").isNotNull()
             & F.col("b.o_orderstatus").isNotNull(),
@@ -371,11 +378,7 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("is_updated").cast("bigint").alias("n_updated"),
             F.sum("is_inserted").cast("bigint").alias("n_inserted"),
-            F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-                / 100.0,
-                2,
-            ).alias("total_price"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )
