@@ -409,14 +409,20 @@ def welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), c AS (
       SELECT digit, count(*) AS n, sum(count(*)) OVER () AS total
       FROM d GROUP BY 1
+    ), t AS (
+      SELECT digit, n, total,
+             sum((n - total * log10(1 + 1.0 / digit))
+                 * (n - total * log10(1 + 1.0 / digit))
+                 / (total * log10(1 + 1.0 / digit)))
+               OVER (ORDER BY digit
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chi2_cum
+      FROM c
     )
     SELECT digit, n, round(n * 1.0 / total, 6) AS observed_share,
            round(log10(1 + 1.0 / digit), 6) AS benford_share,
-           round(sum((n - total * log10(1 + 1.0 / digit))
-                     * (n - total * log10(1 + 1.0 / digit))
-                     / (total * log10(1 + 1.0 / digit))) OVER (), 4)
-             AS chi2_stat
-    FROM c ORDER BY digit
+           round(max(chi2_cum) OVER (), 4) AS chi2_stat
+    FROM t ORDER BY digit
     """,
 )
 def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,7 +431,10 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic — the standard forensic-accounting screen for fabricated
     amounts. The digit is extracted from the integer-cents STRING (never
     float log/pow, whose pow(10, floor(log10 x)) edge cases differ across
-    engines); the only floats are the fixed Benford constants.
+    engines); the only floats are the fixed Benford constants. The χ² sum
+    accumulates in digit order via an ordered cumulative window (its max =
+    the full ordered sum, since every term is ≥0) — an unordered 9-term
+    float SUM would make the rounding depend on engine partition order.
 
     Scale: a 9-bucket aggregation with map-side combine — one scan,
     tiny result, trivially partition-parallel.
@@ -438,17 +447,21 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total", F.sum("n").over(Window.partitionBy())
     )
     exp_n = F.col("total") * F.log10(1 + 1.0 / F.col("digit"))
-    return c.select(
+    wcum = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = c.withColumn(
+        "chi2_cum",
+        F.sum((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n).over(wcum),
+    )
+    return t.select(
         "digit",
         "n",
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_share"),
         F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_share"),
-        F.round(
-            F.sum((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n).over(
-                Window.partitionBy()
-            ),
-            4,
-        ).alias("chi2_stat"),
+        F.round(F.max("chi2_cum").over(Window.partitionBy()), 4).alias(
+            "chi2_stat"
+        ),
     ).orderBy("digit")
 
 

@@ -9,7 +9,6 @@ explicit deterministic order on both engines.
 
 from __future__ import annotations
 
-import json
 import os
 import tempfile
 
@@ -36,10 +35,12 @@ def _md5_prefix_sql(expr: str) -> str:
       (acc, c) -> acc * 16 + c)"""
 
 
-def _stage(sf_dir: str, kind: str) -> str:
-    """Fixture-staging dir keyed by the source parquet's identity so
-    driver-regenerated testdata never reuses a stale copy."""
-    src = os.stat(table_path(sf_dir, "orders"))
+def _stage(sf_dir: str, kind: str, table: str = "orders") -> str:
+    """Fixture-staging dir keyed by the identity of the parquet the fixture
+    is actually derived from, so driver-regenerated testdata never reuses a
+    stale copy (a fixture built from ``documents`` must not be keyed by
+    ``orders``' mtime — the driver can regenerate one without the other)."""
+    src = os.stat(table_path(sf_dir, table))
     return os.path.join(
         tempfile.gettempdir(),
         f"{kind}_{os.path.basename(os.path.normpath(sf_dir))}"
@@ -453,29 +454,28 @@ def corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: PERMISSIVE parsing is per-row and map-only — corrupt rows cost
     no retries and fail no tasks; the DLQ side would be written out
     partitioned by arrival date for replay. DROPMALFORMED/FAILFAST are the
-    same reader one option away.
+    same reader one option away. The feed itself is staged DISTRIBUTED
+    (per-partition text write with the corruption injected column-side) —
+    never a driver-side collect, which would OOM the driver at 100× data.
     """
-    stage = _stage(sf_dir, "dlq_jsonl")
+    stage = _stage(sf_dir, "dlq_jsonl", table="documents")
     marker = os.path.join(stage, "_done")
+    feed_dir = os.path.join(stage, "feed")
     if not os.path.exists(marker):
         os.makedirs(stage, exist_ok=True)
-        docs = (
+        line = F.when(
+            F.col("doc_id") % 7 == 0,
+            F.format_string('{"doc_id": %d, "lang": ', F.col("doc_id")),
+        ).otherwise(
+            F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        )  # every 7th record truncated mid-object
+        (
             load(spark, sf_dir, "documents")
             .select("doc_id", "lang", "n_chars")
-            .orderBy("doc_id")
-            .collect()
+            .select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(feed_dir)
         )
-        with open(os.path.join(stage, "feed.jsonl"), "w") as f:
-            for r in docs:
-                if r.doc_id % 7 == 0:
-                    f.write(f'{{"doc_id": {r.doc_id}, "lang": ')  # truncated
-                else:
-                    f.write(
-                        json.dumps(
-                            {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
-                        )
-                    )
-                f.write("\n")
         open(marker, "w").close()
     feed = (
         spark.read.schema(
@@ -483,7 +483,7 @@ def corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(os.path.join(stage, "feed.jsonl"))
+        .json(feed_dir)
     )
     good = F.col("_corrupt_record").isNull()
     return feed.agg(

@@ -18,6 +18,13 @@ from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load
 
 JACCARD_MIN = 0.05
+# Stop-shingle document-frequency cap: a shingle shared by more than this
+# many documents is dropped from the inverted index before pair emission.
+# A hot shingle with df=d would emit d²/2 candidate pairs — on a Zipfian
+# 100 TB corpus that single skewed posting list is the job-killer, while
+# the pairs it produces are overwhelmingly below the Jaccard threshold
+# anyway (a shingle that common carries no near-dup signal).
+NGRAM_DF_CAP = 2000
 COSINE_MIN = 0.3
 N_MINHASH = 32
 N_BANDS = 8  # 8 bands × 4 rows
@@ -73,8 +80,13 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slowdown); over a projected attribute it splits once per row.
 
     Scale: posting-list length = shingle document frequency; stop-shingles
-    (df above a cap) should be dropped or length-capped at 100 TB — they
-    contribute pairs that the Jaccard threshold would reject anyway.
+    (df > NGRAM_DF_CAP) are dropped BEFORE pair emission, so per-shingle
+    pair output is bounded by CAP²/2 instead of d²/2 — they only produce
+    pairs the Jaccard threshold rejects anyway. (Doc shingle-set sizes
+    `n_sh` are computed before the cap, so Jaccard denominators are exact.)
+    At 100 TB the cap filter would move even earlier: a first-pass df
+    count, broadcast of the tiny hot-shingle set, and an anti-join before
+    the posting groupBy, so whale lists are never collected at all.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
@@ -87,8 +99,14 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sh").cast("long").alias("n_sh"),
         F.explode("sh").alias("shingle_str"),
     ).select("doc_id", "n_sh", F.xxhash64("shingle_str").alias("shingle"))
-    posting = sh.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("lst")
+    posting = (
+        sh.groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias(
+                "lst"
+            )
+        )
+        .filter(F.size("lst") <= NGRAM_DF_CAP)
     )
     # nested explode keeps peak row width at one posting list (no flattened
     # all-pairs array); sort_array guarantees doc_a < doc_b
@@ -114,9 +132,13 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {NGRAM_DF_CAP}
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
       GROUP BY 1, 2
     )
     SELECT p.doc_a, p.doc_b,
@@ -333,9 +355,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {NGRAM_DF_CAP}
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
       GROUP BY 1, 2
     ), ed AS (
       SELECT doc_a, doc_b FROM pairs p
@@ -699,9 +725,13 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {NGRAM_DF_CAP}
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
       GROUP BY 1, 2
     ), ed AS (
       SELECT doc_a, doc_b FROM pairs p

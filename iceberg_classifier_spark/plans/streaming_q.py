@@ -262,7 +262,15 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shutil.copyfile(src, _os.path.join(stage, "a_orig.parquet"))
         _shutil.copyfile(src, _os.path.join(stage, "b_copy.parquet"))
     batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = normalize_ts(spark.readStream.schema(batch_schema).parquet(stage))
+    # one file per micro-batch: the duplicate copy must arrive in a LATER
+    # batch than the original, otherwise dropDuplicatesWithinWatermark only
+    # ever dedups within a single batch and the watermark-bounded state
+    # eviction this op exists to demonstrate never runs
+    stream = normalize_ts(
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])

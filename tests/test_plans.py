@@ -243,3 +243,34 @@ def test_latest_ops_avoid_quadratic_plans(spark, sf_dir):
     ohlc = plan_of(spark, sf_dir, "events_ohlc_bars")
     assert "Join" not in ohlc
     assert "Window" in ohlc and "HashAggregate" in ohlc
+
+
+def test_ngram_jaccard_stop_shingle_cap_bounds_pair_emission(spark, tmp_path):
+    """A shingle with document frequency above NGRAM_DF_CAP must emit ZERO
+    candidate pairs (df²/2 emission from one hot posting list is the
+    100 TB job-killer), while sub-cap shingles still produce their pairs.
+    CAP+100 identical docs would emit ~2.2M pairs uncapped; with the cap
+    the only surviving pair is the unique near-dup couple."""
+    from pyspark.sql import functions as F
+
+    from iceberg_classifier_spark.plans.dedup import NGRAM_DF_CAP
+    from iceberg_classifier_spark.plans.registry import REGISTRY as R
+
+    n_hot = NGRAM_DF_CAP + 100
+    rows = [(i, "the same hot boilerplate line repeated") for i in range(n_hot)]
+    rows += [
+        (900000, "unique rare tokens alpha beta gamma delta"),
+        (900001, "unique rare tokens alpha beta gamma delta"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("t"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = R["dedup_ngram_jaccard"].fn(spark, sf).collect()
+    assert len(got) == 1, f"expected only the sub-cap pair, got {len(got)} pairs"
+    assert (got[0].doc_a, got[0].doc_b) == (900000, 900001)
+    assert got[0].jaccard == 1.0
