@@ -363,17 +363,30 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_distinct")  # sketch output — no exact SQL oracle
+@query(
+    "events_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+)
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct users per event type, side-by-side
-    with the exact count and the realized relative error.
+    """HyperLogLog++ approximate distinct users per event type, validated
+    in-query against the exact count: the output carries the exact
+    cardinality plus a flag asserting the HLL estimate landed within 5%
+    (rsd is configured at 2%, so a breach means the sketch is broken).
+    The oracle recomputes the exact count and expects the flag TRUE —
+    the sketch's accuracy contract is value-checked even though its
+    registers are engine-specific (DuckDB's approx_distinct seeds its HLL
+    differently, so the raw estimate itself can never hash-match).
 
     Scale: this is THE cardinality primitive at 100 TB — the HLL sketch is
     a fixed-size mergeable register set, so the shuffle carries ~1.5 KB per
     (group, sketch) instead of one row per distinct user; exact distinct
-    shuffles every (event_type, user_id) pair. Rows-only check: the sketch
-    estimate is engine-specific by construction (DuckDB's approx_distinct
-    uses a different HLL seeding), which is why no hash oracle exists.
+    shuffles every (event_type, user_id) pair (here it doubles as the
+    in-query ground truth).
     """
     e = load(spark, sf_dir, "events")
     return (
@@ -382,13 +395,13 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count_distinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_err",
-            F.round(
+        .select(
+            "event_type",
+            "exact_users",
+            (
                 F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"),
-                6,
-            ),
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
         )
         .orderBy("event_type")
     )

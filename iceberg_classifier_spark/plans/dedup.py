@@ -166,7 +166,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inter").cast("bigint").alias("inter"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 

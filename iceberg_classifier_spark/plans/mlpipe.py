@@ -72,6 +72,64 @@ def mllib_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("tta_ten_crop_predict", oracle=None)
+def tta_ten_crop_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-crop test-time-augmentation inference (ref 10-crop.py:240-276:
+    build_10_crop → per-crop model.predict → mean over crops): fit the
+    classifier head on center-crop features of the train split, score all
+    10 crops of every val row, and average the 10 probabilities per id —
+    the reference's signature TTA trick as one composed distributed plan.
+    Reports TTA vs center-crop-only log-loss/accuracy side by side.
+
+    Rows-only check: the MLlib fit is not SQL-expressible. Scale: the crop
+    explode is a narrow per-row transform (10× rows into the scorer, never
+    materialized); scoring is one distributed transform; the per-id mean
+    is a 10-row-per-key groupBy with map-side combine.
+    """
+    from iceberg_classifier_spark.functions import grid as G
+    from iceberg_classifier_spark.ml.pipeline import (
+        build_pipeline,
+        engineered_features,
+        prob_of_one,
+    )
+
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") % 2).cast("double")
+    )
+    split = stratified_split(e, "y", "vec_id", val_fraction=0.25)
+    crops = G.ten_crop(F.col("embedding").cast("array<double>"), 8, 8, 4, 4)
+    crop_rows = split.select(
+        "vec_id", "y", "split", F.posexplode(crops).alias("crop_id", "crop_vec")
+    )
+    feats = engineered_features(crop_rows, vec_col="crop_vec")
+    # head is fit on the center crop (crop_id 4) so train/score features
+    # come from the same distribution, as in the reference's TTA loop
+    m = build_pipeline(FEATURES, "logreg").fit(
+        feats.where((F.col("split") == "train") & (F.col("crop_id") == 4))
+    )
+    scored = prob_of_one(m, feats.where(F.col("split") == "val")).select(
+        "vec_id", "y", "crop_id", "prob"
+    )
+    tta = scored.groupBy("vec_id", "y").agg(
+        F.avg("prob").alias("tta_prob"),
+        F.max(F.when(F.col("crop_id") == 4, F.col("prob"))).alias("center_prob"),
+        F.count(F.lit(1)).alias("n_crops"),
+    )
+    return tta.agg(
+        F.count(F.lit(1)).alias("n_val"),
+        F.min("n_crops").cast("bigint").alias("min_crops"),
+        F.round(
+            F.avg(metrics.log_loss_expr(F.col("y"), F.col("tta_prob"))), 4
+        ).alias("tta_log_loss"),
+        F.round(
+            F.avg(metrics.log_loss_expr(F.col("y"), F.col("center_prob"))), 4
+        ).alias("center_log_loss"),
+        F.round(metrics.accuracy_expr(F.col("y"), F.col("tta_prob")), 4).alias(
+            "tta_accuracy"
+        ),
+    )
+
+
 @query("mllib_kmeans", oracle=None)
 def mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib KMeans over the embedding column (the trainable counterpart of

