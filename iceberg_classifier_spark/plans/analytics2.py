@@ -261,13 +261,15 @@ def _pois_case_sql(h: str) -> str:
     "bootstrap_ci_poisson",
     oracle=f"""
     WITH x AS (
-      SELECT o_orderkey AS k, {_O_CENTS} AS cents FROM orders
+      SELECT o_orderkey AS k, {_O_CENTS} AS cents,
+             {_md5_prefix_sql("CAST(o_orderkey AS VARCHAR)")} AS rh
+      FROM orders
     ), reps AS (
       SELECT b, x.cents,
              {_pois_case_sql(
-                 _md5_prefix_sql(
-                     "CAST(x.k AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
-                 + " % 10000")} AS w
+                 "(((((x.rh + b * 2654435761) % 2147483648)"
+                 " * ((x.rh + b * 2654435761) % 2147483648)) // 65536)"
+                 " % 10000)")} AS w
       FROM x, generate_series(1, {_B}) AS g(b)
     ), means AS (
       SELECT b, sum(w * cents) * 1.0 / sum(w) / 100.0 AS mb
@@ -289,10 +291,13 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap confidence interval for mean order value via the Poisson
     bootstrap — the distributed-systems formulation (each row draws an
     independent Poisson(1) replication weight per replicate, so resampling
-    needs no global n and streams in one pass). The RNG is the portable
-    md5-prefix hash of (orderkey, replicate) against exact integer Poisson
-    CDF thresholds, so both engines draw IDENTICAL resamples and the CI is
-    bit-reproducible: [5th, 96th] order statistic of {_B} replicate means.
+    needs no global n and streams in one pass). The RNG is portable and
+    two-stage: ONE md5-prefix seed per row, then a mid-square integer mix
+    of (seed, replicate) against exact integer Poisson CDF thresholds —
+    both engines draw IDENTICAL resamples and the CI is bit-reproducible:
+    [5th, 96th] order statistic of {_B} replicate means. (One crypto hash
+    per ROW, not per (row × replicate): at B={_B} the per-pair md5 was the
+    dominant CPU cost of the whole op, ~{_B}× more hash work than needed.)
 
     Scale: one scan fans each row into {_B} (replicate, weight) pairs that
     aggregate with map-side combine into {_B} groups — no resample
@@ -300,33 +305,29 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear map work, constant exchange width.
     """
     x = load(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"), F.expr(_O_CENTS).alias("cents")
+        F.col("o_orderkey").alias("k"),
+        F.expr(_O_CENTS).alias("cents"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("rh"),
     )
-    reps = x.select(
-        "cents",
-        F.explode(F.sequence(F.lit(1), F.lit(_B))).alias("b"),
-        "k",
-    ).select(
-        "b",
-        "cents",
-        _pois_weight(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.col("k").cast("string"),
-                            F.col("b").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 10000
-        ).alias("w"),
+    reps = (
+        x.select(
+            "cents",
+            F.explode(F.sequence(F.lit(1), F.lit(_B))).alias("b"),
+            "rh",
+        )
+        .withColumn(
+            "m1",
+            F.expr("(rh + CAST(b AS BIGINT) * 2654435761) % 2147483648"),
+        )
+        .select(
+            "b",
+            "cents",
+            # mid-square mix: all-integer (m1² < 2^62, no overflow, `div`
+            # keeps it exact where float division would lose bits)
+            _pois_weight(F.expr("((m1 * m1) div 65536) % 10000")).alias("w"),
+        )
     )
     means = (
         reps.groupBy("b")

@@ -46,16 +46,19 @@ def python_datasource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/icebergspark_jsonl_src_{tag}"
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    ev.select(
-        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
-            "value"
+    from iceberg_classifier_spark.sources.tables import fixture_dir, mark_staged
+
+    path, built = fixture_dir(sf_dir, "jsonl_src", "events")
+    if not built:
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
         )
-    ).repartition(4).write.mode("overwrite").text(path)
+        ev.select(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("value")
+        ).repartition(4).write.mode("overwrite").text(path)
+        mark_staged(path)
 
     class JsonlSource(DataSource):
         @classmethod

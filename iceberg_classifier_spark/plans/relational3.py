@@ -701,25 +701,35 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    from iceberg_classifier_spark.sources.tables import table_path
+
+    # table identity carries the source fingerprint: regenerated testdata
+    # gets fresh bucketed tables, repeat runs on the same data skip the
+    # two bucketed writes entirely
+    src = os.stat(table_path(sf_dir, "orders"))
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}"
+        f"_{src.st_mtime_ns:x}_{src.st_size:x}"
+    )
     tbl_o, tbl_c = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
     base = f"/tmp/spark_graft_warehouse/bucketed_{tag}"
-    (
-        load(spark, sf_dir, "orders")
-        .write.bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .mode("overwrite")
-        .option("path", f"{base}/orders")
-        .saveAsTable(tbl_o)
-    )
-    (
-        load(spark, sf_dir, "customer")
-        .write.bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .mode("overwrite")
-        .option("path", f"{base}/customer")
-        .saveAsTable(tbl_c)
-    )
+    if not (spark.catalog.tableExists(tbl_o) and spark.catalog.tableExists(tbl_c)):
+        (
+            load(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .option("path", f"{base}/orders")
+            .saveAsTable(tbl_o)
+        )
+        (
+            load(spark, sf_dir, "customer")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .option("path", f"{base}/customer")
+            .saveAsTable(tbl_c)
+        )
     o = spark.table(tbl_o).hint("merge")
     c = spark.table(tbl_c)
     return (

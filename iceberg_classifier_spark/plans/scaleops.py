@@ -10,8 +10,6 @@ oracle-checkable at test scale.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -248,11 +246,15 @@ def partitioned_prune_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless.
     """
     from iceberg_classifier_spark.sources.sinks import write_parquet
+    from iceberg_classifier_spark.sources.tables import fixture_dir, mark_staged
 
-    e = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/icebergspark_part_demo_{tag}"
-    write_parquet(e, path, partition_by=["event_date"])
+    path, built = fixture_dir(sf_dir, "part_demo", "events")
+    if not built:
+        e = load(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        write_parquet(e, path, partition_by=["event_date"])
+        mark_staged(path)
     r = spark.read.parquet(path).where(
         F.col("event_date").between("2024-01-10", "2024-01-16")
     )
@@ -286,15 +288,18 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lossless (doubles survive via shortest-representation printing,
     summed as exact integer cents).
     """
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.to_date("o_orderdate").alias("o_orderdate"),
-    )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/icebergspark_csv_demo_{tag}"
-    o.write.mode("overwrite").option("header", True).csv(path)
+    from iceberg_classifier_spark.sources.tables import fixture_dir, mark_staged
+
+    path, built = fixture_dir(sf_dir, "csv_demo", "orders")
+    if not built:
+        o = load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+        o.write.mode("overwrite").option("header", True).csv(path)
+        mark_staged(path)
     r = spark.read.schema(
         "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
         " o_orderdate date"
@@ -334,10 +339,13 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     same filter to the original table, proving the round-trip + pushdown
     path is lossless.
     """
-    o = load(spark, sf_dir, "orders")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/icebergspark_orc_demo_{tag}"
-    o.write.mode("overwrite").option("compression", "zlib").orc(path)
+    from iceberg_classifier_spark.sources.tables import fixture_dir, mark_staged
+
+    path, built = fixture_dir(sf_dir, "orc_demo", "orders")
+    if not built:
+        o = load(spark, sf_dir, "orders")
+        o.write.mode("overwrite").option("compression", "zlib").orc(path)
+        mark_staged(path)
     r = spark.read.orc(path).where(
         F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
     )
@@ -381,13 +389,18 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     (RoundRobinPartitioning); production systems drive the target file
     count from bytes/file (e.g. 512 MB), not a constant.
     """
-    e = load(spark, sf_dir, "events")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    frag = f"/tmp/icebergspark_frag_demo_{tag}"
-    compacted = f"/tmp/icebergspark_compact_demo_{tag}"
-    e.repartition(64).write.mode("overwrite").parquet(frag)
-    fragmented = spark.read.parquet(frag)
-    fragmented.repartition(4).write.mode("overwrite").parquet(compacted)
+    from iceberg_classifier_spark.sources.tables import fixture_dir, mark_staged
+
+    root, built = fixture_dir(sf_dir, "compact_demo", "events")
+    frag = f"{root}/frag"
+    compacted = f"{root}/compacted"
+    if not built:
+        e = load(spark, sf_dir, "events")
+        e.repartition(64).write.mode("overwrite").parquet(frag)
+        spark.read.parquet(frag).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+        mark_staged(root)
 
     def report(path: str, stage: str) -> DataFrame:
         d = spark.read.parquet(path)

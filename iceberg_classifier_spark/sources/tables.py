@@ -72,6 +72,29 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
+def fixture_dir(sf_dir: str, kind: str, table: str) -> tuple[str, bool]:
+    """Staging dir under /tmp keyed by the source parquet's (mtime, size)
+    fingerprint. Returns ``(path, already_built)``. Driver-regenerated
+    testdata changes the fingerprint, so a fresh dataset can never reuse a
+    stale fixture, while repeat runs on the same dataset skip the rewrite.
+    Mark completion with :func:`mark_staged` AFTER the write finishes (a
+    killed mid-write run must not look built)."""
+    import tempfile
+
+    src = os.stat(table_path(sf_dir, table))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"icebergspark_{kind}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{src.st_mtime_ns:x}_{src.st_size:x}",
+    )
+    return path, os.path.exists(os.path.join(path, "_STAGED"))
+
+
+def mark_staged(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    open(os.path.join(path, "_STAGED"), "w").close()
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql access."""
     for name in TABLES:
