@@ -430,7 +430,11 @@ def mllib_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         recs.filter(F.col("user") < 10)
         .select(
             "user",
-            F.expr("transform(recommendations, r -> r.item)").alias("items"),
+            # serialized scalar (not array<int>) so every output column of
+            # every registered query is hashable by the driver's pandas gate
+            F.array_join(
+                F.expr("transform(recommendations, r -> r.item)"), ","
+            ).alias("items"),
         )
         .orderBy("user")
     )
