@@ -97,9 +97,19 @@ def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     production data-quality gates (row counts, checksum totals, domain
     bounds) on every pipeline run.
     """
+    # Run the observed job on a cloned session (shared SparkContext, own
+    # state). Spark 4's SparkSession.observationManager is a LAZY val that
+    # this op would otherwise initialize on the caller's session — it is
+    # not java-serializable, and once initialized it breaks closure
+    # serialization for any later MLlib model.transform whose captured
+    # trainingSummary references the session (observe → logreg.transform
+    # in one session throws NotSerializableException: ObservationManager).
+    # Isolating the Observation on a throwaway clone keeps the caller's
+    # session clean; the clone costs no JVM/executor startup.
+    obs_spark = spark.newSession()
     obs = Observation("orders_1996_metrics")
     o = (
-        load(spark, sf_dir, "orders")
+        load(obs_spark, sf_dir, "orders")
         .where(F.year(F.to_date("o_orderdate")) == 1996)
         .observe(
             obs,

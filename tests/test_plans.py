@@ -274,3 +274,19 @@ def test_ngram_jaccard_stop_shingle_cap_bounds_pair_emission(spark, tmp_path):
     assert len(got) == 1, f"expected only the sub-cap pair, got {len(got)} pairs"
     assert (got[0].doc_a, got[0].doc_b) == (900000, 900001)
     assert got[0].jaccard == 1.0
+
+
+def test_observe_does_not_poison_mllib_arrow_collect(spark, sf_dir):
+    """Spark 4's SparkSession.observationManager (a lazy val, not
+    java-serializable) must never be initialized on the shared session:
+    once it is, any later MLlib model.transform whose captured
+    trainingSummary references the session dies with
+    NotSerializableException — but only on the Arrow collect path
+    (toPandas), which is what the driver's correctness gate uses, so a
+    count()-based check cannot catch the regression. observe must run on
+    an isolated session clone."""
+    from iceberg_classifier_spark.plans.registry import REGISTRY as R
+
+    assert len(R["observe_pipeline_metrics"].fn(spark, sf_dir).toPandas()) == 1
+    tta = R["tta_ten_crop_predict"].fn(spark, sf_dir).toPandas()
+    assert len(tta) == 1 and int(tta["min_crops"][0]) == 10
