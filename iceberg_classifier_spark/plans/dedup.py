@@ -410,6 +410,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lbl")
     )
     prev_sum = None
+    prev_labels = None
     for _ in range(20):  # hard cap; diameter of near-dup clusters is tiny
         nbr = (
             sym.join(labels, sym.src == labels.node)
@@ -422,9 +423,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = labels.persist()
         cur_sum = labels.agg(F.sum("lbl")).first()[0]  # scalar convergence probe
+        # the probe materialized the new frame; release the superseded one
+        # (without this, executor storage grows by |V| per round — a real
+        # leak on a 20-round run at scale)
+        if prev_labels is not None:
+            prev_labels.unpersist()
+        prev_labels = labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     ).orderBy("doc_id")
