@@ -53,14 +53,23 @@ def mllib_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GBTClassifier pipeline (the CNN-strength learner slot in the
     reference's model zoo, main.py:166-214): fit on the stratified train
     split, score the val split, report log-loss + accuracy."""
-    from iceberg_classifier_spark.ml.pipeline import build_pipeline, prob_of_one
+    from iceberg_classifier_spark.ml.pipeline import (
+        build_pipeline,
+        fit_ready,
+        prob_of_one,
+    )
 
     d = _prepped(spark, sf_dir)
-    split = stratified_split(d, "y", "vec_id", val_fraction=0.25)
+    split, split_cache = fit_ready(
+        stratified_split(d, "y", "vec_id", val_fraction=0.25)
+    )
     train = split.where(F.col("split") == "train")
     val = split.where(F.col("split") == "val")
     m = build_pipeline(FEATURES, "gbt").fit(train)
     scored = prob_of_one(m, val)
+    # the fit (the iterative part) is eager and done; release the cache —
+    # the returned agg re-derives the val split in one cheap pass
+    split_cache.unpersist()
     return scored.agg(
         F.count(F.lit(1)).alias("n_val"),
         F.round(F.avg(metrics.log_loss_expr(F.col("y"), F.col("prob"))), 4).alias(
@@ -90,6 +99,7 @@ def tta_ten_crop_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_classifier_spark.ml.pipeline import (
         build_pipeline,
         engineered_features,
+        fit_ready,
         prob_of_one,
     )
 
@@ -101,7 +111,7 @@ def tta_ten_crop_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     crop_rows = split.select(
         "vec_id", "y", "split", F.posexplode(crops).alias("crop_id", "crop_vec")
     )
-    feats = engineered_features(crop_rows, vec_col="crop_vec")
+    feats, feats_cache = fit_ready(engineered_features(crop_rows, vec_col="crop_vec"))
     # head is fit on the center crop (crop_id 4) so train/score features
     # come from the same distribution, as in the reference's TTA loop
     m = build_pipeline(FEATURES, "logreg").fit(
@@ -110,6 +120,8 @@ def tta_ten_crop_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = prob_of_one(m, feats.where(F.col("split") == "val")).select(
         "vec_id", "y", "crop_id", "prob"
     )
+    # fit is eager and done; scoring re-derives the crop features once
+    feats_cache.unpersist()
     tta = scored.groupBy("vec_id", "y").agg(
         F.avg("prob").alias("tta_prob"),
         F.max(F.when(F.col("crop_id") == 4, F.col("prob"))).alias("center_prob"),
@@ -140,8 +152,13 @@ def mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    from iceberg_classifier_spark.ml.pipeline import fit_ready
+
+    e, _ = fit_ready(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        )
     )
     km = KMeans(k=8, seed=42, maxIter=5, featuresCol="features")
     model = km.fit(e)

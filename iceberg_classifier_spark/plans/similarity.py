@@ -344,10 +344,12 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    from iceberg_classifier_spark.ml.pipeline import fit_ready
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ev = e.withColumn("features", array_to_vector("v"))
+    ev, _ = fit_ready(e.withColumn("features", array_to_vector("v")))
     model = KMeans(k=N_CELLS, seed=42, maxIter=5).fit(ev)
     pred = model.transform(ev).select(
         "vec_id", "v", F.col("prediction").alias("cell")
