@@ -169,22 +169,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", oracle=None)
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS s
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, seed, min(
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 8),
+            k -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(seed AS VARCHAR) || ':' || sg),
+                          CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
+          (acc, c) -> acc * 16 + c)) AS mh
+      FROM (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
+           (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
+      GROUP BY 1, 2
+    ), bands AS (
+      SELECT doc_id, seed // {N_MINHASH // N_BANDS} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS key
+      FROM hashed GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT c.da AS doc_a, c.db AS doc_b,
+           round(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) * 1.0
+                 / {N_MINHASH}, 6) AS est_jaccard
+    FROM cand c
+    JOIN hashed ha ON ha.doc_id = c.da
+    JOIN hashed hb ON hb.doc_id = c.db AND hb.seed = ha.seed
+    GROUP BY c.da, c.db
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate pairs: 32 xxhash64 min-hashes per doc, 8
-    bands × 4 rows; docs sharing any band bucket become candidates, then
-    candidates are verified with the estimated Jaccard (= fraction of equal
-    minhashes). Engine-specific hashing → rows-only check.
+    """MinHash + LSH candidate pairs: {N_MINHASH} portable md5-prefix
+    min-hashes per doc (same fold as `minhash_lsh_quality`, so DuckDB
+    rebuilds bit-identical signatures), {N_BANDS} bands × 4 rows; docs
+    sharing any band bucket become candidates, verified with the estimated
+    Jaccard (= fraction of equal minhashes). Fully value-checked — the
+    candidate set AND the estimates hash-match the oracle.
 
-    Scale: signatures are per-row; the only shuffle is the equi-join on
-    (band, band_hash) whose fan-out is controlled by band width.
+    Scale: signatures are per-row array math (no explode, no shuffle); the
+    only shuffle is the equi-join on (band, band_key) whose fan-out is
+    controlled by band width. At 100 TB swap the md5 fold for xxhash64 —
+    one expression — for hash throughput; the plan shape is unchanged.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
-    sh = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
-    # 32 minhashes: min over shingles of xxhash64(seed_i, shingle)
+    sh = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    # portable 32-bit minhash: first 8 md5 hex chars of "seed:shingle"
     def hash_with_seed(i):
-        return lambda s: F.xxhash64(F.lit(i), s)
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), s)), 1, 8), 16, 10
+        ).cast("bigint")
 
     sig = sh.select(
         "doc_id",
@@ -202,11 +250,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.hash(
+                    F.concat_ws(
+                        ",",
                         *[
-                            F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                            F.element_at(
+                                F.col("sig"), b * rows_per_band + r + 1
+                            ).cast("string")
                             for r in range(rows_per_band)
-                        ]
+                        ],
                     )
                     for b in range(N_BANDS)
                 ]
@@ -241,28 +292,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 15),
+            k -> CAST(strpos('0123456789abcdef',
+                   substr(md5(tok), CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
+          (acc, c) -> acc * 16 + c) AS hv
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, k, sum(((hv >> k) & 1) * 2 - 1) AS v
+      FROM h, (SELECT unnest(generate_series(0, 59)) AS k)
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+               AS simhash
+      FROM votes GROUP BY 1
+    ), bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (15 * band)) & 32767 AS band_val
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs: per-token xxhash64, signed bit-count
-    aggregation → signature; 4×16-bit band blocking; hamming ≤ 8 via
-    bit_count(xor). Engine-specific hashing → rows-only check."""
+    """60-bit SimHash near-dup pairs: per-token portable md5-prefix hash
+    (15 hex chars = 60 bits, sign-safe in int64 on both engines), signed
+    per-bit vote aggregation → signature; 4×15-bit band blocking; hamming
+    ≤ {SIMHASH_MAX_HAMMING} via bit_count(xor). The hash fold is the
+    portable one from `minhash_lsh_quality`, so DuckDB rebuilds identical
+    signatures — candidate pairs and hamming distances are fully
+    value-checked (upgraded from a rows-only check).
+
+    Scale: one explode + one groupBy(doc) with 60 map-side-combinable
+    sums; blocking is an equi-join on (band, band_val), never all pairs.
+    At 100 TB swap the md5 fold for xxhash64 masked to 60 bits — one
+    expression — for hash throughput; the plan shape is unchanged.
+    """
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
-    h = F.xxhash64("tok")
+    hv = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    toks_h = tok.select("doc_id", hv.alias("hv"))
     # per-bit signed votes, then sign → bit
-    votes = tok.groupBy("doc_id").agg(
+    votes = toks_h.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1)
+                (F.shiftright(F.col("hv"), k).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"v{k}")
-            for k in range(64)
+            for k in range(60)
         ]
     )
     bit_terms = [
-        F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**k).cast("long")
-        if k < 63
-        else F.when(F.col(f"v{k}") > 0, F.lit(-(2**63))).otherwise(0)  # sign bit
-        for k in range(64)
+        F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(0)
+        * F.lit(2**k).cast("long")
+        for k in range(60)
     ]
     sig = votes.select(
         "doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash")
@@ -273,7 +372,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned("simhash", 15 * b).bitwiseAND(F.lit(0x7FFF))
                     for b in range(4)
                 ]
             )
@@ -282,7 +381,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    ).cast("int")
     return (
         a.join(
             b,
