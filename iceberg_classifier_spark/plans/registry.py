@@ -48,6 +48,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         relational3,
         relational4,
         curation2,
+        curation3,
         behavior,
         scaleops,
         vectors,
