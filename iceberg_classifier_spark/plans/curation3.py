@@ -366,3 +366,182 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "novel_shingles",
         F.sum("novel_shingles").over(w).cast("bigint").alias("cum_vocab"),
     ).orderBy("pos_decile")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training. Canonical symbol form: leading/trailing single space,
+# DOUBLE space between symbols — so the whole-symbol replace pattern
+# ' x  y ' shares no boundary character with an adjacent match and
+# left-to-right non-overlapping replace() (identical semantics in Java and
+# DuckDB) merges every disjoint occurrence in one pass.
+_BPE_MERGES = 5
+
+
+def _bpe_oracle(k_merges: int) -> str:
+    parts = [
+        "WITH w AS (SELECT unnest(string_split(trim(text), ' ')) AS word"
+        " FROM documents),",
+        "v0 AS (SELECT word, count(*) AS freq,"
+        r" ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' '"
+        " AS sym FROM w GROUP BY word)",
+    ]
+    finals = []
+    for k in range(1, k_merges + 1):
+        parts.append(
+            f", p{k} AS (SELECT toks[i+1] AS x, toks[i+2] AS y,"
+            f" sum(freq) AS w FROM (SELECT freq, toks,"
+            f" unnest(range(len(toks) - 1)) AS i FROM"
+            f" (SELECT freq, string_split(trim(sym), '  ') AS toks"
+            f" FROM v{k - 1}) WHERE len(toks) >= 2) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f", b{k} AS (SELECT x, y, w FROM p{k}"
+            f" ORDER BY w DESC, x || ' ' || y LIMIT 1)"
+        )
+        parts.append(
+            f", v{k} AS (SELECT word, freq, replace(sym,"
+            f" ' ' || (SELECT x FROM b{k}) || '  ' || (SELECT y FROM b{k})"
+            f" || ' ',"
+            f" ' ' || (SELECT x FROM b{k}) || (SELECT y FROM b{k}) || ' ')"
+            f" AS sym FROM v{k - 1})"
+        )
+        finals.append(
+            f"SELECT {k} AS merge_rank, x AS left_sym, y AS right_sym,"
+            f" x || y AS merged, CAST(w AS BIGINT) AS pair_count FROM b{k}"
+        )
+    return (
+        "".join(parts)
+        + " "
+        + " UNION ALL ".join(finals)
+        + " ORDER BY merge_rank"
+    )
+
+
+@query("bpe_merge_train", oracle=_bpe_oracle(_BPE_MERGES))
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge training (the tokenizer-construction step
+    of an LLM data pipeline): count corpus word frequencies once, then run
+    5 BPE rounds on the word-frequency dimension — pick the
+    highest-weight adjacent symbol pair (lexicographic tiebreak), merge it
+    everywhere, repeat. Emits the learned merge table (rank, pair, count),
+    which IS a BPE tokenizer's model file. Pair counts are all-adjacent-
+    position counts (the standard BPE statistic; overlapping runs like
+    'a a a' count twice but merge once — identically on both engines).
+
+    Scale: the corpus contributes exactly one map-side-combinable
+    groupBy(word); every merge round then runs on the |vocab| dimension
+    (like real BPE trainers, which operate on a word-frequency dict).
+    Each round's winning pair is a 1-row aggregate collected to the
+    driver — bounded by construction — and the vocab frame is cached per
+    round so round k does not recompute rounds 1..k-1.
+    """
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(
+                F.lit(" "),
+                F.rtrim(F.regexp_replace("word", "(.)", "$1  ")),
+                F.lit(" "),
+            ),
+        )
+        .cache()
+    )
+    merges = []
+    for k in range(1, _BPE_MERGES + 1):
+        pairs = (
+            vocab.select("freq", F.split(F.trim(F.col("sym")), "  ").alias("toks"))
+            .where(F.size("toks") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(toks) - 2),"
+                        " i -> struct(toks[i] AS x, toks[i + 1] AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("freq").alias("w"))
+        )
+        best = pairs.orderBy(
+            F.desc("w"), F.concat(F.col("x"), F.lit(" "), F.col("y"))
+        ).limit(1)
+        bx, by, bw = best.collect()[0]  # 1 row by construction
+        old = vocab
+        vocab = vocab.withColumn(
+            "sym",
+            F.expr(
+                f"replace(sym, ' {bx}  {by} ', ' {bx}{by} ')"
+            ),
+        ).cache()
+        old.unpersist()
+        merges.append((k, bx, by, bx + by, int(bw)))
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank INT, left_sym STRING, right_sym STRING,"
+        " merged STRING, pair_count BIGINT",
+    ).orderBy("merge_rank")
+
+
+@query(
+    "length_bucket_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), g AS (SELECT max(n_tok) AS global_max FROM d
+    ), b AS (
+      SELECT ((n_tok + 15) // 16) * 16 AS bucket_len, n_tok, g.global_max
+      FROM d, g
+    )
+    SELECT bucket_len,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_len AS BIGINT) AS bucket_padded,
+           CAST((count(*) * bucket_len - sum(n_tok)) * 1000000
+             // (count(*) * bucket_len) AS BIGINT) AS bucket_pad_ppm,
+           CAST((count(*) * any_value(global_max) - sum(n_tok)) * 1000000
+             // (count(*) * any_value(global_max)) AS BIGINT)
+             AS global_pad_ppm
+    FROM b GROUP BY bucket_len ORDER BY bucket_len
+    """,
+)
+def length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing audit: round each document's token
+    count up to a multiple of 16 (the padded sequence length its batch
+    would use), and report per bucket how much padding that costs vs
+    padding every document to the corpus max — the waste length-grouped
+    batching eliminates. All ratios in exact integer ppm.
+
+    Scale: one map-side-combinable groupBy on the derived bucket key; the
+    corpus max rides in via a broadcast 1-row cross join, not a collect.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tok")
+    )
+    g = d.agg(F.max("n_tok").alias("global_max"))
+    return (
+        d.crossJoin(F.broadcast(g))
+        .withColumn("bucket_len", F.expr("((n_tok + 15) div 16) * 16"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            F.expr("count(*) * any_value(bucket_len)").alias("bucket_padded"),
+            F.expr(
+                "(count(*) * any_value(bucket_len) - sum(n_tok)) * 1000000"
+                " div (count(*) * any_value(bucket_len))"
+            ).alias("bucket_pad_ppm"),
+            F.expr(
+                "(count(*) * any_value(global_max) - sum(n_tok)) * 1000000"
+                " div (count(*) * any_value(global_max))"
+            ).alias("global_pad_ppm"),
+        )
+        .orderBy("bucket_len")
+    )
