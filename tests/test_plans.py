@@ -290,3 +290,33 @@ def test_observe_does_not_poison_mllib_arrow_collect(spark, sf_dir):
     assert len(R["observe_pipeline_metrics"].fn(spark, sf_dir).toPandas()) == 1
     tta = R["tta_ten_crop_predict"].fn(spark, sf_dir).toPandas()
     assert len(tta) == 1 and int(tta["min_crops"][0]) == 10
+
+
+def test_curation3_ops_are_map_only_or_single_shuffle(spark, sf_dir):
+    """pii_scrub is a pure map (no exchange at all); line_dedup_exact's only
+    corpus-sized shuffle is the line-key hash partition; the mix/packing/
+    novelty rollups never produce a cartesian or nested-loop join."""
+    plan = plan_of(spark, sf_dir, "pii_scrub")
+    # map-only corpus rewrite: the single Exchange allowed is the edge sort
+    assert plan.count("Exchange") <= 1, "pii_scrub: unexpected shuffle"
+    assert "Join" not in plan
+    for name in (
+        "line_dedup_exact",
+        "domain_mix_weights",
+        "shingle_novelty_curve",
+        "length_bucket_packing",
+        "bpe_merge_train",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+
+
+def test_packing_and_novelty_broadcast_the_corpus_scalar(spark, sf_dir):
+    """The corpus max (doc_id / token count) must ride in as a broadcast
+    1-row join, never via a driver collect or a corpus-wide window."""
+    for name in ("shingle_novelty_curve", "length_bucket_packing"):
+        p = plan_of(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
+            f"{name}: corpus scalar not broadcast"
+        )
