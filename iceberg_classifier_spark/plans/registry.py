@@ -68,6 +68,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         geo,
         pysource,
         modernapi,

@@ -320,3 +320,44 @@ def test_packing_and_novelty_broadcast_the_corpus_scalar(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, (
             f"{name}: corpus scalar not broadcast"
         )
+
+
+def test_analytics4_wave_plan_shapes(spark, sf_dir):
+    """The stats wave stays blocked/broadcast: no cartesian or row-Python
+    anywhere; PMI's support-filtered pair frame joins the unigram dim
+    without a nested loop; the KS ECDF never sorts raw rows globally."""
+    for name in (
+        "ks_two_sample",
+        "mutual_info_events",
+        "acf_daily_counts",
+        "trimmed_winsor_price",
+        "token_pmi_pairs",
+        "feature_hash_bow",
+        "zipf_token_fit",
+        "rle_layout_audit",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+
+
+def test_ks_prefix_sum_is_two_level(spark, sf_dir):
+    """ks_two_sample's cumulative ECDF must be the distributed two-level
+    prefix sum: the only unpartitioned window runs over range-bucket
+    subtotals (dimension-sized), and the per-value cumsum window is
+    partitioned by bucket — never a single-partition window over every
+    distinct value."""
+    df = REGISTRY["ks_two_sample"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the value-level window is partitioned by bkt
+    assert "windowspecdefinition(bkt" in analyzed
+    plan = plan_of(spark, sf_dir, "ks_two_sample")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    """The top-256 token selection must compile to TakeOrderedAndProject
+    (per-partition top-N + merge), never a full global sort of the
+    token dimension."""
+    plan = plan_of(spark, sf_dir, "zipf_token_fit")
+    assert "TakeOrderedAndProject" in plan
