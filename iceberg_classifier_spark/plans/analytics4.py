@@ -792,3 +792,161 @@ def rle_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.expr("n_runs * 1000000 div n_rows").alias("runs_ppm"),
     ).orderBy("sort_key", "col")
+
+
+@query(
+    "fano_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT CAST(count(DISTINCT day) AS BIGINT) AS n FROM daily
+    ), per_user AS (
+      SELECT user_id, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT user_id, span.n AS n_days, s AS total_events,
+           round(CAST(span.n * s2 - s * s AS DOUBLE) / (span.n * s), 6)
+             AS fano
+    FROM per_user CROSS JOIN span
+    QUALIFY row_number() OVER (ORDER BY s DESC, user_id) <= 20
+    ORDER BY total_events DESC, user_id
+    """,
+)
+def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of the daily count series, inactive days
+    counted as zero) for the 20 most active users — the burstiness index
+    that separates steady heartbeat traffic (~1 for Poisson) from bursty
+    campaign-driven users (>>1). Zero-days contribute nothing to the sums,
+    so var and mean come from the exact identity
+    fano = (n*sum(x^2) - S^2) / (n*S) — pure int64 until the final 6dp
+    display division.
+
+    Scale: daily counts are one map-side-combinable groupBy(user, day);
+    per-user moments a second combinable agg on the (user, day) dimension;
+    the active-day span broadcasts as a 1-row frame; top-20 is a bounded
+    TakeOrdered.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    span = daily.agg(F.count_distinct("day").cast("bigint").alias("n"))
+    per_user = daily.groupBy("user_id").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    w = Window.orderBy(F.desc("s"), "user_id")
+    return (
+        per_user.crossJoin(F.broadcast(span))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select(
+            "user_id",
+            F.col("n").alias("n_days"),
+            F.col("s").alias("total_events"),
+            F.round(
+                (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+                / (F.col("n") * F.col("s")),
+                6,
+            ).alias("fano"),
+        )
+        .orderBy(F.desc("total_events"), "user_id")
+    )
+
+
+@query(
+    "cross_corr_types",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.day, t.event_type, COALESCE(c.x, 0) AS x
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+             CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+             CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+             CAST(sum(b.x * b.x) AS BIGINT) AS syy
+      FROM grid a JOIN grid b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr
+    FROM pairs ORDER BY type_a, type_b
+    """,
+)
+def cross_corr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event types' daily count
+    series (dense grid — a type with no events on a day counts 0, which a
+    naive join would silently skip) — the co-movement screen behind
+    "do purchases track clicks?". Numerator and variance terms are the
+    exact int64 moment identities; only the final corr is a double, built
+    from the identical IEEE expression on both engines.
+
+    Scale: one map-side-combinable groupBy(day, type) collapses the corpus;
+    the dense grid, the |types|^2/2 pair join, and the moment sums all run
+    on the (days x types) dimension, never on raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    cnt = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    days = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(cnt, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("a.x").cast("bigint").alias("sx"),
+            F.sum("b.x").cast("bigint").alias("sy"),
+            F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("sxy"),
+            F.sum(F.col("a.x") * F.col("a.x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("b.x") * F.col("b.x")).cast("bigint").alias("syy"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("corr"),
+    ).orderBy("type_a", "type_b")

@@ -220,3 +220,56 @@ def hll_union_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pa", "pb")
     )
+
+
+@query(
+    "melt_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_max
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n ON n.n_nationkey = c_nationkey
+      GROUP BY 1
+    )
+    SELECT nation, metric, value
+    FROM (UNPIVOT wide ON n_orders, cents_sum, cents_max
+          INTO NAME metric VALUE value)
+    ORDER BY nation, metric
+    """,
+)
+def melt_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape through the native DataFrame.unpivot (melt)
+    API — Spark 3.4+'s built-in inverse of pivot: per-nation order metrics
+    (count, cents sum, cents max) unpivoted to (nation, metric, value)
+    rows, the shape metric stores and plotting layers ingest.
+
+    Scale: the wide frame is one broadcast-dim star join + combinable agg
+    on the nation dimension; unpivot itself is a zero-shuffle Expand (each
+    input row emits |metrics| rows map-side).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr(cents)).cast("bigint").alias("cents_sum"),
+            F.max(F.expr(cents)).cast("bigint").alias("cents_max"),
+        )
+    )
+    return wide.unpivot(
+        ids=["nation"],
+        values=["n_orders", "cents_sum", "cents_max"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("nation", "metric")

@@ -69,6 +69,8 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
+        search,
         geo,
         pysource,
         modernapi,

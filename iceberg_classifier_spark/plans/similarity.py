@@ -544,3 +544,120 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), q AS (SELECT * FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS cand_id, (c.label = q.label) AS same_label,
+             list_dot_product(q.v, c.v) / (c.nrm * q.nrm) AS cos
+      FROM q JOIN n c ON q.vec_id <> c.vec_id
+    ), best AS (
+      SELECT query_id, query_label, cand_id, same_label, cos
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id, same_label
+                                 ORDER BY cos DESC, cand_id) = 1
+    )
+    SELECT query_id, CAST(any_value(query_label) AS BIGINT) AS query_label,
+           max(CASE WHEN same_label THEN cand_id END) AS pos_id,
+           round(max(CASE WHEN same_label THEN cos END), 6) AS pos_cos,
+           max(CASE WHEN NOT same_label THEN cand_id END) AS neg_id,
+           round(max(CASE WHEN NOT same_label THEN cos END), 6) AS neg_cos,
+           round(max(CASE WHEN same_label THEN cos END)
+                 - max(CASE WHEN NOT same_label THEN cos END), 6) AS margin
+    FROM best GROUP BY query_id ORDER BY query_id
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each query
+    vector, the nearest SAME-label neighbor (the positive) and the nearest
+    DIFFERENT-label neighbor (the hard negative), plus the margin between
+    them — the batch-construction step of triplet/contrastive fine-tuning.
+    Same fixed-point integer dot products as ann_bruteforce_topk, so
+    ranking and 6dp cosines are bit-exact across engines.
+
+    Scale: the same blocked-GEMM shape as ann_bruteforce_topk
+    (iceberg_classifier_spark/plans/similarity.py:24) — queries broadcast
+    in the closure, each Arrow batch emits only its local best
+    positive/negative per query (2 rows per query per partition), and a
+    bounded window merge picks the global winners. One corpus pass, no
+    scored-pair shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000).cast("long")
+        ).alias("vi"),
+    )
+    qrows = sorted(
+        e.where(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r.vec_id
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlab = np.array([r.label for r in qrows], dtype=np.int64)
+    Q = np.array([r.vi for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def best_blocks(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labs = pdf["label"].to_numpy(dtype=np.int64)
+            M = np.stack(pdf["vi"].to_numpy()).astype(np.float64)
+            nn = np.sqrt((M * M).sum(axis=1))
+            cos = (M @ Q.T) / (nn[:, None] * qn[None, :])
+            rows = []
+            for j in range(len(qids)):
+                for same in (True, False):
+                    keep = np.flatnonzero(
+                        (ids != qids[j]) & ((labs == qlab[j]) == same)
+                    )
+                    if not len(keep):
+                        continue
+                    k = keep[np.lexsort((ids[keep], -cos[keep, j]))][0]
+                    rows.append(
+                        (int(qids[j]), int(qlab[j]), int(ids[k]), same,
+                         float(cos[k, j]))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["query_id", "query_label", "cand_id", "same_label", "cos"],
+            )
+
+    scored = e.mapInPandas(
+        best_blocks,
+        "query_id long, query_label long, cand_id long,"
+        " same_label boolean, cos double",
+    )
+    w = Window.partitionBy("query_id", "same_label").orderBy(
+        F.col("cos").desc(), "cand_id"
+    )
+    best = scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    pos_cos = F.max(F.when(F.col("same_label"), F.col("cos")))
+    neg_cos = F.max(F.when(~F.col("same_label"), F.col("cos")))
+    return (
+        best.groupBy("query_id")
+        .agg(
+            F.any_value("query_label").cast("bigint").alias("query_label"),
+            F.max(F.when(F.col("same_label"), F.col("cand_id"))).alias("pos_id"),
+            F.round(pos_cos, 6).alias("pos_cos"),
+            F.max(F.when(~F.col("same_label"), F.col("cand_id"))).alias("neg_id"),
+            F.round(neg_cos, 6).alias("neg_cos"),
+            F.round(pos_cos - neg_cos, 6).alias("margin"),
+        )
+        .orderBy("query_id")
+    )

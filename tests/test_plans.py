@@ -361,3 +361,58 @@ def test_zipf_topk_is_take_ordered(spark, sf_dir):
     token dimension."""
     plan = plan_of(spark, sf_dir, "zipf_token_fit")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_search_wave_plan_shapes(spark, sf_dir):
+    """BM25 must prune postings through a broadcast of the tiny query-term
+    dim before any shuffle; the wave stays free of cartesians and
+    row-Python (mapInPandas/Arrow in hard_negative_mining is the
+    deliberate vectorized kernel, same as ann_bruteforce_topk)."""
+    p = plan_of(spark, sf_dir, "bm25_search")
+    assert "BroadcastHashJoin" in p, "bm25: query terms not broadcast"
+    assert "CartesianProduct" not in p
+    for name in (
+        "idf_stopword_discovery",
+        "session_path_topk",
+        "fano_burstiness",
+        "cross_corr_types",
+        "hard_negative_mining",
+        "melt_unpivot_metrics",
+    ):
+        q = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in q, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in q, f"{name}: row-Python UDF"
+
+
+def test_session_path_shares_user_shuffle(spark, sf_dir):
+    """Sessionization and the per-session rank must ride ONE hash exchange
+    on user_id (HashPartitioning(user) satisfies the (user, session_no)
+    window's clustering), so adding the path report costs no extra
+    corpus shuffle beyond events_sessionize's."""
+    plan = plan_of(spark, sf_dir, "session_path_topk")
+    assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_unpivot_is_map_side_expand(spark, sf_dir):
+    """DataFrame.unpivot compiles to Expand — a zero-shuffle map-side
+    row multiplier, not a join or union of scans."""
+    plan = plan_of(spark, sf_dir, "melt_unpivot_metrics")
+    assert "Expand" in plan
+
+
+def test_analytics5_wave_plan_shapes(spark, sf_dir):
+    """Wave-5 ops run on dimension-sized frames after one combinable
+    corpus pass: no cartesians, no row-Python; the assortativity edge
+    list and KN head filter ride broadcast joins."""
+    for name in (
+        "graph_degree_assortativity",
+        "mix_shift_decomposition",
+        "uplift_stratified",
+        "dataset_card_report",
+        "kn_bigram_lm",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+    p = plan_of(spark, sf_dir, "kn_bigram_lm")
+    assert "BroadcastHashJoin" in p, "kn: heads not broadcast"
