@@ -71,6 +71,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics4,
         analytics5,
         search,
+        pipeline_ops,
         geo,
         pysource,
         modernapi,

@@ -108,6 +108,40 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _plane_term(p):
+    # ±1 hyperplane weight from an integer LCG of (plane, dim) — pure
+    # int64 arithmetic, reproducible in any engine (vs xxhash64)
+    return lambda x, j: x * F.when(
+        (
+            (
+                F.lit(1103515245).cast("bigint")
+                * (F.lit(p * 64).cast("bigint") + j)
+                + 12345
+            )
+            / 16
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def _lsh_bucket(vcol):
+    """Random-hyperplane sign bucket shared by ann_lsh_topk and
+    ndcg_ann_eval (LCG planes — both engines rebuild identical buckets)."""
+    bits = []
+    for p in range(N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(vcol, F.sequence(F.lit(0), F.size(vcol) - 1), _plane_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(0))
+    return sum(bits[1:], bits[0])
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
@@ -169,36 +203,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: F.round(x.cast("double") * 10000)
         ).alias("v"),
     )
-
-    def plane_term(p):
-        # ±1 hyperplane weight from an integer LCG of (plane, dim) — pure
-        # int64 arithmetic, reproducible in any engine (vs xxhash64)
-        return lambda x, j: x * F.when(
-            (
-                (
-                    F.lit(1103515245).cast("bigint")
-                    * (F.lit(p * 64).cast("bigint") + j)
-                    + 12345
-                )
-                / 16
-            ).cast("bigint")
-            % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-
-    def bucket(vcol):
-        bits = []
-        for p in range(N_PLANES):
-            dot = F.aggregate(
-                F.zip_with(vcol, F.sequence(F.lit(0), F.size(vcol) - 1), plane_term(p)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot > 0, F.lit(2**p)).otherwise(0))
-        return sum(bits[1:], bits[0])
-
-    eb = e.withColumn("bucket", bucket(F.col("v")).cast("bigint"))
+    eb = e.withColumn("bucket", _lsh_bucket(F.col("v")).cast("bigint"))
     q = eb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
@@ -658,6 +663,156 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(~F.col("same_label"), F.col("cand_id"))).alias("neg_id"),
             F.round(neg_cos, 6).alias("neg_cos"),
             F.round(pos_cos - neg_cos, 6).alias("margin"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "ndcg_ann_eval",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), bits AS (
+      SELECT e.vec_id, pl.p,
+             sum(e.v[j.j + 1]
+                 * (CASE WHEN ((1103515245 * (pl.p * 64 + j.j) + 12345) // 16)
+                              % 2 = 0
+                         THEN 1 ELSE -1 END)) AS dot
+      FROM e,
+           (SELECT unnest(range(0, {N_PLANES})) AS p) pl,
+           (SELECT unnest(range(0, 64)) AS j) j
+      GROUP BY 1, 2
+    ), eb AS (
+      SELECT b.vec_id,
+             CAST(sum(CASE WHEN b.dot > 0 THEN 1 << b.p ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM bits b GROUP BY 1
+    ), ev AS (
+      SELECT eb.vec_id, eb.bucket, n.v, n.nrm FROM eb JOIN n USING (vec_id)
+    ), lsh AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS pos
+      FROM ev q JOIN ev c
+        ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES}
+       AND q.vec_id <> c.vec_id
+      QUALIFY pos <= {TOP_K}
+    ), exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                        c.vec_id) AS erank
+      FROM (SELECT * FROM n WHERE vec_id < {N_QUERIES}) q
+      JOIN n c ON q.vec_id <> c.vec_id
+      QUALIFY erank <= {TOP_K}
+    ), gains AS (
+      SELECT l.query_id, l.pos,
+             COALESCE({TOP_K} + 1 - x.erank, 0) AS gain
+      FROM lsh l LEFT JOIN exact x
+        ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+    ), dcg AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_lsh,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(gain * ln(2.0) / ln(pos + 1.0) ORDER BY pos)),
+               (a, v) -> a + v) AS dcg
+      FROM gains GROUP BY 1
+    ), idcg AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(({TOP_K} + 1 - i) * ln(2.0) / ln(i + 1.0) ORDER BY i)),
+               (a, v) -> a + v) AS idcg
+      FROM (SELECT unnest(range(1, {TOP_K} + 1)) AS i)
+    )
+    SELECT query_id, n_lsh, round(dcg, 6) AS dcg,
+           round(dcg / idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg ORDER BY query_id
+    """,
+)
+def ndcg_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the LSH approximate ranking against exact-cosine ground
+    truth: relevance of a retrieved neighbor = k+1 - its exact rank (0 if
+    outside the exact top-k), discounted by 1/log2(pos+1) over the LSH
+    list — the position-aware quality metric that recall@k (ann_ivf_recall)
+    misses (recall treats a hit at rank 1 and rank k the same). Both the
+    LSH list and the exact list are bit-exact fixed-point rankings, and
+    every DCG fold runs in position order on both engines.
+
+    Scale: the LSH side is the bucketed equi-join (candidate volume =
+    bucket occupancy); the exact side is the eval harness's deliberate
+    |queries|x|corpus| scan — bounded by the tiny query set, and at
+    full scale delegated to the blocked-GEMM kernel ann_bruteforce_topk
+    already implements.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
+    )
+    eb = e.withColumn("bucket", _lsh_bucket(F.col("v")).cast("bigint"))
+    q = eb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cos = A.cosine(F.col("qv"), F.col("v"))
+    wl = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    lsh = (
+        F.broadcast(q)
+        .join(eb, "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("pos", F.row_number().over(wl))
+        .where(F.col("pos") <= TOP_K)
+        .select("query_id", "neighbor_id", "pos")
+    )
+    qe = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = (
+        F.broadcast(qe)
+        .crossJoin(e)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        )
+        .withColumn("erank", F.row_number().over(wl))
+        .where(F.col("erank") <= TOP_K)
+        .select("query_id", "neighbor_id", "erank")
+    )
+    gains = lsh.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "pos",
+        F.coalesce(F.lit(TOP_K) + 1 - F.col("erank"), F.lit(0)).alias("gain"),
+    )
+    dcg = gains.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(pos,"
+            " gain * ln(2.0D) / ln(pos + 1.0D) AS t))),"
+            " CAST(0.0 AS DOUBLE), (a, e) -> a + e.t)"
+        ).alias("dcg"),
+    )
+    idcg = spark.range(1, TOP_K + 1).agg(
+        F.expr(
+            f"aggregate(sort_array(collect_list(struct(id,"
+            f" ({TOP_K} + 1 - id) * ln(2.0D) / ln(id + 1.0D) AS t))),"
+            f" CAST(0.0 AS DOUBLE), (a, e) -> a + e.t)"
+        ).alias("idcg")
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            "query_id",
+            "n_lsh",
+            F.round("dcg", 6).alias("dcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
         .orderBy("query_id")
     )

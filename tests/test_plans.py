@@ -416,3 +416,30 @@ def test_analytics5_wave_plan_shapes(spark, sf_dir):
         assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
     p = plan_of(spark, sf_dir, "kn_bigram_lm")
     assert "BroadcastHashJoin" in p, "kn: heads not broadcast"
+
+
+def test_pipeline_ops_wave_plan_shapes(spark, sf_dir):
+    """Operational wave: no cartesians / row-Python; the skyline and
+    lateness prefix passes ride broadcast joins of dimension frames
+    (ndcg's exact side is the eval harness's one deliberate broadcast
+    cross, like ann_bruteforce_topk)."""
+    for name in (
+        "debounce_events",
+        "funnel_time_to_convert",
+        "late_arrival_watermark_audit",
+        "skyline_orders_2d",
+        "dp_noisy_counts",
+        "rendezvous_shard_balance",
+        "quantile_normalize_embeddings",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, "skyline_orders_2d")
+
+
+def test_rendezvous_is_map_only(spark, sf_dir):
+    """The 8-weight argmax must be a per-row projection: exactly the one
+    rollup exchange (plus AQE reads), never an explode-join."""
+    p = plan_of(spark, sf_dir, "rendezvous_shard_balance")
+    assert "Generate" not in p, "rendezvous: unexpected explode"
