@@ -252,12 +252,14 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(1 - treated) AS BIGINT) AS n_control,
            CAST(sum(treated * conv) AS BIGINT) AS conv_treated,
            CAST(sum((1 - treated) * conv) AS BIGINT) AS conv_control,
-           CAST(sum(treated * conv) * 1000000 // sum(treated) AS BIGINT)
-             AS rate_treated_ppm,
-           CAST(sum((1 - treated) * conv) * 1000000 // sum(1 - treated)
-                AS BIGINT) AS rate_control_ppm,
-           CAST(sum(treated * conv) * 1000000 // sum(treated)
-                - sum((1 - treated) * conv) * 1000000 // sum(1 - treated)
+           CAST(sum(treated * conv) * 1000000
+                // nullif(sum(treated), 0) AS BIGINT) AS rate_treated_ppm,
+           CAST(sum((1 - treated) * conv) * 1000000
+                // nullif(sum(1 - treated), 0) AS BIGINT)
+             AS rate_control_ppm,
+           CAST(sum(treated * conv) * 1000000 // nullif(sum(treated), 0)
+                - sum((1 - treated) * conv) * 1000000
+                  // nullif(sum(1 - treated), 0)
                 AS BIGINT) AS uplift_ppm
     FROM st GROUP BY 1 ORDER BY 1
     """,
@@ -296,15 +298,19 @@ def uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((1 - F.col("treated")) * F.col("conv"))
             .cast("bigint")
             .alias("conv_control"),
-            F.expr("sum(treated * conv) * 1000000 div sum(treated)")
+            F.expr("sum(treated * conv) * 1000000 div nullif(sum(treated), 0)")
             .cast("bigint")
             .alias("rate_treated_ppm"),
-            F.expr("sum((1 - treated) * conv) * 1000000 div sum(1 - treated)")
+            F.expr(
+                "sum((1 - treated) * conv) * 1000000"
+                " div nullif(sum(1 - treated), 0)"
+            )
             .cast("bigint")
             .alias("rate_control_ppm"),
             F.expr(
-                "sum(treated * conv) * 1000000 div sum(treated)"
-                " - sum((1 - treated) * conv) * 1000000 div sum(1 - treated)"
+                "sum(treated * conv) * 1000000 div nullif(sum(treated), 0)"
+                " - sum((1 - treated) * conv) * 1000000"
+                "   div nullif(sum(1 - treated), 0)"
             )
             .cast("bigint")
             .alias("uplift_ppm"),

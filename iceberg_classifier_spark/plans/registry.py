@@ -75,6 +75,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         geo,
         pysource,
         modernapi,
+        modernapi2,
     )
 
     return REGISTRY

@@ -443,3 +443,24 @@ def test_rendezvous_is_map_only(spark, sf_dir):
     rollup exchange (plus AQE reads), never an explode-join."""
     p = plan_of(spark, sf_dir, "rendezvous_shard_balance")
     assert "Generate" not in p, "rendezvous: unexpected explode"
+
+
+def test_lateral_decorrelates_to_ranked_shuffle(spark, sf_dir):
+    """The LATERAL top-k subquery must decorrelate: no nested-loop
+    re-execution, no cartesian — one windowed rank like the DataFrame
+    formulation."""
+    p = plan_of(spark, sf_dir, "lateral_topk_customers")
+    assert "CartesianProduct" not in p
+    assert "Window" in p or "WindowGroupLimit" in p
+
+
+def test_modernapi2_wave_runs_clean(spark, sf_dir):
+    for name in (
+        "xml_roundtrip",
+        "recursive_cte_reachability",
+        "collation_ci_vocab",
+        "sql_variable_threshold_report",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
