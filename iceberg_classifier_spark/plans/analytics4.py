@@ -839,11 +839,11 @@ def fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("s"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
     )
-    w = Window.orderBy(F.desc("s"), "user_id")
+    # top-20 via TakeOrdered — never a rank window over the user dimension
     return (
-        per_user.crossJoin(F.broadcast(span))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        per_user.orderBy(F.desc("s"), "user_id")
+        .limit(20)
+        .crossJoin(F.broadcast(span))
         .select(
             "user_id",
             F.col("n").alias("n_days"),

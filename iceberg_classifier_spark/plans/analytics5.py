@@ -478,19 +478,16 @@ def kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.v", "p.w")
     cb = pr.groupBy("v", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # top-20 heads via TakeOrdered — never a rank window over the full
+    # head-word dimension
     heads = (
         cb.groupBy("v")
         .agg(
             F.sum("c").cast("bigint").alias("cv"),
             F.count(F.lit(1)).cast("bigint").alias("fanout"),
         )
-        .select(
-            "v",
-            "cv",
-            "fanout",
-            F.row_number().over(Window.orderBy(F.desc("cv"), "v")).alias("rk"),
-        )
-        .where(F.col("rk") <= _KN_HEADS)
+        .orderBy(F.desc("cv"), "v")
+        .limit(_KN_HEADS)
     )
     cont = cb.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1w"))
     btot = cb.agg(F.count(F.lit(1)).cast("bigint").alias("b"))

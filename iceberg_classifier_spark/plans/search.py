@@ -98,10 +98,16 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("bigint").alias("total_dl"),
     )
     rank_case = "CASE WHEN rk IN (3, 8) THEN 1 WHEN rk IN (13, 18) THEN 2 ELSE 3 END"
-    terms = (
+    # top-28 via TakeOrdered (bounded), THEN rank within the 28-row frame —
+    # never a row_number window over the full vocabulary dimension
+    top28 = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
-        .select(
+        .orderBy(F.desc("c"), "word")
+        .limit(max(_QUERY_RANKS))
+    )
+    terms = (
+        top28.select(
             "word",
             F.row_number().over(Window.orderBy(F.desc("c"), "word")).alias("rk"),
         )

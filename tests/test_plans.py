@@ -464,3 +464,11 @@ def test_modernapi2_wave_runs_clean(spark, sf_dir):
         p = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in p, f"{name}: cartesian product"
         assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+
+
+def test_new_topk_selections_are_take_ordered(spark, sf_dir):
+    """Top-k selections over unbounded dimensions (vocabulary, heads,
+    users) must compile to TakeOrderedAndProject, never a rank window
+    over the whole dimension in one partition."""
+    for name in ("bm25_search", "kn_bigram_lm", "fano_burstiness"):
+        assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, name), name
