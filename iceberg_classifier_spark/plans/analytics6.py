@@ -1,0 +1,400 @@
+"""Analytics wave 6 — time-series decomposition, weighted sampling
+without replacement, sequential hypothesis testing, and a quality-ordered
+training curriculum.
+
+Numeric discipline: exact int64 micro-units feed every float; integer
+division is used ONLY on non-negative values (Spark's `div` truncates
+toward zero while DuckDB's `//` floors — they agree only for
+non-negatives, so anything signed stays in round(double, 6) form built
+from identical integer inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+
+@query(
+    "ts_decomposition_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS x_micro
+      FROM events GROUP BY 1
+    ), tr AS (
+      SELECT day, x_micro,
+             CAST(sum(x_micro) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wcnt
+      FROM daily
+      WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+                                          AND INTERVAL 3 DAY FOLLOWING)
+    ), trend AS (
+      SELECT day, x_micro,
+             CASE WHEN wcnt = 7
+                  THEN round(CAST(wsum AS DOUBLE) / wcnt, 6) END AS trend
+      FROM tr
+    ), dows AS (
+      SELECT dayofweek(day) AS dow,
+             round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(x_micro - trend ORDER BY day)),
+                   (a, v) -> a + v) / count(*), 6) AS seasonal
+      FROM trend WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT t.day, t.x_micro, t.trend,
+           round(d.seasonal, 6) AS seasonal,
+           round(t.x_micro - t.trend - d.seasonal, 6) AS residual
+    FROM trend t JOIN dows d ON d.dow = dayofweek(t.day)
+    WHERE t.trend IS NOT NULL
+    ORDER BY t.day
+    """,
+)
+def ts_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily event-value series:
+    trend = centered 7-day moving average (only where the full window
+    exists), seasonal = day-of-week mean of the detrended series,
+    residual = remainder — the explainability report behind anomaly
+    triage ("is Monday low, or is this Monday low?"). Daily sums are
+    exact 1e-4-unit integers; averages are round-6 doubles from those
+    integers (avg folds over counts, identical both engines at 6 dp).
+
+    Scale: one map-side-combinable groupBy(day) collapses the corpus;
+    the moving-average RANGE window, the dow means, and the join all run
+    on the |days| dimension.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("x_micro")
+        )
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-3, 3)
+    )
+    tr = daily.select(
+        "day",
+        "x_micro",
+        F.sum("x_micro").over(w).cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wcnt"),
+    )
+    trend = tr.select(
+        "day",
+        "x_micro",
+        F.when(
+            F.col("wcnt") == 7,
+            F.round(F.col("wsum").cast("double") / F.col("wcnt"), 6),
+        ).alias("trend"),
+    )
+    # day-ordered fold: the detrended values are ~1e9-magnitude doubles,
+    # where a shuffle-order sum can flip the 6th decimal
+    dows = (
+        trend.where(F.col("trend").isNotNull())
+        .groupBy(F.dayofweek("day").alias("dow"))
+        .agg(
+            F.round(
+                F.expr(
+                    "aggregate(sort_array(collect_list(struct(day,"
+                    " x_micro - trend AS t))), CAST(0.0 AS DOUBLE),"
+                    " (a, e) -> a + e.t)"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        trend.where(F.col("trend").isNotNull())
+        .join(F.broadcast(dows), F.dayofweek(trend.day) == dows.dow)
+        .select(
+            "day",
+            "x_micro",
+            "trend",
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("x_micro") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+_HEX = "0123456789abcdef"
+_ES_K = 10
+
+
+@query(
+    "weighted_sample_es_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, w,
+             ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, 13),
+                     k -> CAST(strpos('{_HEX}',
+                            substr(md5(CAST(doc_id AS VARCHAR)),
+                                   CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
+                   (acc, c) -> acc * 16 + c) AS DOUBLE) + 0.5)
+                / 4503599627370496) / w AS es_key
+      FROM d WHERE w > 0
+    )
+    SELECT doc_id, w AS weight, round(es_key, 6) AS es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_ES_K}
+    """,
+)
+def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    each document draws u from its portable md5 hash and competes with
+    key u^(1/w) — the top-k keys are a weighted sample where longer
+    documents win proportionally more often. Ordering by ln(u)/w is the
+    monotone-equivalent form that avoids the pow; u=(hash52+0.5)/2^52 is
+    exactly reproducible, so the SAMPLE ITSELF is value-checked (the
+    usual sample() is engine-random and untestable).
+
+    Scale: map-only key computation + one bounded TakeOrdered — the
+    standard distributed weighted-sampling plan (per-partition top-k then
+    merge). Complements sample_weighted_det (Bernoulli, replacement-
+    agnostic) with the fixed-size-without-replacement variant.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("w"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / 4503599627370496
+    return (
+        d.where(F.col("w") > 0)
+        .select(
+            "doc_id",
+            F.col("w").alias("weight"),
+            (F.log(u) / F.col("w")).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(_ES_K)
+        .select("doc_id", "weight", F.round("es_key", 6).alias("es_key"))
+    )
+
+
+# SPRT: H0 purchase share p0 vs H1 p1, alpha = beta = 0.05
+_P0, _P1 = 0.2, 0.25
+
+
+@query(
+    "sprt_sequential_test",
+    oracle=f"""
+    WITH e AS (
+      SELECT ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      FROM events
+    ), walk AS (
+      SELECT row_number() OVER (ORDER BY ts, event_id) AS n,
+             sum(hit) OVER (ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS k
+      FROM e
+    ), llr AS (
+      SELECT n, k,
+             k * ln({_P1} / {_P0})
+               + (n - k) * ln((1 - {_P1}) / (1 - {_P0})) AS llr
+      FROM walk
+    ), crossing AS (
+      SELECT n, k, llr,
+             CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+                  WHEN llr <= -ln(19.0) THEN 'accept_h0' END AS decision
+      FROM llr
+    ), first_cross AS (
+      SELECT * FROM crossing WHERE decision IS NOT NULL
+      ORDER BY n LIMIT 1
+    ), tail AS (
+      SELECT n, k, llr, 'inconclusive' AS decision
+      FROM llr ORDER BY n DESC LIMIT 1
+    )
+    SELECT decision, CAST(n AS BIGINT) AS n_at_decision,
+           CAST(k AS BIGINT) AS k_at_decision, round(llr, 6) AS llr
+    FROM (SELECT * FROM first_cross UNION ALL
+          SELECT * FROM tail WHERE NOT EXISTS (SELECT 1 FROM first_cross))
+    """,
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test over the ordered event
+    stream: is the purchase share p1=0.25 (H1) or p0=0.20 (H0)? The
+    log-likelihood ratio is a closed form of the running counts
+    (k·ln(p1/p0) + (n-k)·ln(q1/q0)), so the walk needs only a running
+    purchase count; the test reports the FIRST boundary crossing
+    (±ln 19 for alpha=beta=0.05) — the early-stopping machinery of
+    sequential A/B testing, on a batch stream.
+
+    Scale: the running count is a prefix sum over the event order — the
+    two-level bucketed pattern at full scale (this plan uses the
+    single-window form on the |events| frame; see
+    late_arrival_watermark_audit for the bucketed construction) — and
+    the first crossing is a bounded TakeOrdered.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("bigint").alias("hit"),
+    )
+    wo = Window.partitionBy().orderBy("ts", "event_id")
+    walk = e.select(
+        F.row_number().over(wo).alias("n"),
+        F.sum("hit")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("k"),
+    )
+    import math
+
+    llr = walk.select(
+        "n",
+        "k",
+        (
+            F.col("k") * math.log(_P1 / _P0)
+            + (F.col("n") - F.col("k")) * math.log((1 - _P1) / (1 - _P0))
+        ).alias("llr"),
+    )
+    a = math.log(19.0)
+    crossing = llr.select(
+        "n",
+        "k",
+        "llr",
+        F.when(F.col("llr") >= a, F.lit("accept_h1"))
+        .when(F.col("llr") <= -a, F.lit("accept_h0"))
+        .alias("decision"),
+    )
+    first_cross = (
+        crossing.where(F.col("decision").isNotNull())
+        .orderBy("n")
+        .limit(1)
+        .withColumn("prio", F.lit(0))
+    )
+    tail = (
+        crossing.orderBy(F.desc("n"))
+        .limit(1)
+        .select("n", "k", "llr", F.lit("inconclusive").alias("decision"))
+        .withColumn("prio", F.lit(1))
+    )
+    # one plan, no driver-side branch: the crossing row (prio 0) wins the
+    # bounded 2-row merge when it exists
+    picked = first_cross.unionByName(tail).orderBy("prio").limit(1)
+    return picked.select(
+        "decision",
+        F.col("n").cast("bigint").alias("n_at_decision"),
+        F.col("k").cast("bigint").alias("k_at_decision"),
+        F.round("llr", 6).alias("llr"),
+    )
+
+
+@query(
+    "curriculum_quality_schedule",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+               AS n_distinct
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_tok,
+             CAST(n_distinct * 1000000 // n_tok AS BIGINT) AS ttr_micro
+      FROM d WHERE n_tok > 0
+    ), g AS (
+      SELECT ttr_micro, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n_tok) AS BIGINT) AS toks
+      FROM scored GROUP BY 1
+    ), c AS (
+      SELECT ttr_micro, cnt, toks,
+             sum(cnt) OVER (ORDER BY ttr_micro DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM g
+    ), dec AS (
+      SELECT least(((cum - 1) * 10) // n, 9) AS decile,
+             CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens
+      FROM c GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, tokens,
+           CAST(sum(tokens) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
+    FROM dec ORDER BY decile
+    """,
+)
+def curriculum_quality_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered training curriculum: documents ranked by type-token
+    ratio (distinct/total tokens, exact ppm), cut into quality deciles
+    BY VALUE-GROUPED rank arithmetic (cumulative counts over distinct
+    score values — never a per-document ntile), with per-decile and
+    cumulative token budgets — the schedule a curriculum-learning run
+    feeds highest-quality-first. Ties share a score value and land in the
+    decile of their group's last cumulative position, identically on both
+    engines (no within-tie ordering is ever needed).
+
+    Scale: score is map-only; the decile assignment runs on the distinct-
+    score dimension via one cumulative window (two-level bucketed at
+    extreme cardinality); the rollup is 10 rows.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    scored = d.where(F.col("n_tok") > 0).select(
+        "doc_id",
+        "n_tok",
+        F.expr("n_distinct * 1000000 div n_tok").cast("bigint").alias("ttr_micro"),
+    )
+    g = scored.groupBy("ttr_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("n_tok").cast("bigint").alias("toks"),
+    )
+    wc = (
+        Window.partitionBy()
+        .orderBy(F.desc("ttr_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "ttr_micro",
+        "cnt",
+        "toks",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    dec = (
+        c.select(
+            F.least(F.expr("((cum - 1) * 10) div n"), F.lit(9)).alias("decile"),
+            "cnt",
+            "toks",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("tokens"),
+        )
+    )
+    wd = (
+        Window.partitionBy()
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dec.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(wd).cast("bigint").alias("cum_tokens"),
+    ).orderBy("decile")

@@ -70,6 +70,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics3,
         analytics4,
         analytics5,
+        analytics6,
         search,
         pipeline_ops,
         geo,

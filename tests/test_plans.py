@@ -472,3 +472,21 @@ def test_new_topk_selections_are_take_ordered(spark, sf_dir):
     over the whole dimension in one partition."""
     for name in ("bm25_search", "kn_bigram_lm", "fano_burstiness"):
         assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, name), name
+
+
+def test_analytics6_wave_plan_shapes(spark, sf_dir):
+    """Wave-6: sampling compiles to TakeOrdered; no cartesians or
+    row-Python anywhere; the decomposition joins its dow dimension
+    broadcast."""
+    assert "TakeOrderedAndProject" in plan_of(
+        spark, sf_dir, "weighted_sample_es_topk"
+    )
+    for name in (
+        "ts_decomposition_daily",
+        "weighted_sample_es_topk",
+        "sprt_sequential_test",
+        "curriculum_quality_schedule",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
