@@ -73,6 +73,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics6,
         search,
         pipeline_ops,
+        warehouse2,
         geo,
         pysource,
         modernapi,

@@ -490,3 +490,23 @@ def test_analytics6_wave_plan_shapes(spark, sf_dir):
         p = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in p, f"{name}: cartesian product"
         assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+
+
+def test_dpp_join_injects_runtime_pruning(spark, sf_dir):
+    """The day-partitioned fact scan must carry a dynamicpruning
+    subquery fed by the dim side — the 3-of-N partition skip that makes
+    star joins viable at 100 TB."""
+    df = REGISTRY["dpp_prune_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in fact scan"
+
+
+def test_warehouse2_wave_plan_shapes(spark, sf_dir):
+    for name in (
+        "dpp_prune_join",
+        "dynamic_partition_overwrite",
+        "pandas_udaf_geomean",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
