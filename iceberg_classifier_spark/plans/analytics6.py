@@ -398,3 +398,96 @@ def curriculum_quality_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         F.sum("tokens").over(wd).cast("bigint").alias("cum_tokens"),
     ).orderBy("decile")
+
+
+@query(
+    "growth_accounting_daily",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS first_day FROM act GROUP BY 1
+    ), per_day AS (
+      SELECT a.day,
+             CAST(count(*) AS BIGINT) AS dau,
+             CAST(sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users
+      FROM act a JOIN firsts f USING (user_id) GROUP BY 1
+    ), ret AS (
+      SELECT a.day, CAST(count(*) AS BIGINT) AS retained
+      FROM act a JOIN act p
+        ON p.user_id = a.user_id AND p.day = a.day - 1
+      GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, d.dau, d.new_users,
+           d.dau - d.new_users AS returning,
+           COALESCE(r.retained, 0) AS retained_from_prev,
+           COALESCE(lag(d.dau) OVER (ORDER BY d.day), 0)
+             - COALESCE(r.retained, 0) AS churned_from_prev
+    FROM per_day d LEFT JOIN ret r ON r.day = d.day
+    ORDER BY day
+    """,
+)
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: DAU split into new vs returning users,
+    plus day-over-day retained and churned counts — the new/retained/
+    churned/resurrected ledger every growth team keeps (resurrected =
+    returning - retained_from_prev, derivable from the output).
+
+    Scale: the corpus collapses once to the distinct (user, day) activity
+    frame (map-side combinable dedup); first-seen days are one combinable
+    MIN on the user dimension; the day-over-day self-join runs on the
+    activity frame keyed by user — all downstream frames are
+    dimension-sized. The final lag window is over |days| rows.
+    """
+    act = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    firsts = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = (
+        act.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dau"),
+            F.sum((F.col("first_day") == F.col("day")).cast("int"))
+            .cast("bigint")
+            .alias("new_users"),
+        )
+    )
+    a, p = act.alias("a"), act.alias("p")
+    ret = (
+        a.join(
+            p,
+            (F.col("p.user_id") == F.col("a.user_id"))
+            & (F.col("p.day") == F.date_sub(F.col("a.day"), 1)),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("retained"))
+    )
+    wl = Window.partitionBy().orderBy("day")
+    return (
+        per_day.join(ret, "day", "left")
+        .select(
+            "day",
+            "dau",
+            "new_users",
+            (F.col("dau") - F.col("new_users")).alias("returning"),
+            F.coalesce("retained", F.lit(0)).alias("retained_from_prev"),
+            (
+                F.coalesce(F.lag("dau").over(wl), F.lit(0))
+                - F.coalesce("retained", F.lit(0))
+            ).alias("churned_from_prev"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "new_users",
+            "returning",
+            "retained_from_prev",
+            "churned_from_prev",
+        )
+        .orderBy("day")
+    )

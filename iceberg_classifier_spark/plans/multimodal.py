@@ -367,3 +367,90 @@ def multimodal_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chunks", "unique_chunks", "total_bytes", "unique_bytes",
         "avg_chunk_len",
     )
+
+
+_CUT_THRESHOLD = 256
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, text AS payload FROM documents
+               WHERE length(text) >= {FRAME_BYTES}),
+    fr AS (
+      SELECT doc_id, payload,
+             unnest(range(0, length(payload) // {FRAME_BYTES})) AS fi
+      FROM m
+    ), s AS (
+      SELECT doc_id, fi,
+             list_sum(list_transform(generate_series(1, {FRAME_BYTES}),
+               i -> ord(substr(payload, fi * {FRAME_BYTES} + CAST(i AS INTEGER),
+                               1)))) AS fsum
+      FROM fr
+    ), d AS (
+      SELECT doc_id, fi,
+             abs(fsum - lag(fsum) OVER (PARTITION BY doc_id ORDER BY fi))
+               AS delta
+      FROM s
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN delta > {_CUT_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(coalesce(min(CASE WHEN delta > {_CUT_THRESHOLD} THEN fi END),
+                         -1) AS BIGINT) AS first_cut
+    FROM d GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the binary "video" column: consecutive
+    fixed-size frames are summarized (byte-sum intensity) and a cut is
+    flagged where the inter-frame delta exceeds a threshold — the
+    shot-boundary pass of a video-curation pipeline (a real pixel
+    histogram/SSIM goes where the byte-sum stands, same as decode_image's
+    stub policy). Per-doc output: frame count, cut count, first cut.
+
+    Scale: the whole frame walk runs inside one Arrow-batched mapInPandas
+    — bytes never explode into Spark rows, and only 3 scalars per
+    document leave the worker. Partitioning is inherited from the scan;
+    the one shuffle is the per-doc rollup the kernel already collapsed.
+    """
+    import pandas as pd
+
+    m = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= FRAME_BYTES)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+    def cuts(batches):
+        for pdf in batches:
+            ids, nfr, ncut, first = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                sums = [
+                    sum(b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES])
+                    for fi in range(len(b) // FRAME_BYTES)
+                ]
+                deltas = [
+                    abs(sums[i] - sums[i - 1]) for i in range(1, len(sums))
+                ]
+                cut_idx = [
+                    i for i, dl in enumerate(deltas, start=1)
+                    if dl > _CUT_THRESHOLD
+                ]
+                ids.append(doc_id)
+                nfr.append(len(sums))
+                ncut.append(len(cut_idx))
+                first.append(cut_idx[0] if cut_idx else -1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": nfr,
+                    "n_cuts": ncut,
+                    "first_cut": first,
+                }
+            )
+
+    return m.mapInPandas(
+        cuts, "doc_id long, n_frames long, n_cuts long, first_cut long"
+    ).orderBy("doc_id")

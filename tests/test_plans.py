@@ -510,3 +510,14 @@ def test_warehouse2_wave_plan_shapes(spark, sf_dir):
         p = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in p, f"{name}: cartesian product"
         assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+
+
+def test_scene_cuts_and_growth_plan_shapes(spark, sf_dir):
+    """Scene cuts must stay an Arrow kernel (MapInPandas, no byte
+    explode); growth accounting must never cartesian the activity frame."""
+    p = plan_of(spark, sf_dir, "multimodal_scene_cuts")
+    assert "MapInPandas" in p
+    assert "Generate" not in p, "scene_cuts: bytes exploded into rows"
+    q = plan_of(spark, sf_dir, "growth_accounting_daily")
+    assert "CartesianProduct" not in q
+    assert "BatchEvalPython" not in q
