@@ -491,3 +491,61 @@ def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "user_type_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), u AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             ln(CAST(sum(c) AS DOUBLE))
+               - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list(c * ln(CAST(c AS DOUBLE)) ORDER BY event_type)),
+                 (a, v) -> a + v) / sum(c) AS h
+      FROM c GROUP BY 1
+    )
+    SELECT user_id, n AS n_events, n_types, round(h, 6) AS entropy
+    FROM u ORDER BY h DESC, user_id LIMIT 20
+    """,
+)
+def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's event-type
+    mix (H = ln n − Σ c·ln c / n, folded in sorted type order — the same
+    fixed-order identity doc_entropy_filter uses), reporting the 20 most
+    diverse users — the segmentation feature separating single-purpose
+    users from explorers.
+
+    Scale: one map-side-combinable groupBy(user, type), a per-user fold
+    over ≤|types| elements, and a bounded TakeOrdered — no unbounded
+    window anywhere.
+    """
+    c = load(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.expr(
+                "aggregate(sort_array(collect_list(struct(event_type,"
+                " c * ln(CAST(c AS DOUBLE)) AS t))), CAST(0.0 AS DOUBLE),"
+                " (a, e) -> a + e.t)"
+            )
+            / F.sum("c")
+        ).alias("h"),
+    )
+    return (
+        u.orderBy(F.desc("h"), "user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            "n_types",
+            F.round("h", 6).alias("entropy"),
+        )
+    )

@@ -454,3 +454,77 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(
         cuts, "doc_id long, n_frames long, n_cuts long, first_cut long"
     ).orderBy("doc_id")
+
+
+_AHASH_PIXELS = 62
+
+
+@query(
+    "multimodal_image_ahash",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, substr(text, 1, {_AHASH_PIXELS}) AS px
+      FROM documents WHERE length(text) >= {_AHASH_PIXELS}
+    ), s AS (
+      SELECT doc_id, px,
+             list_sum(list_transform(generate_series(1, {_AHASH_PIXELS}),
+               i -> ord(substr(px, CAST(i AS INTEGER), 1)))) AS tot
+      FROM m
+    ), h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(
+               generate_series(1, {_AHASH_PIXELS}),
+               i -> CASE WHEN ord(substr(px, CAST(i AS INTEGER), 1))
+                              * {_AHASH_PIXELS} > tot
+                         THEN CAST(1 AS BIGINT) << (CAST(i AS INTEGER) - 1)
+                         ELSE 0 END)) AS BIGINT) AS ahash,
+             CAST(list_sum(list_transform(
+               generate_series(1, {_AHASH_PIXELS}),
+               i -> CASE WHEN ord(substr(px, CAST(i AS INTEGER), 1))
+                              * {_AHASH_PIXELS} > tot
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_bits
+      FROM s
+    )
+    SELECT doc_id, ahash, n_bits FROM h
+    WHERE doc_id < 40 ORDER BY doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over the binary image
+    column: each of the first 62 "pixels" (bytes — a real decode +
+    8×8 downsample goes where the byte slice stands) sets a hash bit iff
+    it is strictly brighter than the image mean — the cheap perceptual
+    dedup key image-curation pipelines bucket on before expensive SSIM.
+    The brighter-than-mean test is the integer cross-multiply
+    px*62 > total (no float mean at the bit boundary), and the hash uses
+    62 bits so it stays positive int64 on both engines.
+
+    Scale: map-only JVM expressions (no Python, no explode) — one
+    hash+popcount per row; the doc_id<40 slice is a pushed filter that
+    bounds the output, not the computation shape.
+    """
+    m = load(spark, sf_dir, "documents").where(
+        F.length("text") >= _AHASH_PIXELS
+    ).select("doc_id", F.substring("text", 1, _AHASH_PIXELS).alias("px"))
+    tot = F.expr(
+        f"aggregate(transform(sequence(1, {_AHASH_PIXELS}),"
+        f" i -> ascii(substring(px, i, 1))), 0, (a, x) -> a + x)"
+    )
+    bit = (
+        f"CASE WHEN ascii(substring(px, i, 1)) * {_AHASH_PIXELS} > tot"
+        f" THEN {{v}} ELSE 0 END"
+    )
+    h = m.withColumn("tot", tot).select(
+        "doc_id",
+        F.expr(
+            f"CAST(aggregate(transform(sequence(1, {_AHASH_PIXELS}),"
+            f" i -> {bit.format(v='shiftleft(CAST(1 AS BIGINT), i - 1)')}),"
+            f" CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+        ).alias("ahash"),
+        F.expr(
+            f"CAST(aggregate(transform(sequence(1, {_AHASH_PIXELS}),"
+            f" i -> {bit.format(v='CAST(1 AS BIGINT)')}),"
+            f" CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+        ).alias("n_bits"),
+    )
+    return h.where(F.col("doc_id") < 40).orderBy("doc_id")

@@ -521,3 +521,13 @@ def test_scene_cuts_and_growth_plan_shapes(spark, sf_dir):
     q = plan_of(spark, sf_dir, "growth_accounting_daily")
     assert "CartesianProduct" not in q
     assert "BatchEvalPython" not in q
+
+
+def test_ahash_is_map_only_jvm(spark, sf_dir):
+    """The perceptual hash must be pure JVM expression work: no Python,
+    no explode, and a TakeOrdered/entropy path free of cartesians."""
+    p = plan_of(spark, sf_dir, "multimodal_image_ahash")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Generate" not in p, "ahash: bytes exploded into rows"
+    q = plan_of(spark, sf_dir, "user_type_entropy")
+    assert "TakeOrderedAndProject" in q and "CartesianProduct" not in q
