@@ -34,10 +34,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
-        # best-of-2: the first run may pay codegen/JIT compilation for this
-        # query's operators; the min is the steady-state number
+        # best-of-3: the first run may pay codegen/JIT compilation for this
+        # query's operators, and single runs carry ±20% scheduler noise on
+        # a busy host; the min is the steady-state number
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
