@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.functions import arrays as A
 from iceberg_classifier_spark.functions import text as T
-from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.plans.registry import REGISTRY, query
 from iceberg_classifier_spark.sources.tables import load
 
 JACCARD_MIN = 0.05
@@ -913,4 +913,83 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("source").alias("n_sources"),
         )
         .orderBy("cluster_id")
+    )
+
+
+_JACCARD_PAIRS_ORACLE = REGISTRY["dedup_ngram_jaccard"].oracle
+
+
+@query(
+    "neardup_clustering_coefficient",
+    oracle=f"""
+    WITH pr AS ({_JACCARD_PAIRS_ORACLE}),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS v FROM pr UNION ALL SELECT doc_b FROM pr
+      ) GROUP BY 1
+    ), wed AS (
+      SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS triangles
+      FROM pr e1
+      JOIN pr e2 ON e2.doc_a = e1.doc_b
+      JOIN pr e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ), np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr)
+    SELECT np.n_pairs, wed.n_nodes, wed.wedges, tri.triangles,
+           CAST(3 * tri.triangles * 1000000 // nullif(wed.wedges, 0)
+                AS BIGINT) AS closure_ppm
+    FROM np CROSS JOIN wed CROSS JOIN tri
+    """,
+)
+def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-duplicate relation: the global
+    clustering coefficient (3·triangles / wedges) of the Jaccard-pair
+    graph. Near-dup "similarity" is famously non-transitive — a LOW
+    closure means single-link clustering (dedup_clusters) is chaining
+    unrelated documents through middlemen, the classic over-merge failure;
+    this op measures exactly that risk before you trust the clusters.
+
+    Scale: the pair graph is the already-blocked jaccard kernel output
+    (df-capped posting lists — never n²); wedges come from a degree
+    aggregate (no enumeration), and the triangle join runs on the
+    near-dup edge list, which is tiny relative to the corpus by
+    construction. Oracle reuses dedup_ngram_jaccard's oracle verbatim as
+    its pair CTE, so the two ops can never drift apart.
+    """
+    pr = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pr.select(F.col("doc_a").alias("v"))
+        .unionAll(pr.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
+    e1, e2, e3 = pr.alias("e1"), pr.alias("e2"), pr.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    np_ = pr.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        np_.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_pairs",
+            "n_nodes",
+            "wedges",
+            "triangles",
+            F.expr("3 * triangles * 1000000 div nullif(wedges, 0)")
+            .cast("bigint")
+            .alias("closure_ppm"),
+        )
     )

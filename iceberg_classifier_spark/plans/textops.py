@@ -920,3 +920,126 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy", "doc_id")
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_duck_hits(l)} AS h_{l}" for l in sorted(T.STOPWORDS))}
+      FROM documents
+    ), g AS (
+      SELECT lang AS actual, {_duck_lang_guess()} AS guessed FROM h
+    )
+    SELECT actual, guessed, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN actual = guessed THEN count(*) ELSE 0 END)
+                  OVER () * 1000000
+                // sum(count(*)) OVER () AS BIGINT) AS overall_accuracy_ppm
+    FROM g GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the stopword-profile language classifier:
+    (actual, guessed) cell counts plus the overall accuracy in exact ppm
+    — the evaluation harness lang_id itself lacks (a classifier op
+    without its confusion matrix is half an operator).
+
+    Scale: classification is the same map-only expression as lang_id;
+    the matrix is one combinable groupBy on the |langs|² dimension, and
+    the accuracy windows run over those few cells.
+    """
+    d = load(spark, sf_dir, "documents")
+    guess = T.lang_guess(T.tokens("text"))
+    g = d.select(F.col("lang").alias("actual"), guess.alias("guessed"))
+    cells = g.groupBy("actual", "guessed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    return (
+        cells.withColumn(
+            "overall_accuracy_ppm",
+            (
+                F.sum(
+                    F.when(F.col("actual") == F.col("guessed"), F.col("n_docs"))
+                    .otherwise(0)
+                ).over(wall)
+                * 1000000
+                / F.sum("n_docs").over(wall)
+            ).cast("bigint"),
+        )
+        .orderBy("actual", "guessed")
+    )
+
+
+@query(
+    "token_position_bias",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(trim(text), ' ') AS toks FROM documents
+    ), pos AS (
+      SELECT toks[i + 1] AS word,
+             CASE WHEN i * 2 < len(toks) THEN 1 ELSE 0 END AS front
+      FROM (SELECT toks, unnest(range(len(toks))) AS i FROM t)
+    ), cnt AS (
+      SELECT word, CAST(sum(front) AS BIGINT) AS c1,
+             CAST(sum(1 - front) AS BIGINT) AS c2
+      FROM pos GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2
+      FROM cnt
+    )
+    SELECT word, c1 AS front_count, c2 AS back_count,
+           CAST(c1 * 1000000 // t1 AS BIGINT) AS front_ppm,
+           CAST(c2 * 1000000 // t2 AS BIGINT) AS back_ppm,
+           CAST(abs(c1 * t2 - c2 * t1) AS BIGINT) AS bias_cross
+    FROM cnt CROSS JOIN tot
+    ORDER BY abs(c1 * t2 - c2 * t1) DESC, word LIMIT 10
+    """,
+)
+def token_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional vocabulary bias: does a token prefer the FRONT half of
+    documents or the BACK half? (Boilerplate headers/footers show up as
+    extreme front/back skew — a curation signal line-dedup alone misses.)
+    The skew key |c1·T2 − c2·T1| is a pure int64 cross-product, so the
+    top-10 ranking never touches a float.
+
+    Scale: one map-side-combinable groupBy(token) with a position flag
+    computed in the explode projection; totals broadcast as a 1-row
+    frame; top-10 is a bounded TakeOrdered.
+    """
+    t = load(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    pos = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 1),"
+                " i -> struct(toks[i] AS word,"
+                " CASE WHEN i * 2 < size(toks) THEN 1 ELSE 0 END AS front))"
+            )
+        ).alias("p")
+    ).select("p.word", "p.front")
+    cnt = pos.groupBy("word").agg(
+        F.sum("front").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("front")).cast("bigint").alias("c2"),
+    )
+    tot = cnt.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            F.col("c1").alias("front_count"),
+            F.col("c2").alias("back_count"),
+            F.expr("c1 * 1000000 div t1").cast("bigint").alias("front_ppm"),
+            F.expr("c2 * 1000000 div t2").cast("bigint").alias("back_ppm"),
+            F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1"))
+            .cast("bigint")
+            .alias("bias_cross"),
+        )
+        .orderBy(F.desc("bias_cross"), "word")
+        .limit(10)
+    )

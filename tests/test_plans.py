@@ -531,3 +531,18 @@ def test_ahash_is_map_only_jvm(spark, sf_dir):
     assert "Generate" not in p, "ahash: bytes exploded into rows"
     q = plan_of(spark, sf_dir, "user_type_entropy")
     assert "TakeOrderedAndProject" in q and "CartesianProduct" not in q
+
+
+def test_final_wave_plan_shapes(spark, sf_dir):
+    """lang confusion is map+tiny-matrix; position bias is a TakeOrdered;
+    the clustering-coefficient triangle join runs on the blocked pair
+    frame (no cartesian anywhere)."""
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "token_position_bias")
+    for name in (
+        "lang_id_confusion",
+        "token_position_bias",
+        "neardup_clustering_coefficient",
+    ):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
