@@ -237,23 +237,41 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (±ln 19 for alpha=beta=0.05) — the early-stopping machinery of
     sequential A/B testing, on a batch stream.
 
-    Scale: the running count is a prefix sum over the event order — the
-    two-level bucketed pattern at full scale (this plan uses the
-    single-window form on the |events| frame; see
-    late_arrival_watermark_audit for the bucketed construction) — and
-    the first crossing is a bounded TakeOrdered.
+    Scale: the running counts (n, k) are a two-level distributed prefix
+    sum — per-day bucket totals (dimension-sized window) plus
+    bucket-partitioned local running counts — never a single-partition
+    window over the event stream; the first crossing is a bounded
+    TakeOrdered.
     """
     e = load(spark, sf_dir, "events").select(
         "ts",
         "event_id",
+        F.to_date("ts").alias("bkt"),
         (F.col("event_type") == "purchase").cast("bigint").alias("hit"),
     )
-    wo = Window.partitionBy().orderBy("ts", "event_id")
-    walk = e.select(
-        F.row_number().over(wo).alias("n"),
-        F.sum("hit")
-        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("k"),
+    # two-level distributed walk: day buckets are monotone in (ts,
+    # event_id), so bucket-prefix totals + bucket-local running counts
+    # compose the global (n, k) without a single-partition window
+    bkt = e.groupBy("bkt").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("hit").alias("hits")
+    )
+    wb = Window.partitionBy().orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bkt.select(
+        "bkt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("pn"),
+        F.coalesce(F.sum("hits").over(wb), F.lit(0)).alias("pk"),
+    )
+    wl = Window.partitionBy("bkt").orderBy("ts", "event_id")
+    walk = e.join(F.broadcast(off), "bkt").select(
+        (F.col("pn") + F.row_number().over(wl)).alias("n"),
+        (
+            F.col("pk")
+            + F.sum("hit").over(
+                wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("k"),
     )
     import math
 

@@ -287,10 +287,11 @@ def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     join to one exclusive prefix-max over the sorted price dimension.
 
     Scale: one map-side-combinable groupBy collapses raw orders to
-    distinct (price, date) points; the prefix max runs on the distinct-
-    price dimension (two-level bucketed at extreme cardinality, as
-    ks_two_sample / late_arrival_watermark_audit implement); the final
-    filter is a broadcast join back to the point dimension.
+    distinct (price, date) points; the exclusive prefix max is the
+    two-level bucketed construction (range-bucket maxima on the bucket
+    dimension + a bucket-partitioned local pass) — never a single-
+    partition sweep of the price dimension; the final filter is a
+    broadcast join back to the point dimension.
     """
     o = (
         load(spark, sf_dir, "orders")
@@ -302,11 +303,24 @@ def skyline_orders_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = o.groupBy("cents").agg(
         F.max("d").alias("mx"), F.sum("n").cast("bigint").alias("n_at_cents")
-    )
-    wp = Window.partitionBy().orderBy("cents").rowsBetween(
+    ).withColumn("bkt", F.expr("cents div 1000000"))
+    # two-level exclusive prefix max over the price dimension: bucket
+    # maxima prefixed on the bucket dim + a bucket-partitioned local pass
+    bkt = v.groupBy("bkt").agg(F.max("mx").alias("bmx"))
+    wb = Window.partitionBy().orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    p = v.select("cents", "mx", F.max("mx").over(wp).alias("pmax"))
+    off = bkt.select("bkt", F.max("bmx").over(wb).alias("pb"))
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = v.join(F.broadcast(off), "bkt").select(
+        "cents",
+        "mx",
+        F.greatest(F.max("mx").over(wl), F.col("pb")).alias("pmax"),
+    )
     return (
         o.join(F.broadcast(p), "cents")
         .where(

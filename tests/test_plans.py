@@ -546,3 +546,18 @@ def test_final_wave_plan_shapes(spark, sf_dir):
         p = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in p, f"{name}: cartesian product"
         assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+
+
+def test_sprt_and_skyline_have_no_global_single_partition_window(spark, sf_dir):
+    """The SPRT walk and the skyline prefix-max must be two-level: every
+    window over more-than-dimension-sized input is partitioned by a
+    range bucket. The only unpartitioned windows left run on bucket/day
+    dimensions (SinglePartition over a dimension frame is fine)."""
+    for name in ("sprt_sequential_test", "skyline_orders_2d"):
+        analyzed = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert "windowspecdefinition(bkt" in analyzed, (
+            f"{name}: local window not bucket-partitioned"
+        )
