@@ -306,3 +306,86 @@ def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, acct_cents DESC, customer
         """
     )
+
+
+@query(
+    "sql_pipe_syntax_report",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS gross_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SPARK-49555): the scan-filter-aggregate-
+    order pipeline written as chained |> stages — SQL that reads in
+    execution order like a DataFrame chain. Catalyst compiles it to the
+    identical plan as the nested form (the oracle is that nested form),
+    which is the point: the new surface is sugar over the same optimizer.
+
+    Scale: same pushed-filter scan + map-side-combinable agg as any
+    grouped report; the syntax changes nothing physical.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS gross_cents,
+             CAST(sum(l_quantity) AS BIGINT) AS total_qty
+           GROUP BY l_returnflag AS returnflag, l_linestatus AS linestatus
+        |> SELECT returnflag, linestatus, n_items, gross_cents, total_qty
+        |> ORDER BY returnflag, linestatus
+        """
+    )
+
+
+_PQ_MIN_CENTS = 25_000_000
+_PQ_SINCE = "1999-01-01"
+
+
+@query(
+    "parameterized_sql_report",
+    oracle=f"""
+    SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) > {_PQ_MIN_CENTS}
+      AND o_orderdate >= TIMESTAMP '{_PQ_SINCE}'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def parameterized_sql_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args=...), Spark 3.4+): the
+    big-recent-orders report takes its threshold and cutoff date as BOUND
+    PARAMETERS (:min_cents, :since) instead of string interpolation — the
+    injection-safe parameterization surface an SQL gateway exposes.
+    Binding happens in the parser, so the optimized plan is identical to
+    the literal form (which is what the oracle runs).
+
+    Scale: parameters become literals before optimization — pushdown and
+    partition pruning see them exactly as constants.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM param_orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > :min_cents
+          AND o_orderdate >= CAST(:since AS TIMESTAMP)
+        GROUP BY o_orderstatus ORDER BY status
+        """,
+        args={"min_cents": _PQ_MIN_CENTS, "since": _PQ_SINCE},
+    )

@@ -561,3 +561,13 @@ def test_sprt_and_skyline_have_no_global_single_partition_window(spark, sf_dir):
         assert "windowspecdefinition(bkt" in analyzed, (
             f"{name}: local window not bucket-partitioned"
         )
+
+
+def test_sql_surface_waves_run_clean(spark, sf_dir):
+    """Pipe-syntax and parameterized SQL compile to ordinary pushed-down
+    grouped scans — no cartesians, no row-Python, filters at the scan."""
+    for name in ("sql_pipe_syntax_report", "parameterized_sql_report"):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
+        assert "PushedFilters: [" in p, f"{name}: filters not pushed"
