@@ -567,3 +567,65 @@ def user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h", 6).alias("entropy"),
         )
     )
+
+
+@query(
+    "orders_backlog_aging",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS asof FROM orders),
+    open_o AS (
+      SELECT date_diff('day', o_orderdate, mx.asof) AS age_days,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders CROSS JOIN mx
+      WHERE o_orderstatus = 'O'
+    ), b AS (
+      SELECT CASE WHEN age_days <= 30 THEN 'a_0_30d'
+                  WHEN age_days <= 90 THEN 'b_31_90d'
+                  WHEN age_days <= 365 THEN 'c_91_365d'
+                  ELSE 'd_over_1y' END AS bucket,
+             cents
+      FROM open_o
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS backlog_cents
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: unfinished (status O) orders bucketed by
+    age as of the latest order date — the operations report behind "how
+    stale is our backlog", with the exact cents value stuck in each
+    bucket. Ages are whole-day integer diffs; the as-of date rides in as
+    a broadcast 1-row frame, never a collect.
+
+    Scale: one pushed-filter scan (status = 'O' reaches the parquet
+    reader) + a map-side-combinable 4-bucket rollup.
+    """
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("asof"))
+    b = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.to_date("asof"), F.to_date("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .select(
+            F.when(F.col("age_days") <= 30, "a_0_30d")
+            .when(F.col("age_days") <= 90, "b_31_90d")
+            .when(F.col("age_days") <= 365, "c_91_365d")
+            .otherwise("d_over_1y")
+            .alias("bucket"),
+            "cents",
+        )
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("backlog_cents"),
+        )
+        .orderBy("bucket")
+    )
