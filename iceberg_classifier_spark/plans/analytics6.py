@@ -629,3 +629,64 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "market_concentration_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT su.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem l JOIN supplier su ON su.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS sumsq
+      FROM s GROUP BY 1
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, n_suppliers, total,
+           round(CAST(sumsq AS DOUBLE)
+                 / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+             AS hhi,
+           round(CAST(total AS DOUBLE) * CAST(total AS DOUBLE)
+                 / CAST(sumsq AS DOUBLE), 2) AS effective_suppliers
+    FROM agg ORDER BY nation
+    """,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per supplier nation: HHI
+    = sum of squared within-nation volume shares (1/n = perfectly even,
+    1 = monopoly) plus the effective-supplier count 1/HHI — the
+    concentration lens procurement and antitrust analyses apply. The
+    share squares come from exact int64 per-supplier counts via the
+    identity HHI = sum(c^2)/total^2, with the only floats being two
+    final divisions of exact integers (cast to double BEFORE the product
+    so total^2 can never overflow int64 at scale).
+
+    Scale: one map-side-combinable groupBy(nation, supplier) collapses
+    the fact table; the rollup runs on the supplier dimension with a
+    broadcast-dim join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    s = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = s.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+    )
+    td = F.col("total").cast("double")
+    return agg.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        "n_suppliers",
+        "total",
+        F.round(F.col("sumsq").cast("double") / (td * td), 6).alias("hhi"),
+        F.round(td * td / F.col("sumsq").cast("double"), 2).alias(
+            "effective_suppliers"
+        ),
+    ).orderBy("nation")
