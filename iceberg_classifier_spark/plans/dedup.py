@@ -400,48 +400,136 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COS_BANDS = 8  # hyperplane LSH bands for the embedding near-dup join
+COS_ROWS = 4  # sign-bit planes per band (8×4 = 32 planes total)
+
+
+def _cos_band_bucket(vcol, band):
+    """Per-band hyperplane sign bucket (COS_ROWS bits) using the same
+    portable ±1 LCG planes as ann_lsh_topk (similarity.py) — both engines
+    rebuild identical buckets from pure integer arithmetic."""
+    from iceberg_classifier_spark.plans.similarity import _plane_term
+
+    bits = []
+    for r in range(COS_ROWS):
+        p = band * COS_ROWS + r
+        dot = F.aggregate(
+            F.zip_with(vcol, F.sequence(F.lit(0), F.size(vcol) - 1), _plane_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**r)).otherwise(0))
+    return sum(bits[1:], bits[0])
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
       FROM embeddings
+    ), bits AS (
+      SELECT e.vec_id, pl.p,
+             sum(e.v[j.j + 1]
+                 * (CASE WHEN ((1103515245 * (pl.p * 64 + j.j) + 12345) // 16)
+                              % 2 = 0
+                         THEN 1 ELSE -1 END)) AS dot
+      FROM e,
+           (SELECT unnest(range(0, {COS_BANDS * COS_ROWS})) AS p) pl,
+           (SELECT unnest(range(0, 64)) AS j) j
+      GROUP BY 1, 2
+    ), bb AS (
+      SELECT vec_id, p // {COS_ROWS} AS band,
+             CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % {COS_ROWS}) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM bits GROUP BY 1, 2
+    ), ev AS (
+      SELECT bb.vec_id, e.label, bb.band, bb.bucket
+      FROM bb JOIN e USING (vec_id)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+      FROM ev a JOIN ev b
+        ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           round(list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                 6) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    SELECT c.vec_a, c.vec_b, c.label,
+           round(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+    FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v)))
           >= {COSINE_MIN}
     ORDER BY vec_a, vec_b
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: label-blocked equi-join + cosine ≥ 0.3.
+    """Embedding near-dup pairs: (label, LSH-band, bucket)-blocked equi-join
+    + cosine ≥ 0.3 — banded random-hyperplane blocking (8 bands × 4 sign
+    bits, same portable ±1 LCG planes as ann_lsh_topk) so the candidate
+    join is an equi-join on a high-cardinality bucket key, never a
+    within-label all-pairs.
 
-    Scale: blocking key keeps the join quadratic only within a block; for
-    unlabeled corpora swap the block key for an LSH bucket (ann_lsh_topk).
+    Recall: a pair at cosine c collides in ≥1 of the 8 bands w.p.
+    1-(1-(1-θ/π)⁴)⁸ — ≈0.998 at c=0.9, the near-dup regime this targets.
+    Both engines derive identical buckets (pure int LCG + exact fixed-point
+    dots), so the approximate result set itself is value-checked.
+
+    Scale: bucketing is a per-row map (32 fold-dots); candidate volume
+    scales with true bucket occupancy, not n²/|labels|. At 100 TB the only
+    remaining hazard is a degenerate bucket (all-identical vectors), which
+    the band hash splits across 8 independent projections.
     """
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = A.cosine(F.col("a.v"), F.col("b.v"))
-    return (
+    bands = e.select(
+        "vec_id",
+        "label",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _cos_band_bucket(F.col("v"), b).cast("bigint").alias("bucket"),
+                    )
+                    for b in range(COS_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "label", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cos >= COSINE_MIN)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cos_sim"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = A.cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.where(cos >= COSINE_MIN)
+        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 

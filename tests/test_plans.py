@@ -571,3 +571,19 @@ def test_sql_surface_waves_run_clean(spark, sf_dir):
         assert "CartesianProduct" not in p, f"{name}: cartesian product"
         assert "BatchEvalPython" not in p, f"{name}: row-Python UDF"
         assert "PushedFilters: [" in p, f"{name}: filters not pushed"
+
+
+def test_embedding_cosine_join_keys_include_lsh_bucket(spark, sf_dir):
+    """The embedding near-dup candidate join must key on the hyperplane
+    band bucket, not label alone — label cardinality is tiny, so a
+    label-only equi-join is an O(n²/|labels|) all-pairs at 100 TB. Every
+    equi-join over the banded frames must carry the bucket key."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l)
+        and "label" in l
+    ]
+    assert join_lines, "no equi-join on label found in plan"
+    for l in join_lines:
+        assert "bucket" in l and "band" in l, f"join not bucket-blocked: {l}"
