@@ -14,7 +14,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def get_spark(app_name: str = "iceberg-classifier-spark") -> SparkSession:
+    # Python workers resolve closure references to this package by module
+    # name (cloudpickle pickles module functions by reference), so the repo
+    # root must be importable in the worker regardless of the driver's cwd.
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + pp if pp else "")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)

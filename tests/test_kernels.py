@@ -390,3 +390,34 @@ def test_packing_spans_cover_all_sequences():
             prev_end = c_end
             s += n
         assert prev_end == (s - 1) // cap
+
+
+def test_bmp_encode_decode_roundtrip():
+    """encode_bmp → decode_bmp is the identity, including the padded-row
+    stride path (width 5 → 15-byte rows padded to 16) and bottom-up flip."""
+    import numpy as np
+
+    from iceberg_classifier_spark.functions.imaging import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(8, 8), (3, 5), (1, 1), (16, 7)]:
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        data = encode_bmp(img)
+        assert data[:2] == b"BM"
+        out = decode_bmp(data)
+        assert out.shape == (h, w, 3)
+        assert (out == img).all(), f"roundtrip mismatch at {h}x{w}"
+        assert (decode_image(data) == img).all()  # magic sniff dispatch
+
+
+def test_decode_image_rejects_unknown_formats():
+    import pytest as _pytest
+
+    from iceberg_classifier_spark.functions.imaging import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
