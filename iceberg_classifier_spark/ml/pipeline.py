@@ -91,6 +91,22 @@ def build_pipeline(feature_cols: list[str], model: str = "logreg") -> Pipeline:
             featuresCol="features_raw", labelCol="y", maxIter=10, maxDepth=3, seed=7
         )
         return Pipeline(stages=[assembler, clf])
+    elif model == "mlp":
+        # the dense sigmoid head of the reference's two-branch net
+        # (main.py:216-235: concat → Dense(512) → Dense(256) → sigmoid),
+        # scaled to the feature width: MLlib's MultilayerPerceptronClassifier
+        # with two hidden layers and a 2-unit softmax output (binary). Seeded
+        # so the LBFGS weight init — and therefore the fit — is reproducible.
+        from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+        clf = MultilayerPerceptronClassifier(
+            featuresCol="features",
+            labelCol="y",
+            layers=[len(feature_cols), 16, 8, 2],
+            maxIter=60,
+            tol=1e-5,
+            seed=7,
+        )
     else:
         raise ValueError(f"unknown model {model!r}")
     return Pipeline(stages=[assembler, scaler, clf])

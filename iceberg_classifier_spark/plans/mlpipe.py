@@ -48,6 +48,50 @@ def mllib_logreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_fold
 
 
+@query("mllib_mlp_cv", oracle=None)
+def mllib_mlp_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified K-fold CV of the neural head — the Spark-native stand-in
+    for the reference's actual model (main.py:216-235: two CNN feature
+    branches concatenated with the scalar ``inc_angle`` into a dense
+    sigmoid head): engineered vector features + a deterministic per-row
+    angle stand-in feed MLlib's MultilayerPerceptronClassifier
+    ([n_feat, 16, 8, 2] layers, seeded LBFGS), driven by the same
+    myAngleCV-shaped fold harness as mllib_logreg_cv (main.py:248-317).
+    Returns per-fold OOF log-loss + fold sizes.
+
+    Rows-only check (an iterative neural fit is not SQL-expressible);
+    seed-pinned, so repeated runs produce identical folds and weights —
+    asserted by tests/test_units.py::test_mlp_cv_is_seed_deterministic.
+
+    Scale: each fold's fit is a distributed MLlib job (data-parallel
+    gradient aggregation per LBFGS iteration); the feature frame is
+    cached and right-sized by fit_ready, and OOF assembly is a union of
+    per-fold prediction frames — nothing collects to the driver.
+    """
+    d = _prepped(spark, sf_dir).withColumn(
+        # inc_angle stand-in: deterministic scalar metadata per row, in the
+        # reference's 30-46° range (main.py's inc_angle distribution)
+        "f_angle",
+        (F.lit(30.0) + (F.col("vec_id") % 1600) / 100.0).cast("double"),
+    )
+    split = stratified_split(d, "y", "vec_id", val_fraction=0.25)
+    train = split.where(F.col("split") == "train")
+    test = split.where(F.col("split") == "val")
+    cv = kfold_cv(
+        train, test, FEATURES + ["f_angle"], "vec_id", k=4, model="mlp"
+    )
+    return (
+        cv.oof.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(metrics.log_loss_expr(F.col("y"), F.col("prob"))), 4
+            ).alias("oof_log_loss"),
+        )
+        .orderBy("fold")
+    )
+
+
 @query("mllib_gbt", oracle=None)
 def mllib_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GBTClassifier pipeline (the CNN-strength learner slot in the

@@ -268,3 +268,17 @@ def test_shingles_property(spark):
         assert sorted(got) == exp
 
     check()
+
+
+def test_mlp_cv_is_seed_deterministic(spark, sf_dir):
+    """The neural-head CV (mllib_mlp_cv) is rows-only for the driver, so
+    determinism is its substitute for an oracle: pinned seeds for fold
+    assignment and LBFGS weight init must make two full runs identical."""
+    from iceberg_classifier_spark.plans.registry import load_all_queries
+
+    R = load_all_queries()
+    a = R["mllib_mlp_cv"].fn(spark, sf_dir).collect()
+    b = R["mllib_mlp_cv"].fn(spark, sf_dir).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) == 4 and all(r["n"] > 0 for r in a)
+    assert all(r["oof_log_loss"] is not None and r["oof_log_loss"] > 0 for r in a)
