@@ -643,3 +643,180 @@ def rotate_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("pos").cast("int").alias("pos"), "px_rot")
         .orderBy("vec_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded random-augmentation stream (the reference's ImageDataGenerator)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+AUG_EPOCHS = 2
+# discrete parameter grids with cos/sin/zoom values embedded as identical
+# literals in both engines (repr round-trips doubles exactly)
+_AUG_ANGLES = list(range(-10, 11))  # rotation_range=10 → θ ∈ {-10..10}°
+_AUG_CT = [_math.cos(_math.radians(a)) for a in _AUG_ANGLES]
+_AUG_ST = [_math.sin(_math.radians(a)) for a in _AUG_ANGLES]
+_AUG_Z = [(5 + i) / 10 for i in range(11)]  # zoom_range=0.5 → z ∈ {0.5..1.5}
+
+
+def _aug_sql_list(vals):
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def _random_augment_oracle() -> str:
+    from iceberg_classifier_spark.plans.analytics2 import _md5_prefix_sql
+
+    n_ang, n_z = len(_AUG_ANGLES), len(_AUG_Z)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b1
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), ep AS (
+      SELECT vec_id, b1, unnest(generate_series(1, {AUG_EPOCHS})) AS epoch
+      FROM e
+    ), r AS (
+      SELECT vec_id, b1, epoch,
+             {_md5_prefix_sql("vec_id || ':' || epoch")} AS rh
+      FROM ep
+    ), pr AS (
+      SELECT vec_id, epoch, b1,
+             CAST(rh % 2 AS INTEGER) AS hflip,
+             CAST((rh // 2) % 2 AS INTEGER) AS vflip,
+             CAST((rh // 4) % {n_ang} AS INTEGER) AS k,
+             CAST((rh // {4 * n_ang}) % {n_z} AS INTEGER) AS m
+      FROM r
+    ), pp AS (
+      SELECT *,
+             CAST(({_aug_sql_list(_AUG_CT)})[k + 1] AS DOUBLE) AS ct,
+             CAST(({_aug_sql_list(_AUG_ST)})[k + 1] AS DOUBLE) AS st,
+             CAST(({_aug_sql_list(_AUG_Z)})[m + 1] AS DOUBLE) AS z
+      FROM pr
+    ), g AS (
+      SELECT vec_id, epoch, hflip, vflip, k, z, ct, st, b1,
+             unnest(range(0, 64)) AS i
+      FROM pp
+    ), c AS (
+      SELECT *,
+        CASE WHEN vflip = 1 THEN -((i // 8) - 3.5) ELSE (i // 8) - 3.5 END AS fdr,
+        CASE WHEN hflip = 1 THEN -((i % 8) - 3.5) ELSE (i % 8) - 3.5 END AS fdc
+      FROM g
+    ), s AS (
+      SELECT *, 3.5 + (fdr * ct + fdc * st) / z AS sy,
+                3.5 + (-fdr * st + fdc * ct) / z AS sx
+      FROM c
+    ), q AS (
+      SELECT *, CAST(least(greatest(floor(sy), 0), 7) AS INT) AS y0,
+                CAST(least(greatest(floor(sx), 0), 7) AS INT) AS x0
+      FROM s
+    ), q2 AS (
+      SELECT *, least(y0 + 1, 7) AS y1, least(x0 + 1, 7) AS x1,
+                sy - y0 AS wy, sx - x0 AS wx
+      FROM q
+    )
+    SELECT vec_id, CAST(epoch AS INTEGER) AS epoch, hflip, vflip,
+           CAST(k - 10 AS INTEGER) AS angle_deg, z AS zoom,
+           CAST(i AS INTEGER) AS pos,
+           CASE WHEN sy >= 0 AND sy <= 7 AND sx >= 0 AND sx <= 7
+                THEN round(b1[y0 * 8 + x0 + 1] * (1 - wy) * (1 - wx)
+                         + b1[y0 * 8 + x1 + 1] * (1 - wy) * wx
+                         + b1[y1 * 8 + x0 + 1] * wy * (1 - wx)
+                         + b1[y1 * 8 + x1 + 1] * wy * wx, 6)
+                ELSE 0.0 END AS px
+    FROM q2 ORDER BY vec_id, epoch, pos
+    """
+
+
+@query("random_augment_stream", oracle=_random_augment_oracle())
+def random_augment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-parameter augmentation stream (ref main.py:149-156:
+    ImageDataGenerator(horizontal_flip, vertical_flip, zoom_range=0.5,
+    rotation_range=10)): per (image, epoch) the pipeline DRAWS fresh
+    augmentation parameters — h/v flip bits, a rotation angle in ±10°, a
+    zoom factor in [0.5, 1.5] — and applies them as one affine bilinear
+    resample. The draws use the repo's portable-hash RNG (one md5-prefix
+    integer per (vec_id, epoch), folded into flip bits and grid indices,
+    cf. bootstrap_ci_poisson), and the angle/zoom grids carry their
+    cos/sin/zoom values as shared literals, so BOTH engines draw identical
+    parameters and produce bit-identical pixels — a fully oracle-able
+    random augmentation stream, closing the reference-surface gap where
+    zoom had no analogue.
+
+    Scale: entirely JVM-side per-row expressions (flip/rotate/zoom fuse
+    into one gather over 64 positions inside whole-stage codegen) — no
+    Python, no shuffle; epochs multiply rows narrowly, never the state.
+    The vec_id % 10 slice bounds the compare size, not the op.
+    """
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", _b1().alias("b1")
+    )
+    ep = e.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(AUG_EPOCHS))).alias("epoch")
+    )
+    rh = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "vec_id", "epoch")), 1, 8), 16, 10
+        ).cast("bigint")
+    )
+    p = (
+        ep.withColumn("rh", rh)
+        .select(
+            "vec_id",
+            "epoch",
+            "b1",
+            F.expr("CAST(rh % 2 AS INT)").alias("hflip"),
+            F.expr("CAST((rh div 2) % 2 AS INT)").alias("vflip"),
+            F.expr(f"CAST((rh div 4) % {len(_AUG_ANGLES)} AS INT)").alias("k"),
+            F.expr(
+                f"CAST((rh div {4 * len(_AUG_ANGLES)}) % {len(_AUG_Z)} AS INT)"
+            ).alias("m"),
+        )
+        .withColumn(
+            "ct", F.element_at(F.array(*[F.lit(v) for v in _AUG_CT]), F.col("k") + 1)
+        )
+        .withColumn(
+            "st", F.element_at(F.array(*[F.lit(v) for v in _AUG_ST]), F.col("k") + 1)
+        )
+        .withColumn(
+            "z", F.element_at(F.array(*[F.lit(v) for v in _AUG_Z]), F.col("m") + 1)
+        )
+    )
+
+    def px(i):
+        dr = (i / W).cast("int").cast("double") - F.lit(3.5)
+        dc = (i % W).cast("double") - F.lit(3.5)
+        fdr = F.when(F.col("vflip") == 1, -dr).otherwise(dr)
+        fdc = F.when(F.col("hflip") == 1, -dc).otherwise(dc)
+        sy = F.lit(3.5) + (fdr * F.col("ct") + fdc * F.col("st")) / F.col("z")
+        sx = F.lit(3.5) + (-fdr * F.col("st") + fdc * F.col("ct")) / F.col("z")
+        valid = (sy >= 0) & (sy <= 7) & (sx >= 0) & (sx <= 7)
+        y0 = F.least(F.greatest(F.floor(sy), F.lit(0)), F.lit(7)).cast("int")
+        x0 = F.least(F.greatest(F.floor(sx), F.lit(0)), F.lit(7)).cast("int")
+        y1 = F.least(y0 + 1, F.lit(7))
+        x1 = F.least(x0 + 1, F.lit(7))
+        wy = sy - y0
+        wx = sx - x0
+        b1 = F.col("b1")
+        bil = (
+            F.element_at(b1, y0 * W + x0 + 1) * (1 - wy) * (1 - wx)
+            + F.element_at(b1, y0 * W + x1 + 1) * (1 - wy) * wx
+            + F.element_at(b1, y1 * W + x0 + 1) * wy * (1 - wx)
+            + F.element_at(b1, y1 * W + x1 + 1) * wy * wx
+        )
+        return F.when(valid, F.round(bil, 6)).otherwise(F.lit(0.0))
+
+    out = p.select(
+        "vec_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        "hflip",
+        "vflip",
+        (F.col("k") - 10).cast("int").alias("angle_deg"),
+        F.col("z").alias("zoom"),
+        F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(H * W - 1)), px)).alias(
+            "pos", "px"
+        ),
+    )
+    return out.select(
+        "vec_id", "epoch", "hflip", "vflip", "angle_deg", "zoom",
+        F.col("pos").cast("int").alias("pos"), "px",
+    ).orderBy("vec_id", "epoch", "pos")
