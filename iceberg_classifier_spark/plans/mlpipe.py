@@ -191,25 +191,55 @@ def mllib_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib KMeans over the embedding column (the trainable counterpart of
     ann_ivf_topk's fixed centroids; at scale this is the IVF coarse
     quantizer). Seeded, so locally deterministic; model fitting is not
-    SQL-expressible → rows-only check. Returns per-cluster sizes + inertia
-    contribution."""
+    SQL-expressible → rows-only check, but the fit quality IS value-checked
+    in-query: ``fit_ok`` asserts the trained SSE (model trainingCost) beats
+    the SSE of a deterministic stride-sampled-centroid assignment computed
+    in the same query — a Lloyd fit that fails to improve on its own init
+    class of baseline is a broken fit regardless of engine. Returns
+    per-cluster sizes + the global quality flag.
+
+    Scale: the baseline SSE is one broadcast of 8 centroids + a per-row
+    min-distance fold + a single agg — no extra shuffle beyond the rollup.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from iceberg_classifier_spark.ml.pipeline import fit_ready
 
-    e, _ = fit_ready(
-        load(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-        )
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    e, _ = fit_ready(base.withColumn("features", array_to_vector("v")))
     km = KMeans(k=8, seed=42, maxIter=5, featuresCol="features")
     model = km.fit(e)
+    sse_trained = float(model.summary.trainingCost)
     pred = model.transform(e)
+    # deterministic baseline: every (n/8)-th vector is a centroid; SSE of
+    # nearest-centroid assignment bounds what any sane Lloyd fit must beat
+    n = base.count()
+    step = max(n // 8, 1)
+    cents = base.where(
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < 8)
+    ).select(F.col("v").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sse_base = base.join(F.broadcast(cents)).select(
+        "vec_id", d2.alias("d2")
+    ).groupBy("vec_id").agg(F.min("d2").alias("md")).agg(
+        F.sum("md").alias("sse")
+    )
     return (
         pred.groupBy(F.col("prediction").cast("int").alias("cluster"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(sse_base))
+        .select(
+            "cluster",
+            "n",
+            (F.lit(sse_trained) <= F.col("sse")).alias("fit_ok"),
+        )
         .orderBy("cluster")
     )
 

@@ -336,54 +336,141 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_kmeans_topk", oracle=None)
+KMEANS_ITERS = 2
+
+
+def _ivf_lloyd_oracle() -> str:
+    """Unrolled deterministic-Lloyd IVF oracle: stride-sampled init, then
+    KMEANS_ITERS rounds of (argmax-cosine assign -> per-cell integer sum
+    vectors), then the standard probe/top-k. Centroids stay SUM vectors
+    (cosine is scale-invariant, so no division -- every component is an
+    exact integer sum both engines reproduce)."""
+    step = f"(SELECT greatest(n // {N_CELLS}, 1) FROM n)"
+    cos = (
+        "list_dot_product({a}.v, {c}.cv)"
+        " / (sqrt(list_dot_product({a}.v, {a}.v))"
+        " * sqrt(list_dot_product({c}.cv, {c}.cv)))"
+    )
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (SELECT count(*) AS n FROM e),
+    c0 AS (
+      SELECT CAST(vec_id / {step} AS INTEGER) AS cell, v AS cv
+      FROM e
+      WHERE vec_id % {step} = 0 AND vec_id / {step} < {N_CELLS}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""a{it} AS (
+      SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos.format(a='e', c='c')} DESC, c.cell) AS r
+      FROM e CROSS JOIN {prev} c
+    ), m{it} AS (SELECT vec_id, v, cell FROM a{it} WHERE r = 1),
+    c{it} AS (
+      SELECT cell, list(s ORDER BY d) AS cv FROM (
+        SELECT m{it}.cell, g.d, sum(m{it}.v[g.d]) AS s
+        FROM m{it}, (SELECT unnest(range(1, {EMB_DIM + 1})) AS d) g
+        GROUP BY 1, 2)
+      GROUP BY cell
+    )""")
+        prev = f"c{it}"
+    parts.append(f"""af AS (
+      SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos.format(a='e', c='c')} DESC, c.cell) AS r
+      FROM e CROSS JOIN {prev} c
+    ), corpus AS (
+      SELECT vec_id, v, cell FROM af WHERE r = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cell
+      FROM af WHERE vec_id < {N_QUERIES} AND r <= {N_PROBE}
+    )
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CAST(row_number() OVER (PARTITION BY p.query_id
+             ORDER BY list_dot_product(p.qv, c.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+             AS INTEGER) AS rank,
+           round(list_dot_product(p.qv, c.v)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+    FROM probes p JOIN corpus c
+      ON p.cell = c.cell AND p.query_id <> c.vec_id
+    QUALIFY rank <= {TOP_K}
+    ORDER BY query_id, rank""")
+    return ",\n    ".join(parts)
+
+
+@query("ann_ivf_kmeans_topk", oracle=_ivf_lloyd_oracle())
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a TRAINED coarse quantizer: centroids come from seeded
-    MLlib KMeans (vs ann_ivf_topk's fixed sample), cells are balanced by
-    construction, queries probe their 2 nearest cells. Rows-only (model
-    training is engine-specific).
+    """IVF with a TRAINED coarse quantizer: deterministic distributed
+    Lloyd's k-means -- stride-sampled initial centroids refined by
+    {KMEANS_ITERS} assign/re-sum rounds -- then the standard 2-probe
+    search. Centroids are kept as per-cell SUM vectors (cosine is
+    scale-invariant, so the mean's division is unnecessary): with 1e-4
+    fixed-point inputs every centroid component is an exact integer sum,
+    so assignments, the trained cells, the probe ranking, and cos_sim are
+    bit-identical across engines -- a FULL value oracle on a trained
+    quantizer (upgraded from the r2 rows-only MLlib KMeans fit, which no
+    second engine could replay; MLlib's solver remains exercised by
+    mllib_kmeans).
 
-    Scale: training samples a fraction of the corpus; assignment +
-    probing is the same broadcast/equi-join shape as ann_ivf_topk.
+    Scale: each Lloyd round is one broadcast of 16 centroids + a per-row
+    argmax (no shuffle) and one 64*|cells|-row partial-sum shuffle
+    (posexplode -> groupBy(cell, dim) with map-side combine -- the
+    embed_label_centroids transpose). The probe stage is the same
+    equi-join-on-cell shape as ann_ivf_topk.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    from iceberg_classifier_spark.ml.pipeline import fit_ready
-
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
     )
-    ev, _ = fit_ready(e.withColumn("features", array_to_vector("v")))
-    model = KMeans(k=N_CELLS, seed=42, maxIter=5).fit(ev)
-    pred = model.transform(ev).select(
-        "vec_id", "v", F.col("prediction").alias("cell")
+    n = e.count()
+    step = max(n // N_CELLS, 1)
+    cents = e.where(
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < N_CELLS)
+    ).select(
+        (F.col("vec_id") / step).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
     )
-    cents = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, cv array<double>",
-    )
-    q_assigned = (
-        e.where(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            "cell",
-            A.cosine(F.col("v"), F.col("cv")).alias("ccos"),
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    for _ in range(KMEANS_ITERS):
+        assigned = e.join(F.broadcast(cents)).select(
+            "vec_id", "v", "cell", A.cosine(F.col("v"), F.col("cv")).alias("ccos")
         )
-    )
-    w_cell = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), "cell")
-    queries = (
-        q_assigned.withColumn("r", F.row_number().over(w_cell))
-        .where(F.col("r") <= N_PROBE)
-        .select("query_id", "qv", "cell")
-    )
+        members = (
+            assigned.withColumn("r", F.row_number().over(w_cell))
+            .where(F.col("r") == 1)
+            .select("vec_id", "v", "cell")
+        )
+        sums = members.select(
+            "cell", F.posexplode("v").alias("d0", "val")
+        ).groupBy("cell", F.col("d0").alias("d")).agg(F.sum("val").alias("s"))
+        cents = (
+            sums.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"))
+            .select("cell", F.expr("transform(ds, x -> x.s)").alias("cv"))
+        )
+    final = e.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cell", A.cosine(F.col("v"), F.col("cv")).alias("ccos")
+    ).withColumn("r", F.row_number().over(w_cell))
+    corpus = final.where(F.col("r") == 1).select("vec_id", "v", "cell")
+    queries = final.where(
+        (F.col("vec_id") < N_QUERIES) & (F.col("r") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
     cos = A.cosine(F.col("qv"), F.col("v"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
         F.broadcast(queries)
-        .join(pred, "cell")
+        .join(corpus, "cell")
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w).cast("int"))
