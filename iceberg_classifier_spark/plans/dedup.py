@@ -575,51 +575,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a near-dup pair gets the min doc_id of its component as cluster_id
     (the canonical "keep one per cluster" dedup output).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own and its neighbors' labels; converges in graph-diameter rounds
-    (near-dup components are tiny cliques, so 2-4 rounds in practice, with
-    a hard cap). Per round: one shuffle join edges⋈labels + one groupBy —
-    the GraphX/GraphFrames pattern without the dependency.
+    Alternating large-star/small-star contraction (operators/graph.py,
+    Kiveris et al. SoCC'14): each round rewires edges toward neighborhood
+    minima, so convergence is O(log d) rounds in component diameter d —
+    a 64-node path closes in ~6 rounds where the r2 min-label propagation
+    needed 64 (asserted by tests/test_units.py::
+    test_connected_components_path_graph_converges_logarithmically).
 
-    Scale: label frames stay (node, lbl) longs; the convergence check is a
-    single-scalar agg per round, not a collect of the frame. At 100 TB use
-    large-star/small-star (alternating) to cut rounds on high-diameter
-    graphs.
+    Scale: per round two groupBy-min aggs + two node-keyed equi-joins over
+    a shrinking edge frame; convergence probe is a 4-scalar agg, per-round
+    persist hygiene releases the superseded frame.
     """
+    from iceberg_classifier_spark.operators.graph import connected_components
+
     p = _shingle_pairs(spark, sf_dir)
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    ed = p.where(jac >= JACCARD_MIN).select("doc_a", "doc_b")
-    sym = ed.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
-        ed.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ed = p.where(jac >= JACCARD_MIN).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    sym = sym.persist()
-    labels = sym.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    prev_sum = None
-    prev_labels = None
-    for _ in range(20):  # hard cap; diameter of near-dup clusters is tiny
-        nbr = (
-            sym.join(labels, sym.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        labels = (
-            labels.join(nbr, "node", "left")
-            .select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
-        )
-        labels = labels.persist()
-        cur_sum = labels.agg(F.sum("lbl")).first()[0]  # scalar convergence probe
-        # the probe materialized the new frame; release the superseded one
-        # (without this, executor storage grows by |V| per round — a real
-        # leak on a 20-round run at scale)
-        if prev_labels is not None:
-            prev_labels.unpersist()
-        prev_labels = labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sym.unpersist()
+    labels, _rounds = connected_components(ed)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     ).orderBy("doc_id")

@@ -282,3 +282,20 @@ def test_mlp_cv_is_seed_deterministic(spark, sf_dir):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     assert len(a) == 4 and all(r["n"] > 0 for r in a)
     assert all(r["oof_log_loss"] is not None and r["oof_log_loss"] > 0 for r in a)
+
+
+def test_connected_components_path_graph_converges_logarithmically(spark):
+    """Large/small-star must close a 64-node path in O(log n) rounds (min-
+    label propagation needs diameter = 63 rounds) and label every node
+    with the component minimum; a second disjoint component keeps its own
+    minimum."""
+    from iceberg_classifier_spark.operators.graph import connected_components
+
+    path = [(i, i + 1) for i in range(63)]  # 0-1-2-...-63
+    other = [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(path + other, "a long, b long")
+    labels, rounds = connected_components(edges)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert rounds <= 10, f"expected O(log n) rounds, got {rounds}"
+    assert all(got[i] == 0 for i in range(64))
+    assert all(got[i] == 100 for i in (100, 101, 102))
