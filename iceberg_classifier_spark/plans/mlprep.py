@@ -51,7 +51,9 @@ def duck_pseudo_prob(model_j: int) -> str:
 )
 def stratified_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified K-fold assignment (ref StratifiedKFold,
-    main.py:252). One shuffle on label; no global sort, no seed."""
+    main.py:252). No global sort, no seed; the rank shuffle is salted on
+    (label, id-range bucket) so a binary label still spreads over every
+    core — see operators/folds.py."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
     return with_stratified_folds(e, "label", "vec_id", K_FOLDS).orderBy("vec_id")
 

@@ -587,3 +587,47 @@ def test_embedding_cosine_join_keys_include_lsh_bucket(spark, sf_dir):
     assert join_lines, "no equi-join on label found in plan"
     for l in join_lines:
         assert "bucket" in l and "band" in l, f"join not bucket-blocked: {l}"
+
+
+def test_stratified_folds_rank_shuffle_is_salted(spark, sf_dir):
+    """The fold-rank window must shuffle on (label, id-range bucket), not
+    label alone: a binary label would otherwise put ALL rows into 2
+    shuffle partitions regardless of cluster width. Assert the exchange
+    keys include the bucket column and that far more than 2 groups carry
+    rows (SURVEY §4's promised salting, landed)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_classifier_spark.operators.folds import (
+        TARGET_FOLD_BUCKETS,
+        with_stratified_folds,
+    )
+    from iceberg_classifier_spark.sources.tables import load
+
+    plan = plan_of(spark, sf_dir, "stratified_folds")
+    parts = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("_fb" in l and "label" in l for l in parts), (
+        "rank exchange not keyed on (label, bucket)"
+    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    f = with_stratified_folds(e.withColumn("label", F.col("label") % 2),
+                              "label", "vec_id", 8)
+    # shuffle-group cardinality: distinct (label, id-range bucket) pairs
+    n = e.count()
+    width = max(1, n // TARGET_FOLD_BUCKETS)
+    groups = (
+        e.select((F.col("label") % 2).alias("l"),
+                 F.expr(f"vec_id div {width}").alias("b"))
+        .distinct().count()
+    )
+    assert groups > 2, f"only {groups} shuffle groups"
+    # and the salted output is still the exact unsalted formula
+    from pyspark.sql import Window
+    w = Window.partitionBy("label").orderBy("vec_id")
+    direct = (
+        e.withColumn("label", F.col("label") % 2)
+        .withColumn("fold", ((F.row_number().over(w) - 1) % 8).cast("int"))
+    )
+    diff = (
+        f.select("vec_id", "fold").subtract(direct.select("vec_id", "fold")).count()
+    )
+    assert diff == 0, f"{diff} rows differ from unsalted formula"
