@@ -244,8 +244,15 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(user_id % 2 = 0 AS INTEGER) AS treated,
              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
       FROM events GROUP BY 1
+    ), g AS (
+      SELECT n_ev, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1
+    ), b AS (
+      SELECT n_ev,
+             least((sum(c) OVER (ORDER BY n_ev ROWS UNBOUNDED PRECEDING) - 1)
+                   * 4 // (sum(c) OVER ()), 3) + 1 AS stratum
+      FROM g
     ), st AS (
-      SELECT *, ntile(4) OVER (ORDER BY n_ev, user_id) AS stratum FROM u
+      SELECT u.*, b.stratum FROM u JOIN b USING (n_ev)
     )
     SELECT CAST(stratum AS BIGINT) AS stratum,
            CAST(sum(treated) AS BIGINT) AS n_treated,
@@ -266,27 +273,46 @@ def mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def uplift_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified uplift analysis: users bucketed into activity quartiles
-    (deterministic ntile with user_id tiebreak), treatment assigned by the
-    deterministic id-parity split an A/B system would persist, outcome =
-    ever purchased; per-stratum conversion rates and uplift in exact
-    integer ppm — the confounder-adjusted effect readout (activity
+    by VALUE-GROUPED cumulative-count arithmetic (tie groups of n_ev land
+    in one stratum together — the curriculum_quality_schedule /
+    ks_two_sample bucketing, replacing the r2 ntile whose unpartitioned
+    window single-threaded the whole user dimension), treatment assigned
+    by the deterministic id-parity split an A/B system would persist,
+    outcome = ever purchased; per-stratum conversion rates and uplift in
+    exact integer ppm — the confounder-adjusted effect readout (activity
     correlates with conversion; stratifying separates that from the
     treatment signal, and an id-parity placebo should read ~0 uplift).
 
     Scale: one map-side-combinable groupBy(user) collapses events to a
-    per-user row; the quartile assignment is a rank over the user
-    dimension (at extreme scale swap ntile for the two-level
-    distributed-rank bucketing ks_two_sample uses); the stratum rollup is
-    4 rows.
+    per-user row; quartile bounds come from one cumulative window over
+    the tiny distinct-n_ev dimension and broadcast-join back; the stratum
+    rollup is ≤4 rows. No per-user global rank anywhere.
     """
     e = load(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ev"),
         F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
     ).withColumn("treated", (F.col("user_id") % 2 == 0).cast("int"))
-    st = u.withColumn(
-        "stratum", F.ntile(4).over(Window.orderBy("n_ev", "user_id"))
+    g = u.groupBy("n_ev").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wc = (
+        Window.partitionBy()
+        .orderBy("n_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    b = (
+        g.select(
+            "n_ev",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(Window.partitionBy()).alias("n"),
+        )
+        .select(
+            "n_ev",
+            (F.least(F.expr("(cum - 1) * 4 div n"), F.lit(3)) + 1).alias(
+                "stratum"
+            ),
+        )
+    )
+    st = u.join(F.broadcast(b), "n_ev")
     return (
         st.groupBy(F.col("stratum").cast("bigint").alias("stratum"))
         .agg(

@@ -990,7 +990,7 @@ _JACCARD_PAIRS_ORACLE = REGISTRY["dedup_ngram_jaccard"].oracle
         SELECT doc_a AS v FROM pr UNION ALL SELECT doc_b FROM pr
       ) GROUP BY 1
     ), wed AS (
-      SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges,
+      SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges,
              CAST(count(*) AS BIGINT) AS n_nodes
       FROM deg
     ), tri AS (

@@ -958,16 +958,19 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy()
     return (
         cells.withColumn(
-            "overall_accuracy_ppm",
-            (
-                F.sum(
-                    F.when(F.col("actual") == F.col("guessed"), F.col("n_docs"))
-                    .otherwise(0)
-                ).over(wall)
-                * 1000000
-                / F.sum("n_docs").over(wall)
-            ).cast("bigint"),
+            "_hits", F.sum(
+                F.when(F.col("actual") == F.col("guessed"), F.col("n_docs"))
+                .otherwise(0)
+            ).over(wall),
         )
+        .withColumn("_tot", F.sum("n_docs").over(wall))
+        # exact integer floor division — the oracle uses `//`, and a
+        # truncated double quotient can sit one ulp under an integer
+        .withColumn(
+            "overall_accuracy_ppm",
+            F.expr("CAST(_hits * 1000000 div _tot AS BIGINT)"),
+        )
+        .drop("_hits", "_tot")
         .orderBy("actual", "guessed")
     )
 
