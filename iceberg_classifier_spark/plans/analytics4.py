@@ -50,6 +50,7 @@ _KS_C05 = 1.358
              AS reject_05
     FROM c CROSS JOIN t GROUP BY n1, n2
     """,
+    headline=True,
 )
 def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test: are BUILDING and MACHINERY

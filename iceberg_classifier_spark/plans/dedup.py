@@ -169,6 +169,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MH_P = 4294967311  # first prime above 2^32 — universal-hash modulus
+# odd multipliers / offsets from the repo's LCG; a_i < 2^31 and base < 2^32
+# keep a_i*base + b_i < 2^63, so the whole family is exact int64 on both
+# engines
+_MH_A = [2 * ((1103515245 * (i + 1) + 12345) % 1073741823) + 1 for i in range(N_MINHASH)]
+_MH_B = [(1103515245 * (i + 101) + 12345) % 2147483648 for i in range(N_MINHASH)]
+_MH_A_SQL = "[" + ", ".join(str(a) for a in _MH_A) + "]"
+_MH_B_SQL = "[" + ", ".join(str(b) for b in _MH_B) + "]"
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -180,15 +190,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2])) AS s
       FROM documents
-    ), hashed AS (
-      SELECT doc_id, seed, min(
+    ), hs AS (
+      SELECT doc_id, list_transform(s, sg ->
         list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(generate_series(1, 8),
             k -> CAST(strpos('0123456789abcdef',
-                   substr(md5(CAST(seed AS VARCHAR) || ':' || sg),
-                          CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
-          (acc, c) -> acc * 16 + c)) AS mh
-      FROM (SELECT doc_id, unnest(s) AS sg FROM sh WHERE len(s) > 0),
+                   substr(md5(sg), CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
+          (acc, c) -> acc * 16 + c)) AS hv
+      FROM sh WHERE len(s) > 0
+    ), hashed AS (
+      SELECT doc_id, seed,
+             min((({_MH_A_SQL})[seed + 1] * h + ({_MH_B_SQL})[seed + 1])
+                 % {MH_P}) AS mh
+      FROM (SELECT doc_id, unnest(hv) AS h FROM hs),
            (SELECT unnest(generate_series(0, {N_MINHASH - 1})) AS seed)
       GROUP BY 1, 2
     ), bands AS (
@@ -209,36 +223,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.da, c.db
     ORDER BY doc_a, doc_b
     """,
+    headline=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH candidate pairs: {N_MINHASH} portable md5-prefix
-    min-hashes per doc (same fold as `minhash_lsh_quality`, so DuckDB
-    rebuilds bit-identical signatures), {N_BANDS} bands × 4 rows; docs
-    sharing any band bucket become candidates, verified with the estimated
-    Jaccard (= fraction of equal minhashes). Fully value-checked — the
-    candidate set AND the estimates hash-match the oracle.
+    """MinHash + LSH candidate pairs: {N_MINHASH} portable min-hashes per
+    doc from a universal-hash family over ONE md5-prefix base hash per
+    shingle — h_i(s) = (a_i·md5_32(s) + b_i) mod p with literal (a_i, b_i)
+    tables both engines share, so DuckDB rebuilds bit-identical signatures
+    while the crypto-hash work drops {N_MINHASH}× (the r2 version ran md5
+    per (seed, shingle): 19.3 s of the sf0.1 bench was md5 throughput).
+    {N_BANDS} bands × 4 rows; docs sharing any band bucket become
+    candidates, verified with the estimated Jaccard (= fraction of equal
+    minhashes). Fully value-checked — the candidate set AND the estimates
+    hash-match the oracle.
 
     Scale: signatures are per-row array math (no explode, no shuffle); the
     only shuffle is the equi-join on (band, band_key) whose fan-out is
-    controlled by band width. At 100 TB swap the md5 fold for xxhash64 —
-    one expression — for hash throughput; the plan shape is unchanged.
+    controlled by band width. One multiply-add-mod per (seed, shingle)
+    is the textbook Broder construction — hash throughput scales with
+    corpus bytes, not bytes × seeds.
     """
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     sh = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh")).where(
         F.size("sh") > 0
     )
-    # portable 32-bit minhash: first 8 md5 hex chars of "seed:shingle"
-    def hash_with_seed(i):
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), s)), 1, 8), 16, 10
-        ).cast("bigint")
+    # one md5-prefix base hash per shingle, materialized in its own
+    # projection so the 32 family members reuse it instead of re-hashing
+    hs = sh.select(
+        "doc_id",
+        F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        ).alias("hv"),
+    )
+    def family_member(i):
+        # one-arg lambda (a two-arg lambda would make F.transform pass the
+        # element index as the second parameter)
+        return lambda h: (F.lit(_MH_A[i]) * h + F.lit(_MH_B[i])) % F.lit(MH_P)
 
-    sig = sh.select(
+    sig = hs.select(
         "doc_id",
         F.array(
             *[
-                F.array_min(F.transform(F.col("sh"), hash_with_seed(i)))
+                F.array_min(F.transform("hv", family_member(i)))
                 for i in range(N_MINHASH)
             ]
         ).alias("sig"),
