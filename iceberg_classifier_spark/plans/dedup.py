@@ -746,6 +746,9 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MHQ_K = 16      # minhash functions
 _MHQ_BANDS = 4   # bands of 4 rows each
 _MHQ_TAU = 0.2   # ground-truth Jaccard threshold
+# same universal-hash family as dedup_minhash_lsh, first _MHQ_K members
+_MHQ_A_SQL = "[" + ", ".join(str(a) for a in _MH_A[:_MHQ_K]) + "]"
+_MHQ_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:_MHQ_K]) + "]"
 
 
 @query(
@@ -765,16 +768,19 @@ _MHQ_TAU = 0.2   # ground-truth Jaccard threshold
       WHERE len(list_intersect(a.s, b.s)) * 1.0
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
             >= {_MHQ_TAU}
+    ), hb AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 8),
+                 k -> CAST(strpos('0123456789abcdef',
+                        substr(md5(sg), CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
+               (acc, c) -> acc * 16 + c) AS h0
+      FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
     ), hashed AS (
-      SELECT doc_id, seed, min(
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(generate_series(1, 8),
-            k -> CAST(strpos('0123456789abcdef',
-                   substr(md5(CAST(seed AS VARCHAR) || ':' || sg),
-                          CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
-          (acc, c) -> acc * 16 + c)) AS mh
-      FROM (SELECT doc_id, unnest(s) AS sg FROM sh),
-           (SELECT unnest(generate_series(0, {_MHQ_K - 1})) AS seed)
+      SELECT doc_id, seed,
+             min((({_MHQ_A_SQL})[seed + 1] * h0 + ({_MHQ_B_SQL})[seed + 1])
+                 % {MH_P}) AS mh
+      FROM hb, (SELECT unnest(generate_series(0, {_MHQ_K - 1})) AS seed)
       GROUP BY 1, 2
     ), bands AS (
       SELECT doc_id, seed // {_MHQ_K // _MHQ_BANDS} AS band,
@@ -803,7 +809,7 @@ _MHQ_TAU = 0.2   # ground-truth Jaccard threshold
 )
 def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH evaluated against exact ground truth, fully
-    value-checked: {_MHQ_K} portable md5-prefix minhashes per doc,
+    value-checked: {_MHQ_K} portable universal-hash minhashes per doc\n    (one md5-prefix base per shingle, multiply-add-mod family),
     {_MHQ_BANDS} bands of {_MHQ_K // _MHQ_BANDS} rows generate candidate
     pairs; the truth set is exact 3-gram-shingle Jaccard ≥ {_MHQ_TAU};
     the report is candidate precision and recall. Because the hash is the
@@ -843,8 +849,16 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("da", "db")
     )
+    # one md5-prefix base per shingle; the seed family is multiply-add-mod
+    # (same universal-hash construction as dedup_minhash_lsh)
+    hb = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sg"), 1, 8), 16, 10).cast("bigint").alias("h0"),
+    )
+    a_arr = F.array(*[F.lit(a) for a in _MH_A[:_MHQ_K]])
+    b_arr = F.array(*[F.lit(b) for b in _MH_B[:_MHQ_K]])
     hashed = (
-        sh.crossJoin(
+        hb.crossJoin(
             F.broadcast(
                 spark.range(_MHQ_K).select(F.col("id").cast("int").alias("seed"))
             )
@@ -852,17 +866,13 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "seed",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("seed").cast("string"), "sg")),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
+            (
+                (
+                    F.element_at(a_arr, F.col("seed") + 1) * F.col("h0")
+                    + F.element_at(b_arr, F.col("seed") + 1)
+                )
+                % F.lit(MH_P)
+            ).alias("h"),
         )
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("mh"))
