@@ -25,6 +25,26 @@ def _prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engineered_features(e)
 
 
+def _per_fold_with_baseline(oof: DataFrame) -> DataFrame:
+    """Per-fold OOF log-loss + a value-checked quality flag: the fit must
+    beat the BEST CONSTANT predictor on its own fold (log-loss of p̄ =
+    the fold's positive rate, i.e. the label entropy). A model that loses
+    to the constant baseline learned nothing — the in-query self-check a
+    rows-only entry can still carry."""
+    ll = F.avg(metrics.log_loss_expr(F.col("y"), F.col("prob")))
+    p = F.avg("y")
+    baseline = -(p * F.log(p) + (1 - p) * F.log(1 - p))
+    return (
+        oof.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(ll, 4).alias("oof_log_loss"),
+            (ll < baseline).alias("beats_baseline"),
+        )
+        .orderBy("fold")
+    )
+
+
 @query("mllib_logreg_cv", oracle=None)
 def mllib_logreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified K-fold LogisticRegression CV (ref myAngleCV main.py:248-317):
@@ -35,17 +55,7 @@ def mllib_logreg_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = split.where(F.col("split") == "train")
     test = split.where(F.col("split") == "val")
     cv = kfold_cv(train, test, FEATURES, "vec_id", k=4, model="logreg")
-    per_fold = (
-        cv.oof.groupBy("fold")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.avg(metrics.log_loss_expr(F.col("y"), F.col("prob"))), 4
-            ).alias("oof_log_loss"),
-        )
-        .orderBy("fold")
-    )
-    return per_fold
+    return _per_fold_with_baseline(cv.oof)
 
 
 @query("mllib_mlp_cv", oracle=None)
@@ -80,16 +90,7 @@ def mllib_mlp_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = kfold_cv(
         train, test, FEATURES + ["f_angle"], "vec_id", k=4, model="mlp"
     )
-    return (
-        cv.oof.groupBy("fold")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.avg(metrics.log_loss_expr(F.col("y"), F.col("prob"))), 4
-            ).alias("oof_log_loss"),
-        )
-        .orderBy("fold")
-    )
+    return _per_fold_with_baseline(cv.oof)
 
 
 @query("mllib_gbt", oracle=None)
@@ -114,14 +115,16 @@ def mllib_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fit (the iterative part) is eager and done; release the cache —
     # the returned agg re-derives the val split in one cheap pass
     split_cache.unpersist()
+    ll = F.avg(metrics.log_loss_expr(F.col("y"), F.col("prob")))
+    p = F.avg("y")
+    baseline = -(p * F.log(p) + (1 - p) * F.log(1 - p))
     return scored.agg(
         F.count(F.lit(1)).alias("n_val"),
-        F.round(F.avg(metrics.log_loss_expr(F.col("y"), F.col("prob"))), 4).alias(
-            "val_log_loss"
-        ),
+        F.round(ll, 4).alias("val_log_loss"),
         F.round(metrics.accuracy_expr(F.col("y"), F.col("prob")), 4).alias(
             "val_accuracy"
         ),
+        (ll < baseline).alias("beats_baseline"),
     )
 
 

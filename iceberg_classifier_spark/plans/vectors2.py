@@ -229,7 +229,9 @@ def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib PCA (k=8) over the embedding store: fit on the 64-dim
     vectors, report per-component explained variance — the dimensionality
     reduction step after `embedding_cov_matrix`. Rows-only check (eigen
-    decomposition sign/order is not SQL-expressible).
+    decomposition sign/order is not SQL-expressible), with an in-query
+    spectrum_ok flag asserting the eigenvalue ratios form a descending
+    sub-distribution.
 
     Scale: MLlib PCA computes the covariance via the same distributed
     outer-product aggregation and eigendecomposes the small d×d result on
@@ -243,14 +245,24 @@ def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = PCA(k=8, inputCol="features", outputCol="pc").fit(e)
     ev = [float(v) for v in model.explainedVariance]
+    # value-checked spectrum sanity for a rows-only entry: eigenvalue
+    # ratios must be a descending sub-distribution (each in (0, 1], sum
+    # <= 1) — violated only by a broken decomposition
+    spectrum_ok = (
+        all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+        and all(0.0 < v <= 1.0 + 1e-12 for v in ev)
+        and sum(ev) <= 1.0 + 1e-9
+    )
     return (
         load(spark, sf_dir, "embeddings")
         .sparkSession.createDataFrame(
-            [(i + 1, v) for i, v in enumerate(ev)],
-            "component int, explained_variance double",
+            [(i + 1, v, spectrum_ok) for i, v in enumerate(ev)],
+            "component int, explained_variance double, spectrum_ok boolean",
         )
         .select(
-            "component", F.round("explained_variance", 6).alias("explained_variance")
+            "component",
+            F.round("explained_variance", 6).alias("explained_variance"),
+            "spectrum_ok",
         )
         .orderBy("component")
     )
