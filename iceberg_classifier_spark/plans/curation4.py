@@ -1,0 +1,283 @@
+"""Curation wave 4: semantic dedup (SemDeDup), corpus-internal repeated-
+span masking (Lee et al. 2022), and tokenizer fertility auditing.
+
+All three are LLM-training-data curation passes over ``documents`` /
+``embeddings`` with full DuckDB oracles (portable integer/fixed-point
+arithmetic throughout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions import arrays as A
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+SEM_CELLS = 16  # k-means cells; k scales with corpus so |cell| stays O(1)
+SEM_TAU = 0.25  # within-cell cosine threshold for "semantic duplicate"
+
+
+@query(
+    "semdedup_cells",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (SELECT count(*) AS n FROM e),
+    cents AS (
+      SELECT CAST(vec_id / (SELECT greatest(n // {SEM_CELLS}, 1) FROM n)
+                  AS INTEGER) AS cell, v AS cv
+      FROM e
+      WHERE vec_id % (SELECT greatest(n // {SEM_CELLS}, 1) FROM n) = 0
+        AND vec_id / (SELECT greatest(n // {SEM_CELLS}, 1) FROM n) < {SEM_CELLS}
+    ), assigned AS (
+      SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cell) AS r
+      FROM e CROSS JOIN cents c
+    ), m AS (SELECT vec_id, v, cell FROM assigned WHERE r = 1),
+    removed AS (
+      SELECT DISTINCT b.vec_id, b.cell
+      FROM m a JOIN m b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {SEM_TAU}
+    )
+    SELECT m.cell, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+           CAST((count(*) - count(r.vec_id)) * 1000000 // count(*) AS BIGINT)
+             AS keep_ppm
+    FROM m LEFT JOIN removed r ON r.vec_id = m.vec_id AND r.cell = m.cell
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space into
+    cells, then inside each cell drop every vector that has a LOWER-id
+    semantic duplicate (cosine ≥ τ) — keep-one-per-duplicate-group, the
+    curation pass that removed 50% of LAION with no quality loss. Cells
+    come from the deterministic stride quantizer (ann_ivf_topk's
+    centroids) with fixed-point cosines, so cell assignment, the removal
+    set, and the per-cell keep rates are bit-identical across engines.
+
+    Scale: the within-cell pair join is quadratic ONLY in cell
+    population; SemDeDup's contract is that k grows linearly with the
+    corpus (|cell| stays O(1)) — the deliberate contrast with
+    dedup_embedding_cosine, whose LSH bands bound pair emission without
+    any clustering. Assignment is a broadcast argmax, the pair stage an
+    equi-join on cell id, the report a |cells|-row rollup.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
+    )
+    n = e.count()
+    step = max(n // SEM_CELLS, 1)
+    cents = e.where(
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < SEM_CELLS)
+    ).select(
+        (F.col("vec_id") / step).cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
+    m = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "v", "cell", A.cosine(F.col("v"), F.col("cv")).alias("ccos"))
+        .withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(A.cosine(F.col("a.v"), F.col("b.v")) >= SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"), F.col("b.cell").alias("cell"))
+        .distinct()
+    )
+    return (
+        m.join(removed.withColumn("rm", F.lit(1)), ["vec_id", "cell"], "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.count("rm").cast("bigint").alias("n_removed"),
+            F.expr(
+                "CAST((count(1) - count(rm)) * 1000000 div count(1) AS BIGINT)"
+            ).alias("keep_ppm"),
+        )
+        .orderBy("cell")
+    )
+
+
+SPAN_N = 8  # repeated-span gram width (tokens)
+
+
+@query(
+    "repeated_span_mask",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS start,
+             array_to_string(w[i:i + {SPAN_N - 1}], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {SPAN_N - 1}))
+                   AS i
+            FROM toks WHERE len(w) >= {SPAN_N})
+    ), rep AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.start FROM grams g JOIN rep USING (gram)
+    ), masked AS (
+      SELECT doc_id,
+             count(DISTINCT start) AS n_spans,
+             count(DISTINCT start + o.o) AS n_masked
+      FROM hits, (SELECT unnest(range(0, {SPAN_N})) AS o) o
+      GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(m.n_spans, 0) AS BIGINT) AS n_repeated_spans,
+           CAST(coalesce(m.n_masked, 0) AS BIGINT) AS n_masked_tokens,
+           CAST(coalesce(m.n_masked, 0) * 1000000 // len(t.w) AS BIGINT)
+             AS masked_ppm
+    FROM toks t LEFT JOIN masked m USING (doc_id)
+    WHERE len(t.w) > 0
+    ORDER BY doc_id
+    """,
+)
+def repeated_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal verbatim-span dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    {SPAN_N}-token gram that occurs verbatim in ≥2 DISTINCT documents
+    marks its span for masking; per document the report counts repeated
+    span starts, the union of masked token positions (overlapping spans
+    merged via distinct positions), and the masked fraction in exact ppm
+    — the substring-level dedup that removes boilerplate exact dedup
+    misses. Distinct from decontaminate_8gram (train-vs-eval): this is
+    train-vs-train.
+
+    Scale: gram emission is a narrow per-row explode; the df filter is a
+    map-side-combinable groupBy on the gram (at 100 TB: on its xxhash64,
+    shuffling 8-byte keys); only REPEATED grams flow back through the
+    equi-join, and the span-union fan-out is a bounded ×{SPAN_N} explode
+    of those hits — never of the corpus.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+    )
+    grams = (
+        toks.where(F.size("w") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {SPAN_N - 1}),"
+                    f" i -> array_join(slice(w, i, {SPAN_N}), ' '))"
+                )
+            ).alias("start", "gram"),
+        )
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(rep, "gram").select("doc_id", "start")
+    masked = (
+        hits.select(
+            "doc_id",
+            "start",
+            F.explode(F.sequence(F.lit(0), F.lit(SPAN_N - 1))).alias("o"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("start").alias("n_spans"),
+            F.count_distinct(F.col("start") + F.col("o")).alias("n_masked"),
+        )
+    )
+    return (
+        toks.where(F.size("w") > 0)
+        .join(masked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_repeated_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("bigint").alias("n_masked_tokens"),
+            F.expr(
+                "CAST(coalesce(n_masked, 0) * 1000000 div size(w) AS BIGINT)"
+            ).alias("masked_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tokenizer_fertility_audit",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(string_split(trim(text), ' '),
+                                          x -> (length(x) + 3) // 4))
+                  AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT)
+             AS fertility_ppm,
+           CAST(sum(n_bytes) * 1000000 // sum(n_tokens) AS BIGINT)
+             AS micro_bytes_per_token
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per language, subword-pieces-per-word
+    (the fertility a tokenizer team tracks to spot languages the vocab
+    under-serves) and bytes-per-token. The tokenizer stand-in is a
+    fixed-width subword segmenter — ceil(len(word)/4) pieces per word,
+    the deterministic proxy for a 4-chars-per-piece BPE — so fertility
+    varies with each language's word-length mix. Exact integer ppm.
+
+    Scale: map-only per-word arithmetic (one fold per row) + one
+    |langs|-row combinable rollup.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(transform(split(trim(text), ' '),"
+            " x -> (length(x) + 3) div 4), 0L, (a, x) -> a + x)"
+        ).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_bytes"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("words"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.expr(
+                "CAST(sum(n_tokens) * 1000000 div sum(n_words) AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(sum(n_bytes) * 1000000 div sum(n_tokens) AS BIGINT)"
+            ).alias("micro_bytes_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -49,6 +49,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         relational4,
         curation2,
         curation3,
+        curation4,
         behavior,
         scaleops,
         vectors,
