@@ -951,3 +951,106 @@ def cross_corr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH o AS (
+      SELECT {_O_CENTS} AS cents, c_mktsegment AS seg
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), g AS (
+      SELECT cents,
+             sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+      FROM o GROUP BY 1
+    ), c AS (
+      SELECT cents, c1, c2, c1 + c2 AS t,
+             coalesce(sum(c1 + c2) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ), s AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1_2,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM c
+    )
+    SELECT n1, n2,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+           round((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2 - n1 * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                        * ((n1 + n2 + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1.0)))), 6) AS z,
+           abs((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2 - n1 * n2 / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                      * ((n1 + n2 + 1)
+                         - CAST(tie3 AS DOUBLE)
+                           / ((n1 + n2) * (n1 + n2 - 1.0))))) > 1.96
+             AS reject_05
+    FROM s
+    """,
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (BUILDING vs MACHINERY order totals) —
+    the nonparametric location companion to ks_two_sample's shape test.
+    Midranks are computed by VALUE-GROUPED cumulative counts over the
+    distinct-cents dimension in doubled integer units (midrank×2 =
+    2·cum_before + tie_size + 1), so the rank sum, U (reported doubled to
+    stay integral under ties), and the tie-correction term Σ(t³−t) are
+    exact int64 on both engines; only the final normal-approximation
+    z-score is float, as one identical IEEE expression.
+
+    Scale: one broadcast join + one map-combinable value groupBy; the
+    midrank window runs over distinct values only (two-level bucketed at
+    extreme cardinality, as in ks_two_sample) — never a per-row rank.
+    """
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    g = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .select(
+            F.expr(_O_CENTS).alias("cents"),
+            (F.col("c_mktsegment") == "BUILDING").cast("bigint").alias("b1"),
+            (F.col("c_mktsegment") == "MACHINERY").cast("bigint").alias("b2"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("b1").alias("c1"), F.sum("b2").alias("c2"))
+        .withColumn("t", F.col("c1") + F.col("c2"))
+    )
+    wc = (
+        Window.partitionBy()
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn("cb", F.coalesce(F.sum("t").over(wc), F.lit(0)))
+    s = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r1_2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    u2 = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)
+    mean_shift = u2.cast("double") / 2 - F.col("n1") * F.col("n2") / F.lit(2.0)
+    sd = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("tie3").cast("double")
+            / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u2.cast("bigint").alias("u1_doubled"),
+        F.round(mean_shift / sd, 6).alias("z"),
+        (F.abs(mean_shift / sd) > 1.96).alias("reject_05"),
+    )
