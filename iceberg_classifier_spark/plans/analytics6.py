@@ -690,3 +690,127 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_suppliers"
         ),
     ).orderBy("nation")
+
+
+_CONF_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle=f"""
+    WITH o AS (
+      SELECT {_CONF_CENTS} AS cents, c_mktsegment AS seg, o_orderkey AS k
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ), pred AS (
+      SELECT seg, CAST(sum(cents) // count(*) AS BIGINT) AS pred_cents,
+             CAST(count(*) AS BIGINT) AS n_train
+      FROM o WHERE k % 3 != 0 GROUP BY 1
+    ), calib AS (
+      SELECT o.seg, abs(o.cents - p.pred_cents) AS r
+      FROM o JOIN pred p ON p.seg = o.seg
+      WHERE o.k % 3 = 0
+    ), g AS (
+      SELECT seg, r, count(*) AS c FROM calib GROUP BY 1, 2
+    ), cum AS (
+      SELECT seg, r, c,
+             sum(c) OVER (PARTITION BY seg ORDER BY r
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY seg) AS n_cal
+      FROM g
+    ), qh AS (
+      SELECT seg, CAST(min(r) AS BIGINT) AS qhat_cents,
+             CAST(min(n_cal) AS BIGINT) AS n_calib
+      FROM cum WHERE cum >= (9 * (n_cal + 1) + 9) // 10
+      GROUP BY 1
+    )
+    SELECT p.seg AS segment, p.n_train, q.n_calib, p.pred_cents,
+           q.qhat_cents,
+           CAST((SELECT sum(c) FROM cum
+                 WHERE cum.seg = p.seg AND cum.r <= q.qhat_cents)
+                * 1000000 // q.n_calib AS BIGINT) AS coverage_ppm
+    FROM pred p JOIN qh q ON q.seg = p.seg
+    ORDER BY segment
+    """,
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals: a deterministic per-segment
+    point predictor (train-split mean in integer cents) is calibrated on
+    a held-out split — q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute residual
+    per segment, found by value-grouped cumulative counts — and the
+    realized calibration coverage of pred ± q̂ is reported in exact ppm
+    (split conformal guarantees ≥ 90% marginal coverage; the audit column
+    proves it held). Every quantity is exact int64 on both engines; no
+    per-row rank anywhere.
+
+    Scale: two passes over the joined fact (train means, calib
+    residuals), both map-side combinable; the quantile runs on the
+    distinct-residual dimension per segment (two-level bucketed at
+    extreme cardinality); the report is |segments| rows.
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(load(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.expr(_CONF_CENTS).alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    pred = (
+        o.where(F.col("k") % 3 != 0)
+        .groupBy("seg")
+        .agg(
+            F.expr("CAST(sum(cents) div count(1) AS BIGINT)").alias("pred_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        )
+    )
+    calib = (
+        o.where(F.col("k") % 3 == 0)
+        .join(F.broadcast(pred), "seg")
+        .select("seg", F.abs(F.col("cents") - F.col("pred_cents")).alias("r"))
+    )
+    g = calib.groupBy("seg", "r").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "seg",
+        "r",
+        "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("seg")).alias("n_cal"),
+    )
+    qh = (
+        cum.where(F.col("cum") >= F.expr("(9 * (n_cal + 1) + 9) div 10"))
+        .groupBy("seg")
+        .agg(
+            F.min("r").cast("bigint").alias("qhat_cents"),
+            F.min("n_cal").cast("bigint").alias("n_calib"),
+        )
+    )
+    cov = (
+        cum.join(F.broadcast(qh), "seg")
+        .where(F.col("r") <= F.col("qhat_cents"))
+        .groupBy("seg")
+        .agg(F.sum("c").alias("covered"))
+    )
+    return (
+        pred.join(qh, "seg")
+        .join(cov, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            "n_train",
+            "n_calib",
+            "pred_cents",
+            "qhat_cents",
+            F.expr("CAST(covered * 1000000 div n_calib AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -141,3 +141,76 @@ def submission_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         F.col("vec_id").alias("id"), F.round(pseudo_prob(0), 6).alias("is_iceberg")
     ).orderBy("id")
+
+
+GROUP_K = 5
+
+
+@query(
+    "grouped_kfold_assign",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 8),
+                 k -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)),
+                               CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
+               (acc, c) -> acc * 16 + c) % {GROUP_K} AS INTEGER) AS fold,
+             count(*) AS n_ev
+      FROM events GROUP BY 1
+    ), tot AS (SELECT sum(n_ev) AS t FROM f)
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(n_ev) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS events_share_ppm
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def grouped_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped K-fold assignment (sklearn GroupKFold semantics): every
+    GROUP (user) lands in exactly one fold — fold = portable-hash(user)
+    % K — so no user's events leak across the train/validation boundary,
+    the split discipline any per-user behavioral model needs. The report
+    is per-fold group counts, event counts, and event share in exact ppm
+    (hash splits balance groups, not rows; the share column is what you
+    check before trusting the split).
+
+    Scale: fold assignment is a map-only hash (no rank, no shuffle of
+    events beyond the per-user rollup); leakage-freedom is by
+    construction, not by a post-hoc check.
+    """
+    f = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % GROUP_K
+            ).cast("int").alias("fold"),
+            "n_ev",
+        )
+    )
+    tot = f.agg(F.sum("n_ev").alias("t"))
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            "n_groups",
+            "n_events",
+            F.expr("CAST(n_events * 1000000 div t AS BIGINT)").alias(
+                "events_share_ppm"
+            ),
+        )
+        .orderBy("fold")
+    )

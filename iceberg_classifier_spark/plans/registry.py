@@ -79,6 +79,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         pysource,
         modernapi,
         modernapi2,
+        governance,
     )
 
     return REGISTRY
