@@ -80,6 +80,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         modernapi,
         modernapi2,
         governance,
+        warehouse4,
     )
 
     return REGISTRY
