@@ -15,7 +15,7 @@ from iceberg_classifier_spark.functions import arrays as A
 from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load
 
-SEM_CELLS = 16  # k-means cells; k scales with corpus so |cell| stays O(1)
+SEM_CELL_ROWS = 2048  # target cell population; k = max(16, n/2048)
 SEM_TAU = 0.25  # within-cell cosine threshold for "semantic duplicate"
 
 
@@ -27,13 +27,18 @@ SEM_TAU = 0.25  # within-cell cosine threshold for "semantic duplicate"
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
       FROM embeddings
-    ), n AS (SELECT count(*) AS n FROM e),
-    cents AS (
-      SELECT CAST(vec_id / (SELECT greatest(n // {SEM_CELLS}, 1) FROM n)
-                  AS INTEGER) AS cell, v AS cv
+    ), n AS (
+      SELECT count(*) AS n,
+             greatest(16, count(*) // {SEM_CELL_ROWS}) AS k,
+             greatest(count(*) // greatest(16, count(*) // {SEM_CELL_ROWS}), 1)
+               AS step
       FROM e
-      WHERE vec_id % (SELECT greatest(n // {SEM_CELLS}, 1) FROM n) = 0
-        AND vec_id / (SELECT greatest(n // {SEM_CELLS}, 1) FROM n) < {SEM_CELLS}
+    ),
+    cents AS (
+      SELECT CAST(vec_id / (SELECT step FROM n) AS INTEGER) AS cell, v AS cv
+      FROM e
+      WHERE vec_id % (SELECT step FROM n) = 0
+        AND vec_id / (SELECT step FROM n) < (SELECT k FROM n)
     ), assigned AS (
       SELECT e.vec_id, e.v, c.cell,
              row_number() OVER (PARTITION BY e.vec_id
@@ -68,8 +73,9 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, and the per-cell keep rates are bit-identical across engines.
 
     Scale: the within-cell pair join is quadratic ONLY in cell
-    population; SemDeDup's contract is that k grows linearly with the
-    corpus (|cell| stays O(1)) — the deliberate contrast with
+    population, and k = max(16, n/{SEM_CELL_ROWS}) grows linearly with
+    the corpus so |cell| stays O({SEM_CELL_ROWS}) — total pair volume is
+    O(n·{SEM_CELL_ROWS}), linear in n. The deliberate contrast with
     dedup_embedding_cosine, whose LSH bands bound pair emission without
     any clustering. Assignment is a broadcast argmax, the pair stage an
     equi-join on cell id, the report a |cells|-row rollup.
@@ -81,9 +87,10 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     n = e.count()
-    step = max(n // SEM_CELLS, 1)
+    k = max(16, n // SEM_CELL_ROWS)  # cells grow with the corpus
+    step = max(n // k, 1)
     cents = e.where(
-        (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < SEM_CELLS)
+        (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < k)
     ).select(
         (F.col("vec_id") / step).cast("int").alias("cell"),
         F.col("v").alias("cv"),
