@@ -631,3 +631,48 @@ def test_stratified_folds_rank_shuffle_is_salted(spark, sf_dir):
         f.select("vec_id", "fold").subtract(direct.select("vec_id", "fold")).count()
     )
     assert diff == 0, f"{diff} rows differ from unsalted formula"
+
+
+def test_round3_ops_have_blocked_plans(spark, sf_dir):
+    """Round-3 operators keep the engine's plan discipline: no cartesian
+    products, no row-at-a-time Python; pair-generating ops join on their
+    blocking keys."""
+    for name in (
+        "semdedup_cells",
+        "pq_adc_topk",
+        "repeated_span_mask",
+        "mann_whitney_u",
+        "conformal_interval_coverage",
+        "loo_target_encoding",
+        "negative_sampling_pairs",
+        "incremental_matview_maintenance",
+        "gdpr_delete_propagation",
+        "grouped_kfold_assign",
+        "tokenizer_fertility_audit",
+        "random_augment_stream",
+        "multimodal_bmp_stats",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+
+
+def test_semdedup_pair_join_is_cell_blocked(spark, sf_dir):
+    """SemDeDup's pair join must key on the cell id (equi-join), and the
+    cascade must broadcast the tiny centroid frame."""
+    plan = plan_of(spark, sf_dir, "semdedup_cells")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    joins = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l) and "vec_id" in l
+    ]
+    for l in joins:
+        assert "cell" in l, f"pair join not cell-blocked: {l}"
+
+
+def test_pq_adc_join_is_code_keyed(spark, sf_dir):
+    """The ADC stage must be an equi-join between the code column and the
+    broadcast query distance table — no scoring join over raw vectors."""
+    plan = plan_of(spark, sf_dir, "pq_adc_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "query table not broadcast"
