@@ -81,6 +81,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         modernapi2,
         governance,
         warehouse4,
+        textops3,
     )
 
     return REGISTRY

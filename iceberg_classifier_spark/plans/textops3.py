@@ -1,0 +1,238 @@
+"""Text wave 3: RAKE keyphrase extraction and a posting-list
+delta+varint compression audit — retrieval-stack depth (keyphrases for
+indexing, storage accounting for the inverted index itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions.text import STOPWORDS
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_RAKE_STOPS = sorted({w for ws in STOPWORDS.values() for w in ws})
+_RAKE_TOPK = 20
+_RAKE_MIN = 2
+_RAKE_MAX = 4
+
+
+def _stops_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _RAKE_STOPS) + "]"
+
+
+@query(
+    "rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), pos AS (
+      SELECT doc_id, i, w[i] AS tok,
+             CASE WHEN list_contains({_stops_sql()}, w[i]) THEN 1 ELSE 0 END
+               AS is_stop
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM toks)
+    ), runs AS (
+      SELECT doc_id, i, tok, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS run
+      FROM pos
+    ), phr AS (
+      SELECT doc_id, run, list(tok ORDER BY i) AS ph
+      FROM runs WHERE is_stop = 0 GROUP BY 1, 2
+      HAVING count(*) BETWEEN {_RAKE_MIN} AND {_RAKE_MAX}
+    ), wstat AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM (SELECT unnest(ph) AS word, len(ph) AS plen FROM phr)
+      GROUP BY 1
+    ), pocc AS (
+      SELECT array_to_string(ph, ' ') AS phrase, ph,
+             CAST(count(*) AS BIGINT) AS n_occ
+      FROM phr GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.phrase, p.n_occ,
+             CAST(sum(w.deg * 1000000 // w.freq) AS BIGINT) AS score_micro
+      FROM (SELECT phrase, n_occ, unnest(ph) AS word FROM pocc) p
+      JOIN wstat w USING (word)
+      GROUP BY 1, 2
+    )
+    SELECT phrase, n_occ, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {_RAKE_TOPK}
+    ORDER BY rank
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs ({_RAKE_MIN}–{_RAKE_MAX} words);
+    each word scores deg/freq (degree = Σ phrase lengths it appears in),
+    a phrase scores the sum of its words' ratios — computed in exact
+    integer micro-units (deg·10⁶ div freq per word, then an integer sum,
+    so the fold order can't matter) — and the corpus-level top-{_RAKE_TOPK}
+    keyphrases are reported. The stoplist is the union of the engine's
+    language profiles.
+
+    Scale: run-splitting is one per-doc window over the token explode
+    (keyed by doc — parallel across docs); word stats and phrase scores
+    are map-combinable aggregates; the word-stat join broadcasts the
+    vocabulary-sized dim; top-k is a bounded TakeOrdered merge.
+    """
+    stops = F.array(*[F.lit(w) for w in _RAKE_STOPS])
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("w")
+    )
+    pos = toks.select(
+        "doc_id",
+        F.posexplode("w").alias("i", "tok"),
+    ).select(
+        "doc_id",
+        "i",
+        "tok",
+        F.array_contains(stops, F.col("tok")).cast("int").alias("is_stop"),
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = pos.withColumn("run", F.sum("is_stop").over(wrun))
+    phr = (
+        runs.where(F.col("is_stop") == 0)
+        .groupBy("doc_id", "run")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(i, tok))), s -> s.tok)")
+            .alias("ph")
+        )
+        .where(F.size("ph").between(_RAKE_MIN, _RAKE_MAX))
+    )
+    wstat = (
+        phr.select(F.explode("ph").alias("word"), F.size("ph").alias("plen"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    pocc = phr.groupBy(
+        F.array_join("ph", " ").alias("phrase"), F.col("ph")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    scored = (
+        pocc.select("phrase", "n_occ", F.explode("ph").alias("word"))
+        .join(F.broadcast(wstat), "word")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.sum(F.expr("deg * 1000000 div freq")).cast("bigint").alias(
+                "score_micro"
+            )
+        )
+    )
+    top = scored.orderBy(F.desc("score_micro"), "phrase").limit(_RAKE_TOPK)
+    return top.select(
+        "phrase",
+        "n_occ",
+        "score_micro",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), "phrase"))
+        .cast("int")
+        .alias("rank"),
+    ).orderBy("rank")
+
+
+@query(
+    "posting_list_compression_audit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' ')))
+               AS word
+      FROM documents
+    ), post AS (
+      SELECT word, list(doc_id ORDER BY doc_id) AS ids,
+             CAST(count(*) AS BIGINT) AS df
+      FROM toks GROUP BY word
+    ), gaps AS (
+      SELECT word, df,
+             list_transform(generate_series(1, len(ids)),
+               i -> CASE WHEN i = 1 THEN ids[1] + 1
+                         ELSE ids[i] - ids[i - 1] END) AS g
+      FROM post
+    ), cost AS (
+      SELECT word, df,
+             CAST(list_sum(list_transform(g, v ->
+               CASE WHEN v < 128 THEN 1
+                    WHEN v < 16384 THEN 2
+                    WHEN v < 2097152 THEN 3
+                    WHEN v < 268435456 THEN 4
+                    ELSE 5 END)) AS BIGINT) AS vbytes
+      FROM gaps
+    )
+    SELECT CAST(length(printf('%b', df)) - 1 AS INTEGER) AS df_bucket,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS postings,
+           CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+           CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+           CAST(sum(vbytes) * 1000000 // (sum(df) * 8) AS BIGINT)
+             AS ratio_ppm
+    FROM cost GROUP BY 1 ORDER BY 1
+    """,
+)
+def posting_list_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index storage audit: per term, the sorted doc-id posting
+    list is delta-encoded (first gap = id+1 so every gap ≥ 1) and costed
+    at varint bytes (1 B under 2⁷, 2 B under 2¹⁴, …) — the Lucene/
+    PforDelta-style accounting that decides index layout. Terms roll up
+    by ⌊log₂ df⌋ bucket (exact via binary-string length, no float log):
+    high-df terms compress hardest (dense ids → tiny gaps), and the
+    report quantifies it as varint vs raw-int64 bytes in exact ppm.
+
+    Scale: posting assembly is the standard groupBy(word) with doc-level
+    distinct tokens (map-side combined); gap/varint costing is per-row
+    JVM list math over each term's own list; the rollup is ~30 buckets.
+    """
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias(
+            "word"
+        ),
+    )
+    post = toks.groupBy("word").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    cost = post.select(
+        "word",
+        "df",
+        F.expr(
+            """
+            CAST(aggregate(
+              transform(sequence(1, size(ids)),
+                i -> CASE WHEN i = 1 THEN element_at(ids, 1) + 1
+                          ELSE element_at(ids, i) - element_at(ids, i - 1)
+                     END),
+              0L,
+              (a, v) -> a + CASE WHEN v < 128 THEN 1
+                                 WHEN v < 16384 THEN 2
+                                 WHEN v < 2097152 THEN 3
+                                 WHEN v < 268435456 THEN 4
+                                 ELSE 5 END) AS BIGINT)
+            """
+        ).alias("vbytes"),
+    )
+    return (
+        cost.groupBy(
+            (F.length(F.bin("df")) - 1).cast("int").alias("df_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("df").cast("bigint").alias("postings"),
+            (F.sum("df") * 8).cast("bigint").alias("raw_bytes"),
+            F.sum("vbytes").cast("bigint").alias("varint_bytes"),
+            F.expr(
+                "CAST(sum(vbytes) * 1000000 div (sum(df) * 8) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+        .orderBy("df_bucket")
+    )
