@@ -82,6 +82,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         governance,
         warehouse4,
         textops3,
+        modernapi3,
     )
 
     return REGISTRY
