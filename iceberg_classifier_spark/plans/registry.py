@@ -83,6 +83,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         warehouse4,
         textops3,
         modernapi3,
+        curation5,
     )
 
     return REGISTRY
