@@ -80,17 +80,57 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a binary PPM (P6): ASCII
+    header ``P6 <w> <h> 255`` then raw RGB bytes, top-down."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (H, W, 3) uint8 RGB")
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6): whitespace/comment-tolerant header parse
+    (width, height, maxval ≤ 255), then one frombuffer + reshape of the
+    raw top-down RGB payload."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM (missing magic)")
+    # header tokens after the magic: width, height, maxval; '#' starts a
+    # comment running to end-of-line
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixels
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    img = np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return np.ascontiguousarray(img.reshape(h, w, 3))
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Decode a binary image payload by sniffing the format magic.
 
-    BMP decodes natively (pure numpy, above). Other formats (PNG/JPEG)
-    need a compression codec not present in this container and raise —
-    wire PIL/libvips here in deploy environments; the Spark plumbing
-    (binary column, Arrow-batched mapInPandas) is format-agnostic.
+    BMP and binary PPM (P6) decode natively (pure numpy, above). Other
+    formats (PNG/JPEG) need a compression codec not present in this
+    container and raise — wire PIL/libvips here in deploy environments;
+    the Spark plumbing (binary column, Arrow-batched mapInPandas) is
+    format-agnostic.
     """
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
     raise NotImplementedError(
-        "only BMP decodes without an imaging library; plug PIL/libvips "
+        "only BMP/PPM decode without an imaging library; plug PIL/libvips "
         "for PNG/JPEG in deploy environments"
     )

@@ -628,3 +628,94 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_ppm_decode_parity",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text, least(length(text) // {3 * BMP_W}, {BMP_MAX_H}) AS h
+      FROM documents WHERE length(text) >= {3 * BMP_W} AND doc_id % 5 = 0
+    ), px AS (
+      SELECT doc_id, h, h * {3 * BMP_W} AS npx,
+             list_transform(generate_series(1, h * {3 * BMP_W}),
+                            i -> ord(substr(text, CAST(i AS INTEGER), 1))) AS b
+      FROM m
+    )
+    SELECT doc_id, CAST({BMP_W} AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           TRUE AS formats_agree,
+           round(CAST(list_sum(b) AS DOUBLE) / npx, 6) AS mean_pixel
+    FROM px ORDER BY doc_id
+    """,
+)
+def multimodal_ppm_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-agnostic decode: the same document-derived pixel array is
+    written as BOTH a real 24-bit BMP and a real binary PPM (P6), each
+    decoded through decode_image's magic sniff, and the query asserts the
+    two decoders reconstruct the identical (H, W, 3) array
+    (``formats_agree`` — BMP must undo bottom-up BGR stride rows, PPM
+    reads top-down RGB, so agreement proves both transforms). The oracle
+    re-derives the mean from the source bytes; formats_agree is the
+    in-query cross-decoder check.
+
+    Scale: same Arrow-batched mapInPandas shape as multimodal_bmp_stats —
+    encode+decode+compare per image inside the worker, 4 scalars out.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_classifier_spark.functions.imaging import (
+        decode_image as _decode,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    m = (
+        load(spark, sf_dir, "documents")
+        .where((F.length("text") >= 3 * BMP_W) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            ids, ws, hs, agree, mp = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                h = min(len(b) // (3 * BMP_W), BMP_MAX_H)
+                # decoded TOP-DOWN RGB truth: stored bytes are bottom-up
+                # BGR rows in the BMP, so build the reference array the
+                # same way multimodal_bmp_stats's oracle sees it
+                stored = np.frombuffer(
+                    b[: h * 3 * BMP_W], dtype=np.uint8
+                ).reshape(h, BMP_W, 3)
+                rgb = stored[::-1, :, ::-1]
+                bmp = encode_bmp(np.ascontiguousarray(rgb))
+                ppm = encode_ppm(np.ascontiguousarray(rgb))
+                da, db = _decode(bmp), _decode(ppm)
+                ids.append(doc_id)
+                ws.append(da.shape[1])
+                hs.append(da.shape[0])
+                agree.append(bool((da == db).all()))
+                mp.append(int(da.sum(dtype=np.int64)) / da.size)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "formats_agree": agree,
+                    "mean_pixel": mp,
+                }
+            )
+
+    return (
+        m.mapInPandas(
+            stats,
+            "doc_id long, width int, height int, formats_agree boolean, "
+            "mean_pixel double",
+        )
+        .select(
+            "doc_id", "width", "height", "formats_agree",
+            F.round("mean_pixel", 6).alias("mean_pixel"),
+        )
+        .orderBy("doc_id")
+    )

@@ -421,3 +421,26 @@ def test_decode_image_rejects_unknown_formats():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_ppm_encode_decode_roundtrip_and_comments():
+    """P6 PPM roundtrip, including a comment-bearing header; decoded
+    array equals BMP-decoded array for the same pixels (two real formats,
+    one decode_image entry point)."""
+    import numpy as np
+
+    from iceberg_classifier_spark.functions.imaging import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    ppm = encode_ppm(img)
+    assert (decode_image(ppm) == img).all()
+    # header comments must be skipped
+    commented = b"P6\n# synthetic test image\n7 5\n255\n" + img.tobytes()
+    assert (decode_image(commented) == img).all()
+    # both formats agree through the sniffing entry point
+    assert (decode_image(encode_bmp(img)) == decode_image(ppm)).all()
