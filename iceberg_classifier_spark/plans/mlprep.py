@@ -214,3 +214,143 @@ def grouped_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "roc_auc_exact",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(label % 2 AS BIGINT) AS y,
+             CAST(round({duck_pseudo_prob(0)} * 1000000) AS BIGINT) AS p6
+      FROM embeddings
+    ), g AS (
+      SELECT p6, sum(y) AS c1, sum(1 - y) AS c0 FROM s GROUP BY 1
+    ), c AS (
+      SELECT p6, c1, c0, c1 + c0 AS t,
+             coalesce(sum(c1 + c0) OVER (ORDER BY p6
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM g
+    ), agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1_2
+      FROM c
+    )
+    SELECT n1, n0,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS auc_num_doubled,
+           round(CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n0), 6)
+             AS auc
+    FROM agg
+    """,
+)
+def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC as the normalized Mann-Whitney statistic: AUC =
+    P(score⁺ > score⁻) + ½P(tie), computed from value-grouped doubled
+    midranks over micro-quantized scores — no per-row rank, ties handled
+    exactly, the numerator an exact int64 both engines replay (the metric
+    companion to `log_loss`; the reference reports only log-loss, AUC is
+    the other number every classification pipeline publishes).
+
+    Scale: one map-combinable value groupBy + one cumulative window over
+    the ≤10⁶-row distinct-score dimension (two-level bucketed at extreme
+    cardinality, as in ks_two_sample).
+    """
+    s = load(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.round(pseudo_prob(0) * 1000000).cast("bigint").alias("p6"),
+    )
+    g = s.groupBy("p6").agg(
+        F.sum("y").alias("c1"), F.sum(1 - F.col("y")).alias("c0")
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy().orderBy("p6").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn("t", F.col("c1") + F.col("c0")).withColumn(
+        "cb", F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(wc), F.lit(0))
+    )
+    agg = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("bigint")
+        .alias("r1_2"),
+    )
+    num = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        "n1",
+        "n0",
+        num.cast("bigint").alias("auc_num_doubled"),
+        F.round(
+            num.cast("double") / (2.0 * F.col("n1") * F.col("n0")), 6
+        ).alias("auc"),
+    )
+
+
+@query(
+    "calibration_reliability_bins",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(label % 2 AS BIGINT) AS y,
+             CAST(round({duck_pseudo_prob(0)} * 1000000) AS BIGINT) AS p6
+      FROM embeddings
+    ), b AS (
+      SELECT least(p6 // 100000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p6) AS BIGINT) AS sp6,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM s GROUP BY 1
+    ), t AS (SELECT sum(n) AS nt FROM b)
+    SELECT CAST(bin AS INTEGER) AS bin, n,
+           CAST(sp6 // n AS BIGINT) AS mean_pred_ppm,
+           CAST(pos * 1000000 // n AS BIGINT) AS frac_pos_ppm,
+           CAST(abs(sp6 // n - pos * 1000000 // n) AS BIGINT) AS gap_ppm,
+           CAST(sum(n * abs(sp6 // n - pos * 1000000 // n))
+                  OVER () // (SELECT nt FROM t) AS BIGINT) AS ece_ppm
+    FROM b ORDER BY bin
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit (reliability diagram + ECE): scores
+    bucket into 10 equal-width bins; each bin reports mean predicted
+    probability vs realized positive fraction (both exact integer ppm)
+    and their gap; the expected calibration error is the bin-weighted
+    mean gap, computed in pure integer arithmetic over the 10-row bin
+    dimension — the post-training check that decides whether a model's
+    probabilities need Platt/isotonic recalibration (the engine's
+    isotonic_regression_daily is the fix; this op is the detector).
+
+    Scale: one map-combinable bin groupBy; everything after runs on ≤10
+    rows.
+    """
+    s = load(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.round(pseudo_prob(0) * 1000000).cast("bigint").alias("p6"),
+    )
+    b = s.groupBy(
+        F.least(F.expr("p6 div 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p6").cast("bigint").alias("sp6"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    from pyspark.sql import Window as W
+
+    gap = F.expr("abs(sp6 div n - pos * 1000000 div n)")
+    return (
+        b.withColumn("gap_ppm", gap.cast("bigint"))
+        .withColumn(
+            "ece_ppm",
+            F.expr(
+                "CAST(sum(n * abs(sp6 div n - pos * 1000000 div n)) OVER ()"
+                " div sum(n) OVER () AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            F.expr("CAST(sp6 div n AS BIGINT)").alias("mean_pred_ppm"),
+            F.expr("CAST(pos * 1000000 div n AS BIGINT)").alias("frac_pos_ppm"),
+            "gap_ppm",
+            "ece_ppm",
+        )
+        .orderBy("bin")
+    )
