@@ -4,7 +4,7 @@ SQL-expressible; the driver verifies execution, row count, and schema).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.ml.pipeline import (
@@ -174,18 +174,23 @@ def tta_ten_crop_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("crop_id") == 4, F.col("prob"))).alias("center_prob"),
         F.count(F.lit(1)).alias("n_crops"),
     )
+    ll_tta = F.avg(metrics.log_loss_expr(F.col("y"), F.col("tta_prob")))
+    p = F.avg("y")
+    baseline = -(p * F.log(p) + (1 - p) * F.log(1 - p))
     return tta.agg(
         F.count(F.lit(1)).alias("n_val"),
         F.min("n_crops").cast("bigint").alias("min_crops"),
-        F.round(
-            F.avg(metrics.log_loss_expr(F.col("y"), F.col("tta_prob"))), 4
-        ).alias("tta_log_loss"),
+        F.round(ll_tta, 4).alias("tta_log_loss"),
         F.round(
             F.avg(metrics.log_loss_expr(F.col("y"), F.col("center_prob"))), 4
         ).alias("center_log_loss"),
         F.round(metrics.accuracy_expr(F.col("y"), F.col("tta_prob")), 4).alias(
             "tta_accuracy"
         ),
+        # degeneracy check, not a beats-baseline: on featureless synthetic
+        # vectors the entropy bound itself is the honest target — a
+        # clipped/degenerate probability stream would blow this up ~50×
+        (ll_tta < baseline * 1.1).alias("sane"),
     )
 
 
@@ -483,11 +488,24 @@ def mllib_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         vectorSize=16, minCount=5, seed=7, inputCol="words", outputCol="v"
     ).fit(d)
     syn = model.findSynonyms(top, 5)
-    return syn.select(
-        F.lit(top).alias("query_token"),
-        F.col("word").alias("synonym"),
-        F.round("similarity", 6).alias("similarity"),
-    ).orderBy(F.col("similarity").desc(), "synonym")
+    # in-query value check for the rows-only entry: cosine similarities
+    # must be valid ([-1-eps, 1+eps]) and a full top-5 must exist
+    return (
+        syn.select(
+            F.lit(top).alias("query_token"),
+            F.col("word").alias("synonym"),
+            F.round("similarity", 6).alias("similarity"),
+        )
+        .withColumn(
+            "sane",
+            (F.count(F.lit(1)).over(Window.partitionBy()) == 5)
+            & (
+                F.max(F.abs("similarity")).over(Window.partitionBy())
+                <= 1.000001
+            ),
+        )
+        .orderBy(F.col("similarity").desc(), "synonym")
+    )
 
 
 @query("mllib_als_recs", oracle=None)
@@ -529,6 +547,12 @@ def mllib_als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(
                 F.expr("transform(recommendations, r -> r.item)"), ","
             ).alias("items"),
+            # in-query value check: exactly 2 recs, all within the 5-item
+            # domain the interaction matrix was built over
+            F.expr(
+                "size(recommendations) = 2 AND forall(recommendations,"
+                " r -> r.item BETWEEN 1 AND 5)"
+            ).alias("sane"),
         )
         .orderBy("user")
     )
