@@ -841,3 +841,45 @@ def customer_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "value_quartile", "custkey")
     )
+
+
+@query(
+    "events_grouping_sets",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+           CAST(grouping(event_type) * 2 + grouping(CAST(ts AS DATE))
+                AS INTEGER) AS gid,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    ORDER BY gid, etype, day
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the third member of the grouping-set
+    family beside sales_rollup (ROLLUP) and events_cube_daily (CUBE):
+    exactly the (type), (day), and grand-total groupings in ONE pass with
+    grouping() disambiguating the NULL-vs-'ALL' cells (the canonical
+    dashboard query that would otherwise be three scans unioned).
+
+    Scale: Spark expands grouping sets map-side (one scan, one Expand +
+    combinable aggregate) — the shuffle carries |sets| × |groups| rows,
+    never three scans.
+    """
+    e = load(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(CAST(ts AS DATE) AS STRING), 'ALL') AS day,
+               CAST(grouping(event_type) * 2 + grouping(CAST(ts AS DATE))
+                    AS INT) AS gid,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM {e}
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        ORDER BY gid, etype, day
+        """,
+        e=e,
+    )

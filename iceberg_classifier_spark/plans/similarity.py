@@ -1023,3 +1023,101 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "neighbor_id", "approx_dist")
         .orderBy("query_id", "rank")
     )
+
+
+MRL_DIMS = 16  # truncated prefix dimensionality (Matryoshka evaluation)
+
+
+@query(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
+      FROM embeddings
+    ), t AS (
+      SELECT vec_id, v, v[1:{MRL_DIMS}] AS tv FROM e
+    ), exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM t q JOIN t c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.v, c.v)
+          / (sqrt(list_dot_product(q.v, q.v))
+             * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id) <= {TOP_K}
+    ), approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM t q JOIN t c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_dot_product(q.tv, c.tv)
+          / (sqrt(list_dot_product(q.tv, q.tv))
+             * sqrt(list_dot_product(c.tv, c.tv))) DESC, c.vec_id) <= {TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+    FROM exact x LEFT JOIN approx a
+      ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+    GROUP BY 1 ORDER BY x.query_id
+    """,
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022): how
+    much top-{TOP_K} recall survives truncating embeddings to their first
+    {MRL_DIMS} dims? Retrieval teams run exactly this before shipping the
+    4× memory/bandwidth cut of prefix-truncated vectors. Both rankings
+    (full-dim truth vs truncated) use exact fixed-point integer dots, so
+    the per-query recall is bit-stable — the approximation itself is the
+    value-checked artifact, as in ann_ivf_recall.
+
+    Scale: the query set is the bounded broadcast dim; both rankings are
+    per-partition top-k merges over one corpus pass each; at production
+    scale the truncated side is the ann_lsh/ivf path run on {MRL_DIMS}-dim
+    prefixes — this op is the measurement harness.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 10000)
+        ).alias("v"),
+    ).withColumn("tv", F.slice("v", 1, MRL_DIMS))
+    qset = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("tv").alias("qtv"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("cv2"), F.col("tv").alias("ctv")
+    )
+    joined = qset.crossJoin(F.broadcast(corpus)).where(
+        F.col("query_id") != F.col("nid")
+    )
+
+    def topk(df, cos_col):
+        w = Window.partitionBy("query_id").orderBy(F.desc("c"), "nid")
+        return (
+            df.withColumn("c", cos_col)
+            .withColumn("rr", F.row_number().over(w))
+            .where(F.col("rr") <= TOP_K)
+            .select("query_id", "nid")
+        )
+
+    exact = topk(joined, A.cosine(F.col("qv"), F.col("cv2")))
+    # rename BOTH approx columns: exact/approx share lineage (same joined
+    # frame), so same-name columns would hit self-join ambiguity
+    approx = topk(joined, A.cosine(F.col("qtv"), F.col("ctv"))).select(
+        F.col("query_id").alias("aq"), F.col("nid").alias("anid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq")) & (F.col("nid") == F.col("anid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("anid").alias("n_hits"),
+            F.round(F.count("anid") * 1.0 / TOP_K, 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
