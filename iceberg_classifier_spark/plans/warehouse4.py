@@ -7,6 +7,7 @@ output; `div` only on non-negative quantities.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -316,4 +317,189 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("negative").cast("bigint").alias("n_distinct_negs"),
         )
         .orderBy("center")
+    )
+
+
+_HIST_BUCKETS = 8
+
+
+@query(
+    "equi_depth_histogram_stats",
+    oracle=f"""
+    WITH o AS (
+      SELECT {_CENTS} AS cents FROM orders
+    ), n AS (SELECT count(*) AS n FROM o),
+    g AS (SELECT cents, count(*) AS c FROM o GROUP BY 1),
+    cum AS (
+      SELECT cents, c,
+             sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ), lab AS (
+      SELECT cents, c,
+             least(((cum - 1) * {_HIST_BUCKETS}) // (SELECT n FROM n),
+                   {_HIST_BUCKETS - 1}) AS bucket
+      FROM cum
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS ndv,
+           CAST(min(cents) AS BIGINT) AS lo_cents,
+           CAST(max(cents) AS BIGINT) AS hi_cents
+    FROM lab GROUP BY 1 ORDER BY 1
+    """,
+)
+def equi_depth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-grade equi-depth histogram ({_HIST_BUCKETS} buckets) of
+    the order-value column — the statistic a cost-based optimizer feeds
+    selectivity estimation (ANALYZE TABLE ... FOR COLUMNS builds exactly
+    this shape). Bucket boundaries come from value-grouped cumulative
+    counts (a whole tie-group lands in one bucket, so depths are equal up
+    to tie granularity — the honest equi-depth contract); per bucket the
+    report carries row count, NDV, and value bounds, all exact int64.
+
+    Scale: one map-combinable value groupBy + one cumulative window over
+    the distinct-value dimension (two-level bucketed at extreme NDV), then
+    an {_HIST_BUCKETS}-row rollup.
+    """
+    o = load(spark, sf_dir, "orders").select(F.expr(_CENTS).alias("cents"))
+    n_row = o.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    g = o.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    wc = W.partitionBy().orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    lab = (
+        g.withColumn("cum", F.sum("c").over(wc))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "cents",
+            "c",
+            F.least(
+                F.expr(f"((cum - 1) * {_HIST_BUCKETS}) div n"),
+                F.lit(_HIST_BUCKETS - 1),
+            ).alias("bucket"),
+        )
+    )
+    return (
+        lab.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("ndv"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "sql_registered_udf_report",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(0.5 + (20.0 * CAST(embedding[1] AS DOUBLE))
+                     / (2.0 * (1.0 + abs(20.0 * CAST(embedding[1] AS DOUBLE))))),
+                 6) AS avg_squash
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def sql_registered_udf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable vectorized Python UDF: a pandas (Arrow-batched) scalar
+    UDF implementing the engine's rational squash p = ½ + x/(2(1+|x|)) is
+    registered in the session catalog with ``spark.udf.register`` and
+    invoked FROM SQL TEXT — the bridge that lets SQL-only users call
+    Python kernels. The squash uses exactly-rounded IEEE ops (no libm),
+    so the pandas evaluation matches the oracle's closed form bit-for-bit.
+
+    Scale: ArrowEvalPython batches the column through the worker —
+    vectorized, not per-row; a production deployment registers the same
+    way on every session via a shared init.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def squash_udf(x: pd.Series) -> pd.Series:
+        sx = 20.0 * x
+        return 0.5 + sx / (2.0 * (1.0 + sx.abs()))
+
+    spark.udf.register("squash_udf", squash_udf)
+    load(spark, sf_dir, "embeddings").createOrReplaceTempView("udf_embeddings")
+    return spark.sql(
+        """
+        SELECT label, count(*) AS n,
+               round(avg(squash_udf(CAST(embedding[0] AS DOUBLE))), 6)
+                 AS avg_squash
+        FROM udf_embeddings GROUP BY label ORDER BY label
+        """
+    )
+
+
+@query(
+    "bitemporal_asof_join",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, {_CENTS} AS cents,
+             0 AS tx_from
+      FROM orders
+    ), v2 AS (
+      -- correction batch recorded at tx time 30: +1000 cents on 1-in-5
+      SELECT k, st, cents + 1000 AS cents, 30 AS tx_from
+      FROM v1 WHERE k % 5 = 0
+    ), hist AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ), pick AS (
+      SELECT t.label, h.k, h.st, h.cents,
+             row_number() OVER (PARTITION BY t.label, h.k
+                                ORDER BY h.tx_from DESC) AS r
+      FROM hist h
+      JOIN (VALUES ('as_of_tx_10', 10), ('as_of_tx_40', 40)) t(label, tx)
+        ON h.tx_from <= t.tx
+    )
+    SELECT label, st AS status, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM pick WHERE r = 1
+    GROUP BY 1, 2 ORDER BY label, status
+    """,
+)
+def bitemporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal AS-OF read: the order fact carries TRANSACTION-time
+    versions (the original load at tx 0, a correction batch recorded at
+    tx 30), and the query answers "what did the books say as of tx time
+    T?" for T=10 (before the correction landed) and T=40 (after) — the
+    latest version with tx_from ≤ T wins per key. The two snapshots
+    differ by exactly the correction, which is the audit-trail property
+    bitemporal storage exists to provide (cf. scd2/pit for valid-time;
+    this is the second time axis).
+
+    Scale: version history is key-partitioned; the AS-OF pick is one
+    row_number over (label, key) — at scale the 2-row AS-OF dimension
+    broadcasts and the window stays keyed by the fact key.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.expr(_CENTS).alias("cents"),
+        F.lit(0).alias("tx_from"),
+    )
+    corr = base.where(F.col("k") % 5 == 0).select(
+        "k", "st", (F.col("cents") + 1000).alias("cents"), F.lit(30).alias("tx_from")
+    )
+    hist = base.unionByName(corr)
+    asof_dim = spark.createDataFrame(
+        [("as_of_tx_10", 10), ("as_of_tx_40", 40)], "label string, tx int"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label", "k").orderBy(F.desc("tx_from"))
+    picked = (
+        hist.join(F.broadcast(asof_dim), F.col("tx_from") <= F.col("tx"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+    )
+    return (
+        picked.groupBy("label", F.col("st").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("label", "status")
     )
