@@ -291,3 +291,89 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink).orderBy("event_type")
+
+
+@query(
+    "streaming_checkpoint_restart",
+    oracle="""
+    WITH twice AS (
+      SELECT e.* FROM events e, (SELECT unnest([1, 2]) AS copy) c
+    )
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value, TRUE AS exactly_once
+    FROM twice GROUP BY 1 ORDER BY event_type
+    """,
+)
+def streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery / exactly-once restart: run 1 drains file A
+    into a parquet sink under a checkpointLocation and terminates; file B
+    then arrives; run 2 is a NEW query on the SAME checkpoint — Spark's
+    offset log must skip the already-committed A and process ONLY B.
+    The sink therefore holds every event exactly twice (A + B are two
+    copies of the feed): ``exactly_once`` is computed from the REAL sink
+    (min = max = 2 occurrences per event_id — a re-processed A would read
+    3, a lost offset 1), and the per-type totals equal the oracle's
+    twice-replicated batch aggregate.
+
+    Scale: this is THE production streaming property — restart after
+    failure without duplicates or loss; the checkpoint (offset log +
+    sink metadata log) is what makes a 100 TB/day pipeline restartable.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from iceberg_classifier_spark.sources.tables import normalize_ts, table_path
+    from iceberg_classifier_spark.streaming.events import (
+        _stage_dir,
+        streaming_shuffle,
+    )
+
+    src = _stage_dir(sf_dir, "ckpt_src")
+    ckpt = _stage_dir(sf_dir, "ckpt_meta")
+    out = _stage_dir(sf_dir, "ckpt_out")
+    done = _os.path.join(out, "_DONE")
+    batch_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+
+    def drain_once():
+        stream = normalize_ts(
+            spark.readStream.schema(batch_schema).parquet(src)
+        ).select("event_id", "event_type", "value")
+        with streaming_shuffle(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    if not _os.path.exists(done):
+        for d in (src, ckpt, out):
+            _shutil.rmtree(d, ignore_errors=True)
+        _os.makedirs(src, exist_ok=True)
+        _shutil.copyfile(
+            table_path(sf_dir, "events"), _os.path.join(src, "a_orig.parquet")
+        )
+        drain_once()  # run 1: processes A, commits offsets, terminates
+        _shutil.copyfile(
+            table_path(sf_dir, "events"), _os.path.join(src, "b_copy.parquet")
+        )
+        drain_once()  # run 2: SAME checkpoint — must process only B
+        open(done, "w").close()
+
+    sink = spark.read.parquet(out)
+    per_id = sink.groupBy("event_id").agg(F.count(F.lit(1)).alias("c"))
+    eo = per_id.agg(
+        ((F.min("c") == 2) & (F.max("c") == 2)).alias("exactly_once")
+    )
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(eo))
+        .select("event_type", "n_events", "sum_value", "exactly_once")
+        .orderBy("event_type")
+    )
