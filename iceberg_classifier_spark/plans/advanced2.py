@@ -15,6 +15,8 @@ EXACT integer arithmetic until one final division.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -224,7 +226,11 @@ def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches regardless of raw data size, which is the t-digest property
     that matters at 100 TB: per-partition/per-day sketches roll up to
     global quantiles without ever re-touching the data. The exact-answer
-    column is the demo's verification path only.
+    column is the demo's verification path only — and it too avoids a
+    global sort: a 1024-bucket histogram brackets each target rank
+    (two_pass_median's algorithm), so the only row_number runs inside the
+    few bracketed buckets (expected n/1024 rows each), partitioned per
+    bucket, never over the raw fact table.
     """
     v = load(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("p"),
@@ -276,13 +282,52 @@ def tdigest_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hrn") == 1)
     )
-    ranked = v.select(
-        "cents", F.row_number().over(Window.orderBy("cents", "k")).alias("rn3")
+    # Exact comparison values via histogram bracketing (two_pass_median's
+    # shape): 1024-bucket counts locate each target rank's bucket, and
+    # row_number runs only inside the bracketed buckets, partitioned by
+    # bucket — the raw table is never globally sorted.
+    stats = v.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n_total = stats.lo, stats.hi, stats.n
+    width = max(1, (hi - lo) // 1024 + 1)
+    hist = dict(
+        (row.b, row.cnt)
+        for row in v.groupBy(((F.col("cents") - lo) / width).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     )
+    targets = []  # (q, bucket, rank_within_bucket)
+    for q in _TD_QS:
+        # IEEE-double ceil(q*n), same arithmetic the SQL oracle runs
+        t = max(1, min(n_total, int(math.ceil(q * n_total))))
+        acc = 0
+        for b in sorted(hist):
+            if acc + hist[b] >= t:
+                targets.append((float(q), int(b), int(t - acc)))
+                break
+            acc += hist[b]
+    tdf = spark.createDataFrame(targets, "q double, tb bigint, rq bigint")
+    needed = sorted({b for _, b, _ in targets})
+    in_b = v.withColumn(
+        "b", ((F.col("cents") - F.lit(lo)) / F.lit(width)).cast("bigint")
+    ).filter(F.col("b").isin(needed))
+    bucket_ranked = in_b.select(
+        "b",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("b").orderBy("cents", "k"))
+        .alias("rb"),
+    )
+    exact_vals = F.broadcast(tdf).join(
+        bucket_ranked, (F.col("tb") == F.col("b")) & (F.col("rq") == F.col("rb"))
+    ).select(F.col("q").alias("qe"), "cents")
     est = F.col("s2") / F.col("w") / 100.0
     exact = F.col("cents") / 100.0
     return (
-        hit.join(ranked, F.col("rn3") == F.ceil(F.col("q") * F.col("n")))
+        hit.join(F.broadcast(exact_vals), F.col("q") == F.col("qe"))
         .select(
             "q",
             F.round(est, 6).alias("est"),

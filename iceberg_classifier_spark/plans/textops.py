@@ -626,18 +626,35 @@ def concat_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding in this scheme — the reason pretraining uses it over padded
     per-doc batches).
 
-    Scale: one scan for token counts; the cumulative sum over per-doc
-    counts is the only ordered step (range-partitioned sort at scale, or
-    per-shard offsets + a broadcast shard-prefix table — the standard
-    distributed prefix-sum). The actual sequence materialization would be
-    a map-side substring pass using these exact offsets.
+    Scale: one scan for token counts; the cumulative sum is the two-level
+    distributed prefix sum (ks_two_sample's shape) — per-doc_id-range
+    bucket subtotals give broadcast offsets (dimension-sized window over
+    bucket count, not rows), then the within-bucket cumsum window is
+    PARTITIONED by bucket. No corpus-wide single-partition window. The
+    actual sequence materialization would be a map-side substring pass
+    using these exact offsets.
     """
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.size(T.tokens(F.col("text"))).alias("n")
+    ).withColumn("bkt", F.expr("doc_id div 4096"))
+    # two-level distributed prefix sum: bucket offsets + local cumsum
+    bkt = toks.groupBy("bkt").agg(F.sum("n").alias("sn"))
+    off = bkt.select(
+        "bkt",
+        (
+            F.sum("sn").over(Window.partitionBy().orderBy("bkt")) - F.col("sn")
+        ).alias("off"),
     )
-    cum = toks.select(
-        "doc_id", "n", F.sum("n").over(Window.orderBy("doc_id")).alias("s")
-    ).filter(F.col("n") > 0)
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        toks.join(F.broadcast(off), "bkt")
+        .select("doc_id", "n", (F.col("off") + F.sum("n").over(wl)).alias("s"))
+        .filter(F.col("n") > 0)
+    )
     spans = cum.select(
         "n",
         F.expr(f"(s - n) div {_PACK_CAP}").alias("c_start"),
@@ -884,13 +901,14 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     float sum.
 
     Scale: entirely per-row JVM higher-order functions (no shuffle until
-    the top-k), O(alphabet × length) per doc; the alphabet is bounded so
-    this is effectively linear in corpus bytes.
+    the top-k); the two extremes are TakeOrderedAndProject (per-partition
+    local top-10 + driver merge of 10×P rows), never a corpus-wide sort —
+    at 10^9 docs the shuffle is 10 rows per partition, not the frame.
     """
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     ent = d.select(
         "doc_id",
-        F.length("text").alias("n"),
+        F.length("text").cast("bigint").alias("n_chars"),
         F.expr(
             """
             ln(length(text)) - aggregate(
@@ -903,20 +921,23 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("h"),
     )
-    ranked = ent.select(
-        "doc_id",
-        F.col("n").cast("bigint").alias("n_chars"),
-        "h",
-        F.row_number().over(Window.orderBy("h", "doc_id")).alias("rk_lo"),
-        F.row_number().over(Window.orderBy(F.desc("h"), "doc_id")).alias("rk_hi"),
+    lo = ent.orderBy("h", "doc_id").limit(10).withColumn("is_low", F.lit(True))
+    hi = (
+        ent.orderBy(F.desc("h"), "doc_id")
+        .limit(10)
+        .withColumn("is_low", F.lit(False))
     )
+    # A doc in BOTH extremes (corpus ≤ 20) keeps the low-entropy flag,
+    # matching the original rk_lo<=10 semantics; the union is ≤ 20 rows.
     return (
-        ranked.filter((F.col("rk_lo") <= 10) | (F.col("rk_hi") <= 10))
+        lo.unionByName(hi)
+        .groupBy("doc_id", "n_chars", "h")
+        .agg(F.max("is_low").alias("is_low_entropy"))
         .select(
             "doc_id",
             "n_chars",
             F.round("h", 6).alias("entropy"),
-            (F.col("rk_lo") <= 10).alias("is_low_entropy"),
+            "is_low_entropy",
         )
         .orderBy("entropy", "doc_id")
     )

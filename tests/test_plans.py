@@ -676,3 +676,36 @@ def test_pq_adc_join_is_code_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pq_adc_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "query table not broadcast"
+
+
+def test_degloballed_round4_ops_have_no_corpus_wide_windows(spark, sf_dir):
+    """Round-4 de-globalizations: doc_entropy_filter's extremes are
+    TakeOrderedAndProject (never a full sort into one partition);
+    concat_chunk_packing's prefix sum is bucket-partitioned; the
+    tdigest exact side ranks only inside bracketed buckets (window
+    partitioned by bucket, not a global row_number over orders)."""
+    plan = plan_of(spark, sf_dir, "doc_entropy_filter")
+    assert "TakeOrderedAndProject" in plan, "extremes not TakeOrdered"
+    analyzed = (
+        REGISTRY["doc_entropy_filter"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition" not in analyzed, (
+        "doc_entropy_filter: window over the doc frame resurfaced"
+    )
+
+    analyzed = (
+        REGISTRY["concat_chunk_packing"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(bkt" in analyzed, (
+        "concat_chunk_packing: doc cumsum not bucket-partitioned"
+    )
+
+    analyzed = (
+        REGISTRY["tdigest_quantile_merge"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    # every row_number over the raw orders frame must be partitioned:
+    # the exact side by histogram bucket b, the sketch side by segment p
+    assert "rn3" not in analyzed, "global exact-rank window resurfaced"
