@@ -614,7 +614,9 @@ def mllib_grid_search_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(pm[lr.elasticNetParam]),
                 round(float(model.avgMetrics[i]), 4),
                 i == best,
-                model.avgMetrics[best] > 0.5 and 0.0 < base_rate < 1.0,
+                # avgMetrics can be numpy floats — the comparison then
+                # yields numpy.bool_, which createDataFrame rejects
+                bool(model.avgMetrics[best] > 0.5 and 0.0 < base_rate < 1.0),
             )
         )
     cache.unpersist()
