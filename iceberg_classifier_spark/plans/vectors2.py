@@ -231,16 +231,25 @@ def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction step after `embedding_cov_matrix`. Rows-only check (eigen
     decomposition sign/order is not SQL-expressible), with an in-query
     spectrum_ok flag asserting the eigenvalue ratios form a descending
-    sub-distribution.
+    sub-distribution, and a variance_accounting_ok flag proving the
+    reported spectrum against the data: the variance of the PROJECTED
+    coordinates (computed distributed over the transformed frame) must
+    equal sum(explained_variance) × total variance — the Parseval-style
+    identity a correct eigenbasis satisfies and a broken/garbage
+    projection cannot. That is the strongest check available without an
+    eigen-capable oracle (sign/order of eigenvectors is engine-defined).
 
     Scale: MLlib PCA computes the covariance via the same distributed
     outer-product aggregation and eigendecomposes the small d×d result on
-    the driver — exactly the plan shape of `embedding_cov_matrix`.
+    the driver — exactly the plan shape of `embedding_cov_matrix`; the
+    accounting check is two per-dimension variance aggs (map-side
+    combined), nothing driver-side but the d- and k-length results.
     """
     from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    e = load(spark, sf_dir, "embeddings").select(
+    raw = load(spark, sf_dir, "embeddings")
+    e = raw.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = PCA(k=8, inputCol="features", outputCol="pc").fit(e)
@@ -253,16 +262,37 @@ def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         and all(0.0 < v <= 1.0 + 1e-12 for v in ev)
         and sum(ev) <= 1.0 + 1e-9
     )
+    # variance accounting: var of projected coords / total var == sum(ev)
+    def _dimvar_sum(df, arr_col):
+        return (
+            df.select(F.posexplode(arr_col).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.var_samp("x").alias("v"))
+            .agg(F.sum("v"))
+            .first()[0]
+        )
+
+    total_var = _dimvar_sum(raw, F.col("embedding").cast("array<double>"))
+    proj_var = _dimvar_sum(
+        model.transform(e), vector_to_array(F.col("pc"))
+    )
+    variance_accounting_ok = (
+        total_var > 0 and abs(proj_var / total_var - sum(ev)) < 1e-6
+    )
     return (
-        load(spark, sf_dir, "embeddings")
-        .sparkSession.createDataFrame(
-            [(i + 1, v, spectrum_ok) for i, v in enumerate(ev)],
-            "component int, explained_variance double, spectrum_ok boolean",
+        raw.sparkSession.createDataFrame(
+            [
+                (i + 1, v, spectrum_ok, bool(variance_accounting_ok))
+                for i, v in enumerate(ev)
+            ],
+            "component int, explained_variance double, spectrum_ok boolean,"
+            " variance_accounting_ok boolean",
         )
         .select(
             "component",
             F.round("explained_variance", 6).alias("explained_variance"),
             "spectrum_ok",
+            "variance_accounting_ok",
         )
         .orderBy("component")
     )
