@@ -112,6 +112,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         modernapi3,
         curation5,
         transfer,
+        curation6,
     )
 
     keys = list(REGISTRY)

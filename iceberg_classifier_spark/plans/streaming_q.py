@@ -377,3 +377,33 @@ def streaming_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "sum_value", "exactly_once")
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_transform_with_state",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas custom stateful operator
+    (arbitrary typed state + timers on the RocksDB state store — the
+    successor API to applyInPandasWithState): per-user ValueState running
+    aggregate drained with availableNow; the final state must equal the
+    batch GROUP BY, which is what the oracle asserts. Gated on protobuf
+    (the API's state-server dependency): absent, the identical state
+    machine runs on applyInPandasWithState, so the oracle holds on every
+    environment.
+
+    Scale: state lives in per-partition RocksDB instances keyed by the
+    grouping key — state size bounds memory via spill-to-disk, and
+    changelog checkpointing makes recovery incremental; the operator
+    shape is identical on an unbounded production stream.
+    """
+    from iceberg_classifier_spark.streaming.events import (
+        transform_with_state_stream,
+    )
+
+    return transform_with_state_stream(spark, sf_dir).orderBy("user_id")

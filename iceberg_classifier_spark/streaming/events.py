@@ -463,3 +463,168 @@ def attribution_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(sink)
+
+
+def transform_with_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator on the Spark 4 transformWithStateInPandas
+    API (the arbitrary-state successor to applyInPandasWithState: typed
+    composite state — ValueState/ListState/MapState — plus timers, on the
+    RocksDB state store): a per-user ValueState accumulating (count,
+    value sum, max value) across micro-batches, emitted every batch in
+    update mode.
+
+    The final per-user emission must equal the batch GROUP BY — recovered
+    with max_by on the monotone count so the answer is independent of how
+    availableNow split the input.
+
+    transformWithState's Python state-server protocol needs the protobuf
+    package; when it is absent (this container ships without it) the SAME
+    state machine runs on applyInPandasWithState — identical semantics,
+    previous-generation state API — so the operator stays exercised and
+    oracle-checked either way.
+    """
+    import importlib.util
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+
+    def _fold(state_tuple, pdfs):
+        n, s, mx = state_tuple
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        return n, s, mx
+
+    try:
+        have_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have_protobuf = False
+
+    if have_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class UserStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getValueState(
+                    "acc", "n long, s double, mx double"
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                prev = (
+                    tuple(self._state.get())
+                    if self._state.exists()
+                    else (0, 0.0, float("-inf"))
+                )
+                n, s, mx = _fold(prev, rows)
+                self._state.update((n, s, mx))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "sum_value": [s],
+                        "max_value": [mx],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        emitted = stream.groupBy("user_id").transformWithStateInPandas(
+            UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        state_schema = StructType(
+            [
+                StructField("n", LongType()),
+                StructField("s", DoubleType()),
+                StructField("mx", DoubleType()),
+            ]
+        )
+
+        def update(key, pdfs, state: GroupState):
+            prev = tuple(state.get) if state.exists else (0, 0.0, float("-inf"))
+            n, s, mx = _fold(prev, pdfs)
+            state.update((n, s, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "max_value": [mx],
+                }
+            )
+
+        emitted = stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    sink = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    if have_protobuf:
+        # transformWithState requires the RocksDB state store provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        with streaming_shuffle(spark):
+            q = (
+                emitted.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if have_protobuf:
+            if old_provider is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    old_provider,
+                )
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+            F.round(F.max_by("max_value", "n_events"), 4).alias("max_value"),
+        )
+    )
