@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from iceberg_classifier_spark.functions import arrays as A
 from iceberg_classifier_spark.functions import text as T
 from iceberg_classifier_spark.plans.registry import REGISTRY, query
-from iceberg_classifier_spark.sources.tables import load
+from iceberg_classifier_spark.sources.tables import load, load_parallel
 
 JACCARD_MIN = 0.05
 # Stop-shingle document-frequency cap: a shingle shared by more than this
@@ -88,7 +88,7 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, broadcast of the tiny hot-shingle set, and an anti-join before
     the posting groupBy, so whale lists are never collected at all.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     shing = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
     # shuffle 8-byte shingle hashes, not ~30-char strings (≈4× fewer shuffle
@@ -243,7 +243,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the textbook Broder construction — hash throughput scales with
     corpus bytes, not bytes × seeds.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     sh = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh")).where(
         F.size("sh") > 0

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.plans.registry import query
-from iceberg_classifier_spark.sources.tables import load
+from iceberg_classifier_spark.sources.tables import load, load_parallel
 
 _BM25_K1 = 1.2
 _BM25_B = 0.75
@@ -87,6 +87,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes postings BEFORE any shuffle, so the scored frame is only the
     matching postings. Top-10 per query is a bounded window merge.
     """
+    # NOT load_parallel: the token explode is cheap relative to the extra
+    # round-robin exchange it would add (measured 1.2 s -> 2.8 s at sf0.1);
+    # the groupBys below parallelize after their own exchanges anyway
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
     )

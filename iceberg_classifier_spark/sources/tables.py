@@ -68,6 +68,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + right-size for CPU-heavy per-row kernels (shingling, crypto
+    hashing, tokenization).
+
+    A parquet file with a single row group is unsplittable, so the scan —
+    and every narrow transform fused onto it — runs as ONE task no matter
+    how many cores the cluster has. When the scan yields fewer partitions
+    than half the default parallelism, a round-robin repartition spreads
+    rows across all cores before the expensive kernel; the shuffled bytes
+    are just the raw rows, a fraction of the downstream hash work it
+    unlocks. On production layouts (many files / many row groups) the
+    scan is already parallel and this no-ops — the repartition only fires
+    on pathological layouts, so it never adds a corpus-wide shuffle at
+    100 TB.
+    """
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
