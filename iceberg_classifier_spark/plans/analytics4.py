@@ -291,37 +291,36 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     any realistic daily-count magnitude they fit with room.)
 
     Scale: the only corpus pass is the map-side-combinable groupBy(day);
-    the series, the 7-lag self-join, and the moment sums all run on the
-    |days| dimension.
+    the moment sums are windows over the |days| dimension (not separate
+    agg+crossJoin subplans re-scanning the corpus), and the 7-lag
+    self-join broadcasts the tiny daily series — two corpus passes, zero
+    dimension shuffles.
     """
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    st = daily.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-    )
-    den = (
-        daily.crossJoin(F.broadcast(st))
-        .agg(
-            F.sum((F.col("n") * F.col("x") - F.col("s")) ** 2)
-            .cast("bigint")
-            .alias("den")
+    wd = Window.partitionBy()  # |days| dimension frame — bounded
+    a = (
+        daily.select(
+            "day",
+            "x",
+            F.count(F.lit(1)).over(wd).cast("bigint").alias("n"),
+            F.sum("x").over(wd).cast("bigint").alias("s"),
         )
+        .withColumn(
+            "den",
+            F.sum((F.col("n") * F.col("x") - F.col("s")) ** 2)
+            .over(wd)
+            .cast("bigint"),
+        )
+        .alias("a")
     )
     lags = spark.range(1, 8).select(F.col("id").cast("bigint").alias("lag"))
-    a = daily.alias("a")
-    b = daily.alias("b")
-    pairs = (
-        a.crossJoin(F.broadcast(lags))
-        .join(
-            b,
-            F.col("b.day")
-            == F.expr("date_add(a.day, CAST(lag AS INT))"),
-        )
-        .crossJoin(F.broadcast(st))
-        .crossJoin(F.broadcast(den))
+    b = daily.select(F.col("day").alias("bday"), F.col("x").alias("bx"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(b),
+        F.col("bday") == F.expr("date_add(a.day, CAST(lag AS INT))"),
     )
     return (
         pairs.groupBy("lag", "n", "den")
@@ -330,7 +329,7 @@ def acf_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("n") * F.col("a.x") - F.col("s"))
-                    * (F.col("n") * F.col("b.x") - F.col("s"))
+                    * (F.col("n") * F.col("bx") - F.col("s"))
                 ).cast("double")
                 / F.col("den"),
                 6,
