@@ -280,3 +280,104 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Synchronous min-label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+_LP_EDGE_SQL = """
+    e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS w
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ), tot AS (SELECT count(*) AS n_edges, sum(w) AS total FROM e),
+    he AS (SELECT e.src, e.dst FROM e, tot
+           WHERE e.w * tot.n_edges > tot.total),
+    und AS (SELECT src AS a, dst AS b FROM he
+            UNION SELECT dst, src FROM he),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und)
+"""
+
+_LP_ITER_SQL = "".join(
+    f""",
+    l{i} AS (
+      SELECT n.node, least(n.lbl, coalesce(min(p.lbl), n.lbl)) AS lbl
+      FROM l{i - 1} n
+      LEFT JOIN und u ON u.a = n.node
+      LEFT JOIN l{i - 1} p ON p.node = u.b
+      GROUP BY n.node, n.lbl
+    )"""
+    for i in range(1, _LP_ROUNDS + 1)
+)
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH {_LP_EDGE_SQL} {_LP_ITER_SQL}
+    SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
+             AS community_size
+    FROM l{_LP_ROUNDS} ORDER BY node
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS min-label propagation over the
+    undirected heavy-trade graph: every node starts with its own id as
+    label and, for {_LP_ROUNDS} rounds, adopts the minimum label in its
+    closed neighborhood — all nodes update from the same previous-round
+    snapshot, so the fixed round count is deterministic and the oracle
+    replays it as {_LP_ROUNDS} unrolled CTE iterations (async/randomized
+    LPA variants trade that determinism for speed; the synchronous form
+    is the one a correctness-checked pipeline runs).
+
+    Scale: the Pregel shape — each round is one join of the |V|-sized
+    label frame against the aggregated edge list plus a groupBy(node)
+    min; cost = rounds × (join + agg), state never exceeds |V|. The
+    fact-sized star join builds edges once (same construction as
+    graph_shortest_hops); after that every frame is graph-dimension-sized.
+    """
+    from iceberg_classifier_spark.plans.advanced2 import _heavy_trade_edges
+
+    he = _heavy_trade_edges(spark, sf_dir).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )
+    und = (
+        he.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(he.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(_LP_ROUNDS):
+        neigh = (
+            und.join(F.broadcast(labels), und.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        labels = (
+            labels.join(F.broadcast(neigh), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    out = labels.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(Window.partitionBy("lbl")).cast("bigint"),
+    )
+    return out.select(
+        "node", F.col("lbl").alias("community"), "community_size"
+    ).orderBy("node")

@@ -130,3 +130,65 @@ def arrow_native_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         stats, "doc_id long, n_chars long, n_tokens long, n_a long"
     ).orderBy("doc_id")
+
+
+@query(
+    "sql_udf_revenue_report",
+    oracle="""
+    WITH buckets AS (SELECT unnest(generate_series(0, 4)) AS qty_bucket),
+    l AS (
+      SELECT least(CAST(l_quantity AS BIGINT) // 10, 4) AS qty_bucket,
+             l_extendedprice * (1 - l_discount) AS rev,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem
+    )
+    SELECT b.qty_bucket,
+           CAST(count(l.rev) AS BIGINT) AS n_items,
+           round(coalesce(sum(l.rev), 0), 2) AS revenue,
+           CAST(coalesce(sum(l.ret), 0) AS BIGINT) AS n_returned
+    FROM buckets b LEFT JOIN l USING (qty_bucket)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_udf_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4: CREATE FUNCTION ... RETURN <expr> /
+    RETURN TABLE) driving a revenue report: a scalar SQL UDF computes the
+    discounted price and a table-valued SQL UDF generates the
+    quantity-bucket dimension the report left-joins against. Both are
+    declarative SQL bodies — Catalyst INLINES them into the calling plan
+    (no Python boundary, full codegen/pushdown), which is exactly why SQL
+    UDFs are the right tool for shared business logic at 100 TB where a
+    Python UDF would serialize every row.
+
+    Scale: after inlining, the plan is a plain scan + map-side-combined
+    agg joined to a 5-row generated dimension — identical to hand-written
+    SQL.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf_v"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_buckets(n INT)"
+        " RETURNS TABLE(qty_bucket BIGINT)"
+        " RETURN SELECT explode(sequence(0, n - 1))"
+    )
+    return spark.sql(
+        """
+        WITH l AS (
+          SELECT least(CAST(l_quantity AS BIGINT) div 10, 4) AS qty_bucket,
+                 disc_price(l_extendedprice, l_discount) AS rev,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+          FROM lineitem_sqludf_v
+        )
+        SELECT b.qty_bucket,
+               CAST(count(l.rev) AS BIGINT) AS n_items,
+               round(coalesce(sum(l.rev), 0), 2) AS revenue,
+               CAST(coalesce(sum(l.ret), 0) AS BIGINT) AS n_returned
+        FROM qty_buckets(5) b LEFT JOIN l USING (qty_bucket)
+        GROUP BY 1 ORDER BY 1
+        """
+    )
