@@ -1,0 +1,114 @@
+"""Analytics wave 7: survey-sampling design operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_NEY_K = 1000  # total sample size to allocate
+
+
+@query(
+    "neyman_allocation_sample",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS d
+      FROM orders
+    ), st AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(d) AS BIGINT) AS s, CAST(sum(d * d) AS BIGINT) AS ss
+      FROM o GROUP BY 1
+    ), w AS (
+      SELECT pri, n_pop,
+             CAST(floor(sqrt(CAST(n_pop * ss - s * s AS DOUBLE))) AS BIGINT)
+               AS wgt
+      FROM st
+    ), t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tot FROM w),
+    base AS (
+      SELECT w.pri, w.n_pop, w.wgt,
+             ({_NEY_K} * w.wgt) // t.tot AS base_n,
+             ({_NEY_K} * w.wgt) % t.tot AS rem
+      FROM w CROSS JOIN t
+    ), fin AS (
+      SELECT pri, n_pop, wgt, base_n,
+             base_n + CASE WHEN row_number()
+                 OVER (ORDER BY rem DESC, pri)
+               <= {_NEY_K} - sum(base_n) OVER () THEN 1 ELSE 0 END AS alloc
+      FROM base
+    )
+    SELECT pri AS priority, n_pop, wgt AS neyman_weight,
+           CAST(alloc AS BIGINT) AS alloc_n,
+           round(alloc * 1.0 / n_pop, 6) AS sampling_frac,
+           (sum(alloc) OVER () = {_NEY_K}) AS alloc_sums_ok
+    FROM fin ORDER BY priority
+    """,
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split a {_NEY_K}-unit
+    sampling budget across order-priority strata proportional to
+    N_h x S_h (population size x within-stratum spread) — the allocation
+    that minimizes the stratified estimator's variance. All inputs stay
+    EXACT: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) whose radicand is an exact
+    int64 (dollar-quantized), floored to an integer weight both engines
+    reproduce bit-for-bit; the budget is then dealt by integer
+    largest-remainder (base = K·w div W, +1 to the largest remainders)
+    so the allocations sum to exactly K — asserted by the in-query
+    alloc_sums_ok column.
+
+    Scale: one map-side-combined pass builds the three sufficient
+    statistics per stratum; everything after runs on the 5-row stratum
+    dimension. The actual row draw would be the existing
+    sample_stratified_det hash filter with these per-stratum rates.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").alias("d"),
+    )
+    st = o.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("ss"),
+    )
+    w = st.select(
+        "pri",
+        "n_pop",
+        F.floor(
+            F.sqrt((F.col("n_pop") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+        )
+        .cast("bigint")
+        .alias("wgt"),
+    )
+    t = w.agg(F.sum("wgt").cast("bigint").alias("tot"))
+    base = w.crossJoin(F.broadcast(t)).select(
+        "pri",
+        "n_pop",
+        "wgt",
+        F.expr(f"({_NEY_K} * wgt) div tot").alias("base_n"),
+        F.expr(f"({_NEY_K} * wgt) % tot").alias("rem"),
+    )
+    wd = Window.partitionBy()  # 5-row stratum dimension
+    fin = base.select(
+        "pri",
+        "n_pop",
+        "wgt",
+        (
+            F.col("base_n")
+            + F.when(
+                F.row_number().over(Window.orderBy(F.desc("rem"), "pri"))
+                <= F.lit(_NEY_K) - F.sum("base_n").over(wd),
+                1,
+            ).otherwise(0)
+        ).alias("alloc"),
+    )
+    return fin.select(
+        F.col("pri").alias("priority"),
+        "n_pop",
+        F.col("wgt").alias("neyman_weight"),
+        F.col("alloc").cast("bigint").alias("alloc_n"),
+        F.round(F.col("alloc") * 1.0 / F.col("n_pop"), 6).alias("sampling_frac"),
+        (F.sum("alloc").over(wd) == _NEY_K).alias("alloc_sums_ok"),
+    ).orderBy("priority")

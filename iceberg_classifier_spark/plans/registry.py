@@ -113,6 +113,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         curation5,
         transfer,
         curation6,
+        analytics7,
     )
 
     keys = list(REGISTRY)

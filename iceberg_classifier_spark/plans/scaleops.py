@@ -530,3 +530,98 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (row-group min/max) pruning audit
+# ---------------------------------------------------------------------------
+
+_ZM_ROWS = 4096  # simulated row-group size (rows per file chunk)
+_ZM_LO = 10_000_00  # predicate: cents in [lo, hi)
+_ZM_HI = 20_000_00
+
+
+@query(
+    "rowgroup_stats_pruning",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), spans AS (
+      SELECT 'insertion' AS layout, k // {_ZM_ROWS} AS fid, c FROM o
+      UNION ALL
+      SELECT 'clustered' AS layout, c // 400000 AS fid, c FROM o
+    ), zm AS (
+      SELECT layout, fid, min(c) AS mn, max(c) AS mx,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c >= {_ZM_LO} AND c < {_ZM_HI}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM spans GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN mx < {_ZM_LO} OR mn >= {_ZM_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           round(sum(CASE WHEN mx < {_ZM_LO} OR mn >= {_ZM_HI}
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS skip_frac,
+           CAST(sum(CASE WHEN mx < {_ZM_LO} OR mn >= {_ZM_HI}
+                         THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matching
+    FROM zm GROUP BY 1 ORDER BY 1
+    """,
+)
+def rowgroup_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit — the quantified answer to 'why cluster?':
+    simulate per-file min/max column statistics (parquet row-group /
+    Iceberg manifest zone maps) under two physical layouts — insertion
+    order (files = orderkey ranges) and value-clustered (files = order-
+    value ranges, what a sort/Z-order compaction produces) — and report,
+    for the same range predicate, how many files each layout can skip
+    WITHOUT reading them and how many rows survive to the scan. The
+    clustered layout prunes all but the overlapping value range; the
+    insertion layout scans nearly everything — this differential is the
+    whole economic case for clustering 100 TB tables.
+
+    Scale: zone maps aggregate map-side (two counters per file); the
+    audit never touches row data after the one grouped pass — exactly how
+    an engine's manifest-level planning works.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    spans = o.select(
+        F.lit("insertion").alias("layout"),
+        F.expr(f"k div {_ZM_ROWS}").alias("fid"),
+        "c",
+    ).unionByName(
+        o.select(
+            F.lit("clustered").alias("layout"),
+            F.expr("c div 400000").alias("fid"),
+            "c",
+        )
+    )
+    in_pred = (F.col("c") >= _ZM_LO) & (F.col("c") < _ZM_HI)
+    zm = spans.groupBy("layout", "fid").agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(in_pred.cast("bigint")).cast("bigint").alias("n_match"),
+    )
+    skipped = (F.col("mx") < _ZM_LO) | (F.col("mn") >= _ZM_HI)
+    return (
+        zm.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(skipped.cast("bigint")).cast("bigint").alias("n_skipped"),
+            F.round(
+                F.sum(skipped.cast("bigint")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("skip_frac"),
+            F.sum(F.when(skipped, 0).otherwise(F.col("n")))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("rows_matching"),
+        )
+        .orderBy("layout")
+    )
