@@ -272,9 +272,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig"),
     )
     rows_per_band = N_MINHASH // N_BANDS
+    sig = sig.cache()  # scanned by the band explode AND both sig joins
+    # band rows carry (doc_id, band, band_hash) ONLY — shuffling the
+    # 32-long signature through the 8-way band explosion would move 8
+    # copies of every signature; instead the (small) deduped candidate
+    # set joins the signatures back, one copy per doc per side
     bands = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -303,11 +307,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -315,7 +319,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("double") / F.lit(N_MINHASH)
     return (
-        cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
