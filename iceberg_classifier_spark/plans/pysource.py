@@ -206,3 +206,131 @@ def python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents_total"))
         .orderBy("priority")
     )
+
+
+@query(
+    "python_datasource_stream_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def python_datasource_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python DataSource API
+    (DataSourceStreamReader): a custom micro-batch source over the events
+    table that advances its offset one row-range chunk per batch,
+    enumerates one InputPartition per chunk on the driver, and parses
+    rows on executors with Arrow — then drains through a memory sink and
+    aggregates. The final aggregate must equal the batch answer however
+    the rows were split into micro-batches, which is what the oracle
+    asserts (exact integer cents).
+
+    availableNow isn't supported by Python micro-batch streams (Spark
+    falls back to one batch), so the drain runs a fast processing-time
+    trigger and stops once every chunk is committed — the offsets, chunk
+    contents, and therefore the result are deterministic.
+
+    Scale: offsets/partition enumeration are driver-side metadata only;
+    each executor reads its row range straight from the parquet footer
+    offsets via Arrow (no per-row Python), the same contract a Kafka
+    micro-batch source implements.
+    """
+    import time
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    from iceberg_classifier_spark.sources.tables import table_path
+
+    src_path = table_path(sf_dir, "events")
+    total_rows = pq.ParquetFile(src_path).metadata.num_rows
+    chunk = max(1, total_rows // 4)
+
+    class EventsStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "events_stream_py"
+
+        def schema(self) -> str:
+            return "event_type string, value double"
+
+        def streamReader(self, schema):
+            return EventsStreamReader(self.options["path"], int(self.options["chunk"]))
+
+    class RangePartition(InputPartition):
+        def __init__(self, path, start, end):
+            self.path, self.start, self.end = path, start, end
+
+    class EventsStreamReader(DataSourceStreamReader):
+        def __init__(self, path: str, chunk: int):
+            self.path, self.chunk = path, chunk
+            self.total = pq.ParquetFile(path).metadata.num_rows
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def latestOffset(self):
+            # advance one chunk per micro-batch until the table is drained
+            if not hasattr(self, "_hi"):
+                self._hi = 0
+            self._hi = min(self._hi + self.chunk, self.total)
+            return {"row": self._hi}
+
+        def partitions(self, start, end):
+            return [RangePartition(self.path, start["row"], end["row"])]
+
+        def read(self, partition):
+            import pyarrow.parquet as _pq
+
+            tbl = _pq.read_table(
+                partition.path, columns=["event_type", "value"]
+            ).slice(partition.start, partition.end - partition.start)
+            yield from tbl.to_batches()
+
+        def commit(self, end):
+            pass
+
+    spark.dataSource.register(EventsStreamSource)
+    import uuid as _uuid
+
+    sink = f"pystream_{_uuid.uuid4().hex[:8]}"
+    from iceberg_classifier_spark.streaming.events import streaming_shuffle
+
+    stream = (
+        spark.readStream.format("events_stream_py")
+        .option("path", src_path)
+        .option("chunk", str(chunk))
+        .load()
+    )
+    with streaming_shuffle(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(sink).count() >= total_rows:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
