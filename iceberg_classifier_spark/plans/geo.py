@@ -163,3 +163,187 @@ def geo_cell_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.any_value("n").alias("n"), F.sum("dn").alias("n_3x3"))
     )
     return smoothed.orderBy(F.desc("n_3x3"), "cx", "cy").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN: density clustering via cell counting + core-cell components
+# ---------------------------------------------------------------------------
+
+_DB_CELL = 10_000_000  # 10-degree cells in udeg
+_DB_ROUNDS = 3
+
+_DB_PTS_SQL = """
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 10 < 2
+                  THEN 30000000 + (c_custkey * 48271) % 8000000
+                  WHEN c_custkey % 10 < 4
+                  THEN 70000000 + (c_custkey * 48271) % 8000000
+                  ELSE (c_custkey * 2654435761) % 120000000 END AS lat,
+             CASE WHEN c_custkey % 10 < 2
+                  THEN 100000000 + (c_custkey * 69621) % 8000000
+                  WHEN c_custkey % 10 < 4
+                  THEN 250000000 + (c_custkey * 69621) % 8000000
+                  ELSE (c_custkey * 2246822519) % 360000000 END AS lon
+      FROM customer
+"""
+
+_DB_GRID_SQL = f"""
+    pts AS ({_DB_PTS_SQL}
+    ), cells AS (
+      SELECT (lat // {_DB_CELL}) * 1000 + (lon // {_DB_CELL}) AS cid,
+             lat // {_DB_CELL} AS cy, lon // {_DB_CELL} AS cx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS npts,
+             CAST(count(*) AS BIGINT) AS ncells
+      FROM cells
+    ), off AS (
+      SELECT dy, dx FROM (SELECT unnest([-1, 0, 1]) AS dy),
+                         (SELECT unnest([-1, 0, 1]) AS dx)
+    ), neigh AS (
+      SELECT c.cid, c.cy, c.cx, c.n,
+             CAST(sum(nb.n) AS BIGINT) AS n_neigh
+      FROM cells c
+      JOIN off ON TRUE
+      JOIN cells nb ON nb.cy = c.cy + off.dy AND nb.cx = c.cx + off.dx
+      GROUP BY 1, 2, 3, 4
+    ), core AS (
+      SELECT nh.cid, nh.cy, nh.cx, nh.n FROM neigh nh CROSS JOIN tot
+      WHERE nh.n_neigh * 24 > tot.npts
+    ), und AS (
+      SELECT a.cid AS a, b.cid AS b
+      FROM core a JOIN off ON NOT (off.dy = 0 AND off.dx = 0)
+      JOIN core b ON b.cy = a.cy + off.dy AND b.cx = a.cx + off.dx
+    ), l0 AS (SELECT cid AS node, cid AS lbl FROM core)
+"""
+
+_DB_ITER_SQL = "".join(
+    f""",
+    l{i} AS (
+      SELECT n.node, least(n.lbl, coalesce(min(p.lbl), n.lbl)) AS lbl
+      FROM l{i - 1} n
+      LEFT JOIN und u ON u.a = n.node
+      LEFT JOIN l{i - 1} p ON p.node = u.b
+      GROUP BY n.node, n.lbl
+    )"""
+    for i in range(1, _DB_ROUNDS + 1)
+)
+
+
+@query(
+    "dbscan_grid_clusters",
+    oracle=f"""
+    WITH {_DB_GRID_SQL} {_DB_ITER_SQL}
+    SELECT CAST(lbl AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(core.n) AS BIGINT) AS n_points,
+           CAST(min(core.cid) AS BIGINT) AS min_cell,
+           CAST(max(core.cid) AS BIGINT) AS max_cell
+    FROM l{_DB_ROUNDS} fin JOIN core ON core.cid = fin.node
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN density clustering: points land in 10-degree cells;
+    a cell is CORE when its 3x3-neighborhood occupancy is strictly above
+    the corpus-average neighborhood occupancy (a self-scaling minPts, so
+    the same query is meaningful at every scale factor); clusters are the
+    connected components of 8-adjacent core cells, resolved by
+    {_DB_ROUNDS} rounds of synchronous min-label propagation (the same
+    deterministic Pregel shape as label_propagation_communities, oracle-
+    replayed as unrolled CTEs). This is the distributed DBSCAN family's
+    standard trick: density estimation and connectivity both become
+    equi-joins on cell keys — never a pairwise distance join.
+
+    Scale: one grouped pass bins points; the 3x3 density join replicates
+    each CELL (not each point) 9 times; propagation runs on the core-cell
+    dimension. Cost tracks occupied-cell count, not point pairs.
+    """
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    pts = c.select(
+        F.when(k % 10 < 2, 30_000_000 + (k * 48271) % 8_000_000)
+        .when(k % 10 < 4, 70_000_000 + (k * 48271) % 8_000_000)
+        .otherwise((k * 2654435761) % 120_000_000)
+        .alias("lat"),
+        F.when(k % 10 < 2, 100_000_000 + (k * 69621) % 8_000_000)
+        .when(k % 10 < 4, 250_000_000 + (k * 69621) % 8_000_000)
+        .otherwise((k * 2246822519) % 360_000_000)
+        .alias("lon"),
+    )
+    cells = (
+        pts.groupBy(
+            F.expr(f"(lat div {_DB_CELL}) * 1000 + (lon div {_DB_CELL})").alias(
+                "cid"
+            ),
+            F.expr(f"lat div {_DB_CELL}").alias("cy"),
+            F.expr(f"lon div {_DB_CELL}").alias("cx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .cache()
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("npts"),
+        F.count(F.lit(1)).cast("bigint").alias("ncells"),
+    )
+    off = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], "dy long, dx long"
+    )
+    nb = cells.select(
+        F.col("cy").alias("nby"), F.col("cx").alias("nbx"), F.col("n").alias("nbn")
+    )
+    neigh = (
+        cells.crossJoin(F.broadcast(off))
+        .join(
+            nb,
+            (F.col("nby") == F.col("cy") + F.col("dy"))
+            & (F.col("nbx") == F.col("cx") + F.col("dx")),
+        )
+        .groupBy("cid", "cy", "cx", "n")
+        .agg(F.sum("nbn").cast("bigint").alias("n_neigh"))
+    )
+    core = (
+        neigh.crossJoin(F.broadcast(tot))
+        .where(F.col("n_neigh") * 24 > F.col("npts"))
+        .select("cid", "cy", "cx", "n")
+        .cache()
+    )
+    cb = core.select(
+        F.col("cid").alias("bcid"), F.col("cy").alias("bcy"), F.col("cx").alias("bcx")
+    )
+    und = (
+        core.crossJoin(
+            F.broadcast(off.where(~((F.col("dy") == 0) & (F.col("dx") == 0))))
+        )
+        .join(
+            cb,
+            (F.col("bcy") == F.col("cy") + F.col("dy"))
+            & (F.col("bcx") == F.col("cx") + F.col("dx")),
+        )
+        .select(F.col("cid").alias("a"), F.col("bcid").alias("b"))
+    )
+    labels = core.select(F.col("cid").alias("node"), F.col("cid").alias("lbl"))
+    for _ in range(_DB_ROUNDS):
+        nmin = (
+            und.join(F.broadcast(labels), und.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        labels = labels.join(F.broadcast(nmin), "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+    return (
+        labels.join(core, labels.node == core.cid)
+        .groupBy(F.col("lbl").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+            F.min("cid").cast("bigint").alias("min_cell"),
+            F.max("cid").cast("bigint").alias("max_cell"),
+        )
+        .orderBy("cluster")
+    )
