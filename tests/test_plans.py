@@ -713,3 +713,37 @@ def test_degloballed_round4_ops_have_no_corpus_wide_windows(spark, sf_dir):
     # every row_number over the raw orders frame must be partitioned:
     # the exact side by histogram bucket b, the sketch side by segment p
     assert "rn3" not in analyzed, "global exact-rank window resurfaced"
+
+
+def test_round4_new_ops_plan_shapes(spark, sf_dir):
+    """Round-4 additions keep the scale properties: no cartesian pair
+    generation, no row-at-a-time Python (mapInPandas/mapInArrow are the
+    allowed Arrow-batched boundaries), bucket-partitioned prefix sums
+    where applicable."""
+    for name in (
+        "pretrained_featurizer_head",
+        "token_budget_selection",
+        "epoch_shuffle_shards",
+        "label_propagation_communities",
+        "dbscan_grid_clusters",
+        "rowgroup_stats_pruning",
+        "neyman_allocation_sample",
+        "sql_udf_revenue_report",
+        "multimodal_wav_stats",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+
+    # token budget's corpus cumsum must be bucket-partitioned
+    analyzed = (
+        REGISTRY["token_budget_selection"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(qb" in analyzed, (
+        "token_budget_selection: doc cumsum not bucket-partitioned"
+    )
+
+    # the SQL UDFs must be inlined: no UDF node survives in the physical plan
+    plan = plan_of(spark, sf_dir, "sql_udf_revenue_report")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
