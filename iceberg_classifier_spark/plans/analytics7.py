@@ -112,3 +112,106 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("alloc") * 1.0 / F.col("n_pop"), 6).alias("sampling_frac"),
         (F.sum("alloc").over(wd) == _NEY_K).alias("alloc_sums_ok"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# Holt linear exponential smoothing via ordered fold
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.5  # level smoothing
+_HOLT_B = 0.3  # trend smoothing
+_HOLT_H = 7  # forecast horizon (days)
+
+
+@query(
+    "exp_smoothing_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, list(x ORDER BY day) AS xs,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ), fit AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_prepend([xs[1], CAST(0.0 AS DOUBLE)],
+                            list_transform(xs[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+               (acc, v) -> [
+                 {_HOLT_A} * v[1] + {1 - _HOLT_A} * (acc[1] + acc[2]),
+                 {_HOLT_B} * (({_HOLT_A} * v[1] + {1 - _HOLT_A} * (acc[1] + acc[2]))
+                              - acc[1]) + {1 - _HOLT_B} * acc[2]
+               ]) AS lt
+      FROM series
+    )
+    SELECT event_type, n_days,
+           round(lt[1], 6) AS level,
+           round(lt[2], 6) AS trend,
+           round(lt[1] + {_HOLT_H} * lt[2], 6) AS forecast_7d
+    FROM fit ORDER BY event_type
+    """,
+)
+def exp_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level+trend) exponential smoothing of each event
+    type's daily-count series, with a {_HOLT_H}-day-ahead forecast —
+    the workhorse short-horizon forecaster. A smoothing recurrence is
+    inherently SEQUENTIAL (state t depends on t-1), which a distributed
+    engine handles by collapsing the series to a per-key ARRAY and
+    running the recurrence as an ordered fold (F.aggregate over the
+    day-sorted array) — identical left-to-right IEEE operations in both
+    engines, so a recursive float computation still gets a full value
+    oracle. The trend expression re-derives the new level inline rather
+    than binding it (neither engine's lambda has let-bindings); both
+    duplicate the same expression, so the results agree bit-for-bit.
+
+    Scale: one map-side-combined groupBy(day) pass; each series is
+    |days|-long (bounded by calendar, not corpus), so the per-key array
+    fold is dimension-sized. For series too long to hold per key, the
+    associative-scan reformulation of linear recurrences (matrix prefix
+    products) distributes — this fold is the right shape below ~1e5
+    points per key.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.expr("transform(sx, s -> s.x)").alias("xs"),
+    )
+    a, b = _HOLT_A, _HOLT_B
+    newl = f"{a} * v + {1 - a} * (acc[0] + acc[1])"
+    fit = series.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            f"""
+            aggregate(
+              slice(xs, 2, size(xs) - 1),
+              array(xs[0], CAST(0.0 AS DOUBLE)),
+              (acc, v) -> array(
+                {newl},
+                {b} * (({newl}) - acc[0]) + {1 - b} * acc[1]
+              )
+            )
+            """
+        ).alias("lt"),
+    )
+    return fit.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("lt")[0], 6).alias("level"),
+        F.round(F.col("lt")[1], 6).alias("trend"),
+        F.round(F.col("lt")[0] + _HOLT_H * F.col("lt")[1], 6).alias(
+            "forecast_7d"
+        ),
+    ).orderBy("event_type")
