@@ -215,3 +215,97 @@ def exp_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_7d"
         ),
     ).orderBy("event_type")
+
+
+@query(
+    "kadane_best_run",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS total
+      FROM daily
+    ), dev AS (
+      SELECT list(cents - (SELECT total // n_days FROM tot)
+                  ORDER BY day) AS xs
+      FROM daily
+    ), kad AS (
+      SELECT list_reduce(
+               list_prepend([CAST(-9223372036854775807 AS BIGINT),
+                             CAST(0 AS BIGINT)],
+                            list_transform(xs, x -> [x, CAST(0 AS BIGINT)])),
+               (acc, v) -> [
+                 greatest(acc[1], greatest(v[1], acc[2] + v[1])),
+                 greatest(v[1], acc[2] + v[1])
+               ]) AS bc
+      FROM dev
+    )
+    SELECT t.n_days, t.total AS total_cents,
+           t.total // t.n_days AS mean_daily_cents,
+           kad.bc[1] AS best_run_excess_cents
+    FROM tot t CROSS JOIN kad
+    """,
+)
+def kadane_best_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-sum contiguous run (Kadane) over the mean-adjusted daily
+    revenue series: the single best stretch of consecutive days measured
+    as total excess over the average daily take — 'when was the hottest
+    streak, and how hot'. Another inherently sequential recurrence run as
+    an ordered array fold (exp_smoothing_forecast's pattern), but in
+    EXACT int64 cents: best/current accumulator, zero float anywhere.
+
+    Scale: one map-side-combined groupBy(day); the fold runs over the
+    calendar-bounded day array. (Kadane also has an associative
+    divide-and-conquer form — (total, best, prefix, suffix) per segment —
+    which is the distributed-scan fallback for series too long for one
+    array.)
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy("n_days", "total")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(day, cents))),"
+                " s -> s.cents - (total div n_days))"
+            ).alias("xs")
+        )
+    )
+    kad = dev.select(
+        "n_days",
+        "total",
+        F.expr(
+            """
+            aggregate(
+              xs,
+              array(CAST(-9223372036854775807 AS BIGINT), CAST(0 AS BIGINT)),
+              (acc, v) -> array(
+                greatest(acc[0], greatest(v, acc[1] + v)),
+                greatest(v, acc[1] + v)
+              )
+            )
+            """
+        ).alias("bc"),
+    )
+    return kad.select(
+        "n_days",
+        F.col("total").alias("total_cents"),
+        F.expr("total div n_days").alias("mean_daily_cents"),
+        F.col("bc")[0].alias("best_run_excess_cents"),
+    )

@@ -114,6 +114,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         transfer,
         curation6,
         analytics7,
+        linkage,
     )
 
     keys = list(REGISTRY)
