@@ -381,3 +381,87 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         "node", F.col("lbl").alias("community"), "community_size"
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition by synchronous peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+_KCORE_ITER_SQL = "".join(
+    f""",
+    a{i} AS (
+      SELECT u.a AS node, CAST(count(*) AS BIGINT) AS deg
+      FROM und u
+      JOIN a{i - 1} x ON x.node = u.a
+      JOIN a{i - 1} y ON y.node = u.b
+      GROUP BY 1 HAVING count(*) >= {_KCORE_K}
+    )"""
+    for i in range(1, _KCORE_ROUNDS + 1)
+)
+
+
+@query(
+    "kcore_trade_graph",
+    oracle=f"""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS w
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
+    ), tot AS (SELECT count(*) AS n_edges, sum(w) AS total FROM e),
+    he AS (SELECT e.src, e.dst FROM e, tot
+           WHERE e.w * tot.n_edges > tot.total),
+    und AS (SELECT src AS a, dst AS b FROM he
+            UNION SELECT dst, src FROM he),
+    a0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS deg FROM und)
+    {_KCORE_ITER_SQL}
+    SELECT CAST(node AS BIGINT) AS node, deg AS core_degree
+    FROM a{_KCORE_ROUNDS} ORDER BY node
+    """,
+)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the undirected heavy-trade graph by SYNCHRONOUS
+    peeling: every round recomputes each surviving node's degree within
+    the surviving set and drops nodes below k — after {_KCORE_ROUNDS}
+    rounds the report lists the remaining core members with their
+    within-core degree. The fixed synchronous round count makes the
+    intermediate state deterministic (the oracle replays it as unrolled
+    CTEs); full convergence just runs the same round until no node drops
+    — the standard distributed k-core (Montresor et al.) shape.
+
+    Scale: each round is one self-joined degree count on the
+    edge-dimension frame — cost = rounds × (join + agg) on aggregated
+    edges, never on fact rows; the star join builds edges once.
+    """
+    from iceberg_classifier_spark.plans.advanced2 import _heavy_trade_edges
+
+    he = _heavy_trade_edges(spark, sf_dir).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    )
+    und = (
+        he.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(he.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .cache()
+    )
+    active = und.select(F.col("a").alias("node")).distinct()
+    surv = None
+    for _ in range(_KCORE_ROUNDS):
+        x = active.select(F.col("node").alias("xa"))
+        y = active.select(F.col("node").alias("yb"))
+        surv = (
+            und.join(F.broadcast(x), und.a == F.col("xa"))
+            .join(F.broadcast(y), und.b == F.col("yb"))
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+        )
+        active = surv.select("node")
+    return surv.select("node", F.col("deg").alias("core_degree")).orderBy("node")

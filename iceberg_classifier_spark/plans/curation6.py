@@ -16,6 +16,7 @@ _TOKS = "string_split(trim(text), ' ')"
 
 @query(
     "token_budget_selection",
+    headline=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, len({_TOKS}) AS n,

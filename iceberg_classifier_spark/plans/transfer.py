@@ -92,6 +92,7 @@ _MARGIN_SQL = " + ".join(
 
 @query(
     "pretrained_featurizer_head",
+    headline=True,
     oracle=f"""
     WITH k(kid, w0, w1, w2, w3, w4, w5, w6, w7, w8) AS (
       VALUES {_KERNEL_VALUES}
