@@ -178,6 +178,10 @@ def pretrained_featurizer_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # plain load, not load_parallel: at test scale the 10-kernel conv is
+    # cheaper than the extra round-robin exchange + per-task Arrow setup
+    # it would add (measured 1.35 s -> 2.8 s at sf0.1); on a real corpus
+    # the scan arrives already split and the kernel parallelizes free
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", (F.col("label") % 2).cast("long").alias("y"), "embedding"
     )
