@@ -1118,3 +1118,109 @@ def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("closure_ppm"),
         )
     )
+
+
+@query(
+    "source_contamination_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(trim(text), ' ') AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(generate_series(5, len(w)),
+                                   i -> array_to_string(w[i - 4:i], ' ')))
+               AS gram
+      FROM toks WHERE len(w) >= 5
+    ), per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1
+    ), posting AS (
+      SELECT gram, list_sort(list(source)) AS srcs
+      FROM g GROUP BY gram HAVING count(*) > 1
+    ), pairs AS (
+      SELECT u1.s AS src_a, u2.s AS src_b, CAST(count(*) AS BIGINT) AS shared
+      FROM posting,
+           unnest(srcs) AS u1(s), unnest(srcs) AS u2(s)
+      WHERE u1.s < u2.s
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared AS n_shared_grams,
+           round(p.shared * 1.0 / (a.n_grams + b.n_grams - p.shared), 6)
+             AS gram_jaccard
+    FROM pairs p
+    JOIN per_src a ON a.source = p.src_a
+    JOIN per_src b ON b.source = p.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct 5-grams they share and the gram-level
+    Jaccard — the audit that tells you which ingestion feeds are
+    re-serving each other's content (mirrors, scrapes, syndication)
+    before those duplicates leak across train/eval source splits. The
+    pairwise decontaminate_8gram generalized to the full source×source
+    grid.
+
+    Scale: same blocked construction as _shingle_pairs — grams group into
+    source posting lists and pairs emit map-side from each list, so pair
+    volume scales with cross-source collision density, never
+    |sources|²×|grams|; per-source gram counts are one map-side-combined
+    agg. A df-cap on whale grams (the NGRAM_DF_CAP pattern) drops in
+    unchanged at 100 TB.
+    """
+    d = load_parallel(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), " ")
+    g = (
+        d.select("source", w.alias("w"))
+        .where(F.size("w") >= 5)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(5, size(w)),"
+                    " i -> array_join(slice(w, i - 4, 5), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    per_src = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    posting = (
+        g.groupBy("gram")
+        .agg(F.sort_array(F.collect_list("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    pairs = (
+        posting.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(srcs, (a, i) ->
+                      transform(slice(srcs, i + 2, size(srcs) - i - 1),
+                                b -> struct(a AS src_a, b AS src_b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    a = per_src.select(F.col("source").alias("src_a"), F.col("n_grams").alias("na"))
+    b = per_src.select(F.col("source").alias("src_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(a), "src_a")
+        .join(F.broadcast(b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").alias("n_shared_grams"),
+            F.round(
+                F.col("shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("shared")),
+                6,
+            ).alias("gram_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

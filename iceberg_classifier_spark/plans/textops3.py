@@ -236,3 +236,92 @@ def posting_list_compression_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("df_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chance-corrected classifier agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    from iceberg_classifier_spark.plans.textops import _duck_hits, _duck_lang_guess
+
+    hits = ", ".join(f"{_duck_hits(l)} AS h_{l}" for l in sorted(STOPWORDS))
+    return f"""
+    WITH h AS (
+      SELECT doc_id, lang, {hits} FROM documents
+    ), g AS (
+      SELECT lang AS actual, {_duck_lang_guess()} AS guessed FROM h
+    ), cm AS (
+      SELECT actual, guessed, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2
+    ), m AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN actual = guessed THEN c ELSE 0 END) AS BIGINT)
+               AS diag
+      FROM cm
+    ), rc AS (
+      SELECT CAST(sum(r.rt * c.ct) AS BIGINT) AS sum_rc
+      FROM (SELECT actual AS k, sum(c) AS rt FROM cm GROUP BY 1) r
+      JOIN (SELECT guessed AS k, sum(c) AS ct FROM cm GROUP BY 1) c
+        ON r.k = c.k
+    )
+    SELECT m.n AS n_docs, m.diag AS n_agree,
+           CAST(m.diag * 1000000 // m.n AS BIGINT) AS po_ppm,
+           CAST(rc.sum_rc * 1000000 // (m.n * m.n) AS BIGINT) AS pe_ppm,
+           round((m.diag * m.n - rc.sum_rc) * 1.0
+                 / (m.n * m.n - rc.sum_rc), 6) AS kappa
+    FROM m CROSS JOIN rc
+    """
+
+
+@query("cohens_kappa_langid", oracle=_kappa_oracle())
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-profile language classifier and
+    the labeled language — chance-corrected agreement, the metric that
+    exposes a classifier that merely predicts the majority class (raw
+    accuracy hides it; lang_id_confusion gives the matrix, this gives the
+    one number reviewers ask for). Exact arithmetic throughout: kappa =
+    (diag·n − Σ row_k·col_k) / (n² − Σ row_k·col_k) is an integer ratio
+    (the 1/n normalizations cancel), so the only float is the final
+    6dp display division — bit-exact across engines by construction.
+
+    Scale: one scan builds the confusion matrix map-side (|langs|² cells);
+    everything downstream runs on that dimension frame.
+    """
+    from iceberg_classifier_spark.functions import text as T
+    from iceberg_classifier_spark.sources.tables import load as _load
+
+    d = _load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    cm = (
+        d.select(F.col("lang").alias("actual"), T.lang_guess(toks).alias("guessed"))
+        .groupBy("actual", "guessed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    m = cm.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("actual") == F.col("guessed"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    r = cm.groupBy(F.col("actual").alias("k")).agg(F.sum("c").alias("rt"))
+    c = cm.groupBy(F.col("guessed").alias("k")).agg(F.sum("c").alias("ct"))
+    rc = (
+        r.join(c, "k")
+        .agg(F.sum(F.col("rt") * F.col("ct")).cast("bigint").alias("sum_rc"))
+    )
+    return (
+        m.crossJoin(F.broadcast(rc))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("diag").alias("n_agree"),
+            F.expr("diag * 1000000 div n").cast("bigint").alias("po_ppm"),
+            F.expr("sum_rc * 1000000 div (n * n)").cast("bigint").alias("pe_ppm"),
+            F.round(
+                (F.col("diag") * F.col("n") - F.col("sum_rc"))
+                * 1.0
+                / (F.col("n") * F.col("n") - F.col("sum_rc")),
+                6,
+            ).alias("kappa"),
+        )
+    )
