@@ -625,3 +625,91 @@ def rowgroup_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index activity rollup (roaring-bitmap shape, 64-bit words)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitmap_user_activity",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('month', ts) AS month, date_trunc('day', ts) AS day,
+             user_id // 32 AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+                  AS BIGINT) AS bits
+      FROM events GROUP BY 1, 2, 3
+    ), daily AS (
+      SELECT month, day, CAST(sum(bit_count(bits)) AS BIGINT) AS dau
+      FROM b GROUP BY 1, 2
+    ), monthly AS (
+      SELECT month,
+             CAST(sum(bit_count(mbits)) AS BIGINT) AS mau
+      FROM (SELECT month, word, CAST(bit_or(bits) AS BIGINT) AS mbits
+            FROM b GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT d.month, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(min(d.dau) AS BIGINT) AS min_dau,
+           CAST(max(d.dau) AS BIGINT) AS max_dau,
+           CAST(max(m.mau) AS BIGINT) AS mau,
+           round(avg(d.dau) / max(m.mau), 6) AS stickiness
+    FROM daily d JOIN monthly m USING (month)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bitmap_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index DAU/MAU rollup: each (day, 32-user word) holds one
+    int64 bitmap built with bit_or(1 << user%32) (32-bit packing keeps
+    the shift off the sign bit, which DuckDB rejects); daily actives are
+    popcounts, and MONTHLY actives come from OR-ing the daily word
+    bitmaps before popcounting — set union as pure bitwise algebra, the
+    roaring-bitmap construction every interactive analytics store uses
+    for distinct-user rollups. Stickiness = avg DAU / MAU per month.
+    Everything is exact integer arithmetic.
+
+    Scale: the bitmap build is one map-side-combinable groupBy whose
+    state is |users|/32 words per day — OR and popcount are
+    associative, so week/month/quarter rollups reuse the same word
+    frames without ever re-touching events; compare the plain
+    countDistinct, which must re-shuffle raw user ids per grain.
+    """
+    e = load(spark, sf_dir, "events")
+    b = (
+        e.groupBy(
+            F.date_trunc("month", F.col("ts")).alias("month"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.expr("user_id div 32").alias("word"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 32 AS INT)))"
+            )
+            .cast("bigint")
+            .alias("bits")
+        )
+    )
+    daily = b.groupBy("month", "day").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("dau")
+    )
+    monthly = (
+        b.groupBy("month", "word")
+        .agg(F.expr("bit_or(bits)").cast("bigint").alias("mbits"))
+        .groupBy("month")
+        .agg(F.sum(F.bit_count("mbits")).cast("bigint").alias("mau"))
+    )
+    return (
+        daily.join(monthly, "month")
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.min("dau").cast("bigint").alias("min_dau"),
+            F.max("dau").cast("bigint").alias("max_dau"),
+            F.max("mau").cast("bigint").alias("mau"),
+            F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )

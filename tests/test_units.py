@@ -391,3 +391,16 @@ def test_conformal_coverage_meets_guarantee(spark, sf_dir):
         assert r["coverage_ppm"] >= 900000, (
             f"{r['segment']}: coverage {r['coverage_ppm']} below guarantee"
         )
+
+
+def test_early_stopping_head_is_seed_deterministic(spark, sf_dir):
+    """Two runs of the early-stopping control loop produce the identical
+    step series, best step, and flags — the seed-pinned reproducibility
+    the reference's callback loop lacks."""
+    from iceberg_classifier_spark.plans.registry import load_all_queries
+
+    fn = load_all_queries()["early_stopping_head"].fn
+    a = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    assert a == b and len(a) >= 3
+    assert any(r[3] for r in a), "no is_best step recorded"
