@@ -61,11 +61,14 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic tiebreak, so shares are bit-stable.
 
     Scale: the fact-sized work is one groupBy(custkey) with map-side
-    partial aggregation; ntile then globally sorts only the per-customer
-    aggregate (orders of magnitude smaller than the fact table). At
-    extreme customer cardinality the exact ntile becomes a ranged sort —
-    or swap in approx-percentile revenue boundaries broadcast to a single
-    map pass; the decile aggregate itself stays ten rows either way.
+    partial aggregation; the decile assignment then reproduces EXACT
+    ntile(10) semantics without a single-partition sort of the customer
+    frame — a 1024-bucket revenue histogram gives broadcast rank offsets
+    (dimension-sized window over buckets only) and ranks are computed
+    per bucket (window PARTITIONED by bucket), so decile =
+    ntile-from-rank arithmetic. The same two-level rank the tdigest
+    exact side and token_budget_selection use; the customer frame is
+    never globally sorted anywhere in the plan.
     """
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
@@ -73,12 +76,38 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy(F.col("o_custkey").alias("ck"))
         .agg(F.sum(F.expr(_CENTS_W)).alias("cents"))
+        # revenue-range buckets for the two-level rank; DESCENDING cents
+        # order maps to ASCENDING bucket ids
+        .withColumn("bkt", F.expr("-(cents div 100000000)"))
     )
-    ranked = rev.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy(F.desc("cents"), F.col("ck"))).alias(
-            "decile"
-        ),
+    bcnt = rev.groupBy("bkt").agg(F.count(F.lit(1)).alias("bn"))
+    off = bcnt.select(
+        "bkt",
+        (
+            F.sum("bn").over(Window.partitionBy().orderBy("bkt")) - F.col("bn")
+        ).alias("off"),
+        F.sum("bn").over(Window.partitionBy()).alias("n"),
+    )
+    wl = Window.partitionBy("bkt").orderBy(F.desc("cents"), "ck")
+    # exact ntile(10) from the global rank r among n: the first (n mod 10)
+    # deciles carry ceil(n/10) customers, the rest floor(n/10)
+    ranked = (
+        rev.join(F.broadcast(off), "bkt")
+        .withColumn("r", F.col("off") + F.row_number().over(wl))
+        .withColumn(
+            "decile",
+            F.expr(
+                """
+                CASE WHEN r <= (n % 10) * (n div 10 + 1)
+                     THEN (r - 1) div (n div 10 + 1) + 1
+                     ELSE (n % 10)
+                          + (r - (n % 10) * (n div 10 + 1) - 1) div (n div 10)
+                          + 1
+                END
+                """
+            ).cast("int"),
+        )
+        .select("cents", "decile")
     )
     dec = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

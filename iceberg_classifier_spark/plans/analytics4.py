@@ -1002,8 +1002,11 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score is float, as one identical IEEE expression.
 
     Scale: one broadcast join + one map-combinable value groupBy; the
-    midrank window runs over distinct values only (two-level bucketed at
-    extreme cardinality, as in ks_two_sample) — never a per-row rank.
+    midrank cumulative count IS the ks_two_sample two-level prefix sum —
+    per-range-bucket subtotals give broadcast offsets (dimension window
+    over buckets) and the within-bucket window is PARTITIONED by bucket —
+    never a per-row rank, never a single-partition pass over the
+    distinct-value frame.
     """
     o = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").where(
@@ -1019,13 +1022,24 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cents")
         .agg(F.sum("b1").alias("c1"), F.sum("b2").alias("c2"))
         .withColumn("t", F.col("c1") + F.col("c2"))
+        .withColumn("bkt", F.expr("cents div 1000000"))
     )
-    wc = (
-        Window.partitionBy()
+    # two-level distributed prefix sum over the distinct-value frame
+    bkt = g.groupBy("bkt").agg(F.sum("t").alias("bt"))
+    off = bkt.select(
+        "bkt",
+        (
+            F.sum("bt").over(Window.partitionBy().orderBy("bkt")) - F.col("bt")
+        ).alias("off"),
+    )
+    wl = (
+        Window.partitionBy("bkt")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    c = g.withColumn("cb", F.coalesce(F.sum("t").over(wc), F.lit(0)))
+    c = g.join(F.broadcast(off), "bkt").withColumn(
+        "cb", F.col("off") + F.coalesce(F.sum("t").over(wl), F.lit(0))
+    )
     s = c.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),

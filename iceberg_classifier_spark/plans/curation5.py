@@ -153,22 +153,39 @@ def temporal_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped_kfold_assign instead — this op measures the tradeoff a team
     weighs between temporal and grouped splits.
 
-    Scale: one distinct-timestamp rollup + one cumulative window over it;
-    the user-overlap is a distinct-key semi-join — all shuffle keys are
-    user ids or timestamps, map-side combined.
+    Scale: one distinct-timestamp rollup; the cumulative count over it is
+    the two-level distributed prefix sum — per-day bucket subtotals give
+    broadcast offsets and the within-bucket window is PARTITIONED by day
+    bucket, so no single-partition pass over the distinct-timestamp frame
+    at any cardinality. The user-overlap is a distinct-key semi-join —
+    all shuffle keys are user ids or timestamps, map-side combined.
     """
     e = load(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("t")
     )
     n_row = e.agg(F.count(F.lit(1)).alias("n"))
-    g = e.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    wc = (
-        Window.partitionBy()
+    g = e.groupBy("t").agg(F.count(F.lit(1)).alias("c")).withColumn(
+        "bkt", F.expr("t div 86400000000")  # one day in microseconds
+    )
+    off = (
+        g.groupBy("bkt")
+        .agg(F.sum("c").alias("bc"))
+        .select(
+            "bkt",
+            (
+                F.sum("bc").over(Window.partitionBy().orderBy("bkt"))
+                - F.col("bc")
+            ).alias("off"),
+        )
+    )
+    wl = (
+        Window.partitionBy("bkt")
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bound = (
-        g.withColumn("cum", F.sum("c").over(wc))
+        g.join(F.broadcast(off), "bkt")
+        .withColumn("cum", F.col("off") + F.sum("c").over(wl))
         .crossJoin(F.broadcast(n_row))
         .where(F.col("cum") >= F.expr("(4 * n + 4) div 5"))
         .agg(F.min("t").cast("bigint").alias("t80"))

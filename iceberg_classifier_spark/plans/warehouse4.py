@@ -365,10 +365,25 @@ def equi_depth_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_row = o.agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window as W
 
-    g = o.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    wc = W.partitionBy().orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
+    g = o.groupBy("cents").agg(F.count(F.lit(1)).alias("c")).withColumn(
+        "vb", F.expr("cents div 1000000")
+    )
+    # two-level prefix sum over the distinct-value frame (never a
+    # single-partition cumulative window): bucket offsets + local cumsum
+    bko = (
+        g.groupBy("vb")
+        .agg(F.sum("c").alias("bc"))
+        .select(
+            "vb",
+            (
+                F.sum("bc").over(W.partitionBy().orderBy("vb")) - F.col("bc")
+            ).alias("off"),
+        )
+    )
+    wl = W.partitionBy("vb").orderBy("cents").rowsBetween(W.unboundedPreceding, 0)
     lab = (
-        g.withColumn("cum", F.sum("c").over(wc))
+        g.join(F.broadcast(bko), "vb")
+        .withColumn("cum", F.col("off") + F.sum("c").over(wl))
         .crossJoin(F.broadcast(n_row))
         .select(
             "cents",
