@@ -747,3 +747,26 @@ def test_round4_new_ops_plan_shapes(spark, sf_dir):
     # the SQL UDFs must be inlined: no UDF node survives in the physical plan
     plan = plan_of(spark, sf_dir, "sql_udf_revenue_report")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_distinct_value_prefix_sums_are_bucket_partitioned(spark, sf_dir):
+    """The r4 de-globalizations hold: every cumulative count over a
+    distinct-value / distinct-timestamp frame is bucket-partitioned, and
+    pareto's decile assignment has no global ntile window (exact ntile is
+    re-derived from two-level ranks)."""
+    for name, marker in (
+        ("mann_whitney_u", "windowspecdefinition(bkt"),
+        ("equi_depth_histogram_stats", "windowspecdefinition(vb"),
+        ("temporal_split_leakage_audit", "windowspecdefinition(bkt"),
+        ("pareto_revenue_share", "windowspecdefinition(bkt"),
+    ):
+        analyzed = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert marker in analyzed, f"{name}: bucketed window missing"
+    analyzed = (
+        REGISTRY["pareto_revenue_share"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ntile" not in analyzed, "pareto: global ntile resurfaced"
