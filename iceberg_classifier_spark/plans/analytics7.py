@@ -309,3 +309,243 @@ def kadane_best_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("total div n_days").alias("mean_daily_cents"),
         F.col("bc")[0].alias("best_run_excess_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (raking) to target margins
+# ---------------------------------------------------------------------------
+
+_IPF_ROUNDS = 3
+
+_IPF_ITER_SQL = "".join(
+    f""",
+    r{i}a AS (
+      SELECT et, dow,
+             w * (tr.target_row / sum(w) OVER (PARTITION BY et)) AS w
+      FROM r{i - 1} JOIN tr USING (et)
+    ), r{i} AS (
+      SELECT et, dow,
+             w * (tc.target_col / sum(w) OVER (PARTITION BY dow)) AS w
+      FROM r{i}a JOIN tc USING (dow)
+    )"""
+    for i in range(1, _IPF_ROUNDS + 1)
+)
+
+
+@query(
+    "ipf_raking",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type AS et, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(w) AS DOUBLE) AS n FROM cell),
+    tr AS (
+      SELECT et, (SELECT n FROM tot) / 5.0 AS target_row
+      FROM (SELECT DISTINCT et FROM cell)
+    ), tc AS (
+      SELECT dow, (SELECT n FROM tot) / 7.0 AS target_col
+      FROM (SELECT DISTINCT dow FROM cell)
+    ), r0 AS (SELECT et, dow, w FROM cell)
+    {_IPF_ITER_SQL}
+    SELECT et AS event_type, dow,
+           round(fin.w, 6) AS raked_weight,
+           round(fin.w / cell.w, 6) AS weight_ratio
+    FROM r{_IPF_ROUNDS} fin JOIN cell USING (et, dow)
+    ORDER BY event_type, dow
+    """,
+)
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking): adjust the event_type ×
+    day-of-week contingency table so both margins hit uniform targets
+    (n/5 per type, n/7 per dow) — the survey-weighting / post-
+    stratification workhorse. {_IPF_ROUNDS} fixed alternating row/column
+    scaling rounds, each a join + dimension-partitioned window on the
+    ≤35-cell table; the fixed round count makes every intermediate
+    deterministic, and both engines run the identical scaling expression
+    sequence, so the raked weights carry a full value oracle. (The
+    per-margin window sums run over ≤7 cells — dimension frames — and
+    the float sums within them are over single-digit row counts with a
+    deterministic grouping, identical in both engines.)
+
+    Scale: one map-side-combined pass builds the cells; all iterations
+    run on the |types|×|dows| dimension. For high-dimensional raking the
+    same alternating scaling runs one margin per shuffle-free broadcast
+    join round — cost = rounds × dimension size, independent of corpus.
+    """
+    cell = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("et"),
+            F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w0"))
+    )
+    tot = cell.agg(F.sum("w0").cast("double").alias("n"))
+    tr = (
+        cell.select("et")
+        .distinct()
+        .crossJoin(F.broadcast(tot))
+        .select("et", (F.col("n") / 5.0).alias("target_row"))
+    )
+    tc = (
+        cell.select("dow")
+        .distinct()
+        .crossJoin(F.broadcast(tot))
+        .select("dow", (F.col("n") / 7.0).alias("target_col"))
+    )
+    cur = cell.select("et", "dow", F.col("w0").alias("w"))
+    for _ in range(_IPF_ROUNDS):
+        cur = cur.join(F.broadcast(tr), "et").select(
+            "et",
+            "dow",
+            (
+                F.col("w")
+                * (
+                    F.col("target_row")
+                    / F.sum("w").over(Window.partitionBy("et"))
+                )
+            ).alias("w"),
+        )
+        cur = cur.join(F.broadcast(tc), "dow").select(
+            "et",
+            "dow",
+            (
+                F.col("w")
+                * (
+                    F.col("target_col")
+                    / F.sum("w").over(Window.partitionBy("dow"))
+                )
+            ).alias("w"),
+        )
+    return (
+        cur.join(cell, ["et", "dow"])
+        .select(
+            F.col("et").alias("event_type"),
+            "dow",
+            F.round("w", 6).alias("raked_weight"),
+            F.round(F.col("w") / F.col("w0"), 6).alias("weight_ratio"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR multiple-testing correction
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.05
+
+
+@query(
+    "benjamini_hochberg_fdr",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT hr, CAST(sum(k) AS BIGINT) AS nh FROM cell GROUP BY 1
+    ), z AS (
+      SELECT c.event_type, c.hr, c.k, m.nh,
+             (c.k - m.nh / 5.0)
+               / sqrt(m.nh / 5.0 * (1 - 1.0 / 5.0)) AS zs
+      FROM cell c JOIN m USING (hr)
+    ), p AS (
+      SELECT event_type, hr, k, round(zs, 6) AS zscore,
+             round(2.0 / (1.0 + exp(1.702 * abs(zs))), 6) AS pval
+      FROM z
+    ), rk AS (
+      SELECT *, row_number() OVER (ORDER BY pval, event_type, hr) AS i,
+             count(*) OVER () AS mm
+      FROM p
+    ), thresh AS (
+      SELECT CAST(max(CASE WHEN pval * mm <= {_BH_Q} * i THEN i ELSE 0 END)
+                  AS BIGINT) AS cut
+      FROM rk
+    )
+    SELECT rk.event_type, rk.hr, rk.k, rk.zscore, rk.pval,
+           (rk.pval <= {_BH_Q}) AS naive_flag,
+           (rk.i <= thresh.cut) AS discovery
+    FROM rk CROSS JOIN thresh
+    ORDER BY rk.pval, rk.event_type, rk.hr
+    """,
+)
+def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the (event_type × hour) rate
+    anomaly scan: each of the 120 cells gets a two-sided normal p-value
+    for 'this type's share within the hour deviates from the equal-share
+    null', and BH's step-up rule
+    (largest i with p_(i) ≤ q·i/m) marks discoveries at q={_BH_Q} — the
+    multiple-testing discipline a metrics platform needs when it runs
+    thousands of screens a day (seasonal_anomaly_zscore flags cells
+    one-at-a-time; this controls the family-wise false-discovery rate).
+    p-values use the logistic approximation of the normal tail
+    (Φ(z) ≈ σ(1.702z), max abs error < 0.01 — erfc is absent from one
+    engine's SQL surface, and BH only needs a monotone, identically
+    computed p) — exp is correctly rounded and identical in both
+    engines; ranks run over the 120-cell dimension. On this uniform
+    synthetic feed the naive per-test threshold still flags a handful of
+    cells (naive_flag — the expected ~5% false positives); BH correctly
+    discovers NONE — the contrast between the two flag columns is the
+    operator's whole value.
+
+    Scale: one map-side-combined pass builds the cells; ranking and the
+    step-up cut run on the |types|×|hours| dimension frame. For
+    million-test scans the rank becomes the two-level bucketed prefix
+    (p-value buckets), same as mann_whitney_u.
+    """
+    cell = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("CAST(hour(ts) AS BIGINT)").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    m = cell.groupBy("hr").agg(F.sum("k").cast("bigint").alias("nh"))
+    z = cell.join(F.broadcast(m), "hr").select(
+        "event_type",
+        "hr",
+        "k",
+        (
+            (F.col("k") - F.col("nh") / 5.0)
+            / F.sqrt(F.col("nh") / 5.0 * (1 - 1.0 / 5.0))
+        ).alias("zs"),
+    )
+    p = z.select(
+        "event_type",
+        "hr",
+        "k",
+        F.round("zs", 6).alias("zscore"),
+        # 6dp-quantized BEFORE ranking: Math.exp (JVM) and libm exp can
+        # differ in the last ulp, which would flip tie order / the step-up
+        # boundary between engines
+        F.round(F.expr("2.0 / (1.0 + exp(1.702 * abs(zs)))"), 6).alias("pval"),
+    )
+    wd = Window.partitionBy()
+    rk = p.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("pval", "event_type", "hr"))
+        .alias("i"),
+        F.count(F.lit(1)).over(wd).alias("mm"),
+    )
+    thresh = rk.agg(
+        F.max(
+            F.when(F.col("pval") * F.col("mm") <= _BH_Q * F.col("i"), F.col("i"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cut")
+    )
+    return (
+        rk.crossJoin(F.broadcast(thresh))
+        .select(
+            "event_type",
+            "hr",
+            "k",
+            "zscore",
+            "pval",
+            (F.col("pval") <= _BH_Q).alias("naive_flag"),
+            (F.col("i") <= F.col("cut")).alias("discovery"),
+        )
+        .orderBy("pval", "event_type", "hr")
+    )
