@@ -549,3 +549,110 @@ def benjamini_hochberg_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pval", "event_type", "hr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox detector: pooled vs within-stratum trend reversal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "simpson_paradox_detector",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_nationkey AS nation, c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS hi
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), cell AS (
+      SELECT nation, seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hi) AS BIGINT) AS h
+      FROM o GROUP BY 1, 2
+    ), strat AS (
+      SELECT nation,
+             max(CASE WHEN seg = 'BUILDING' THEN n END) AS na,
+             max(CASE WHEN seg = 'BUILDING' THEN h END) AS ha,
+             max(CASE WHEN seg = 'MACHINERY' THEN n END) AS nb,
+             max(CASE WHEN seg = 'MACHINERY' THEN h END) AS hb
+      FROM cell GROUP BY 1
+      HAVING max(CASE WHEN seg = 'BUILDING' THEN n END) > 0
+         AND max(CASE WHEN seg = 'MACHINERY' THEN n END) > 0
+    ), pooled AS (
+      SELECT CAST(sum(ha) AS BIGINT) AS pha, CAST(sum(na) AS BIGINT) AS pna,
+             CAST(sum(hb) AS BIGINT) AS phb, CAST(sum(nb) AS BIGINT) AS pnb
+      FROM strat
+    )
+    SELECT s.nation,
+           CAST(s.ha * 1000000 // s.na AS BIGINT) AS rate_a_ppm,
+           CAST(s.hb * 1000000 // s.nb AS BIGINT) AS rate_b_ppm,
+           sign(s.ha * s.nb - s.hb * s.na) = -sign(p.pha * p.pnb - p.phb * p.pna)
+             AND sign(s.ha * s.nb - s.hb * s.na) <> 0 AS reversed,
+           CAST(p.pha * 1000000 // p.pna AS BIGINT) AS pooled_a_ppm,
+           CAST(p.phb * 1000000 // p.pnb AS BIGINT) AS pooled_b_ppm
+    FROM strat s CROSS JOIN pooled p
+    ORDER BY s.nation
+    """,
+)
+def simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: does the pooled BUILDING-vs-MACHINERY
+    difference in urgent-order rate REVERSE inside individual nation
+    strata? Per-nation rate comparisons use the exact cross-product sign
+    test h_a·n_b − h_b·n_a (no float rates ever compared), so 'reversed'
+    is an exact integer predicate; rates are reported in exact ppm. The
+    aggregation-pitfall audit that belongs next to mix_shift_decomposition
+    (which quantifies composition effects; this one flags where they
+    flip a conclusion outright).
+
+    Scale: one fact join + one (nation × segment) cell aggregate; the
+    stratum pivot and pooled totals run on the 25-row nation dimension
+    with a 1-row broadcast.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    cell = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("bigint").alias("hi"),
+        )
+        .groupBy("nation", "seg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("hi").cast("bigint").alias("h"))
+    )
+    strat = (
+        cell.groupBy("nation")
+        .agg(
+            F.max(F.when(F.col("seg") == "BUILDING", F.col("n"))).alias("na"),
+            F.max(F.when(F.col("seg") == "BUILDING", F.col("h"))).alias("ha"),
+            F.max(F.when(F.col("seg") == "MACHINERY", F.col("n"))).alias("nb"),
+            F.max(F.when(F.col("seg") == "MACHINERY", F.col("h"))).alias("hb"),
+        )
+        .where(F.col("na").isNotNull() & F.col("nb").isNotNull())
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    pooled = strat.agg(
+        F.sum("ha").cast("bigint").alias("pha"),
+        F.sum("na").cast("bigint").alias("pna"),
+        F.sum("hb").cast("bigint").alias("phb"),
+        F.sum("nb").cast("bigint").alias("pnb"),
+    )
+    d_strat = F.col("ha") * F.col("nb") - F.col("hb") * F.col("na")
+    d_pool = F.col("pha") * F.col("pnb") - F.col("phb") * F.col("pna")
+    return (
+        strat.crossJoin(F.broadcast(pooled))
+        .select(
+            "nation",
+            F.expr("ha * 1000000 div na").cast("bigint").alias("rate_a_ppm"),
+            F.expr("hb * 1000000 div nb").cast("bigint").alias("rate_b_ppm"),
+            (
+                (F.signum(d_strat) == -F.signum(d_pool))
+                & (F.signum(d_strat) != 0)
+            ).alias("reversed"),
+            F.expr("pha * 1000000 div pna").cast("bigint").alias("pooled_a_ppm"),
+            F.expr("phb * 1000000 div pnb").cast("bigint").alias("pooled_b_ppm"),
+        )
+        .orderBy("nation")
+    )
