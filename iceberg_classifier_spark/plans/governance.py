@@ -176,3 +176,82 @@ def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("lineitem", li, li_purged))
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nation,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+             c_mktsegment AS sensitive
+      FROM customer
+    ), cls AS (
+      SELECT nation, bal_bucket, CAST(count(*) AS BIGINT) AS sz,
+             CAST(count(DISTINCT sensitive) AS BIGINT) AS l_div
+      FROM q GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM cls)
+    SELECT CAST(length(printf('%b', sz)) - 1 AS INTEGER) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(min(l_div) AS BIGINT) AS min_l_diversity,
+           CAST(sum(sz) * 1000000 // max(tot.n) AS BIGINT) AS share_ppm
+    FROM cls CROSS JOIN tot
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a quasi-identifier release:
+    customers keyed by (nation, $1000 balance bucket) form equivalence
+    classes; the report histograms class sizes by floor(log2), counts the
+    customers re-identifiable under k<{_KANON_K} (the rows a release
+    would have to generalize or suppress), and tracks the minimum
+    l-diversity of the sensitive attribute (market segment) per size
+    tier — a class can be k-anonymous yet still leak the sensitive value
+    if every member shares it. The privacy-engineering companion to
+    gdpr_delete_propagation (deletion) and dp_noisy_counts (noise):
+    this one measures the released table's intrinsic linkage risk.
+
+    Scale: one map-side-combined groupBy on the quasi-identifier; the
+    histogram and shares run on the class dimension. Exact integers
+    throughout.
+    """
+    q = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").alias(
+            "bal_bucket"
+        ),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cls = q.groupBy("nation", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.countDistinct("sensitive").cast("bigint").alias("l_div"),
+    )
+    tot = cls.agg(F.sum("sz").cast("bigint").alias("n"))
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.floor(F.log2("sz"))).cast("int").alias("size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("sz").cast("bigint").alias("n_customers"),
+            F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_below_k"),
+            F.min("l_div").cast("bigint").alias("min_l_diversity"),
+            F.expr("CAST(sum(sz) * 1000000 div max(n) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("size_bucket")
+    )
