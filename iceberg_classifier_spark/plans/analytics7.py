@@ -656,3 +656,143 @@ def simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: inverse-propensity scoring of a greedy policy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "offline_policy_ips",
+    oracle="""
+    WITH logs AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS ctx, event_type AS act,
+             CAST(round(value * 100) AS BIGINT) AS r
+      FROM events
+    ), cell AS (
+      SELECT ctx, act, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(r) AS BIGINT) AS s
+      FROM logs GROUP BY 1, 2
+    ), nx AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+    pi AS (
+      -- greedy target policy: the empirically-best action per context,
+      -- exact cross-product comparison s_a * c_b > s_b * c_a, ties by act
+      SELECT ctx, act AS pi_act FROM (
+        SELECT ctx, act,
+               row_number() OVER (PARTITION BY ctx
+                                  ORDER BY s * 1000000 // c DESC, act) AS rk
+        FROM cell
+      ) WHERE rk = 1
+    ), contrib AS (
+      SELECT c.ctx, c.act, c.c, c.s, nx.n,
+             CAST(c.s AS DOUBLE) * nx.n / c.c AS ips_part
+      FROM cell c JOIN nx USING (ctx) JOIN pi
+        ON pi.ctx = c.ctx AND pi.pi_act = c.act
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_matched,
+             CAST(sum(s) AS BIGINT) AS matched_reward_cents,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(ips_part ORDER BY ctx)),
+                         (a, v) -> a + v) AS ips_sum
+      FROM contrib
+    ), base AS (
+      SELECT CAST(sum(s) AS BIGINT) AS total_reward_cents,
+             CAST(sum(c) AS BIGINT) AS n_logs
+      FROM cell
+    )
+    SELECT t.n_matched, t.matched_reward_cents,
+           round(t.ips_sum / b.n_logs / 100.0, 6) AS ips_value,
+           round(b.total_reward_cents * 1.0 / b.n_logs / 100.0, 6)
+             AS behavior_value,
+           (t.ips_sum / b.n_logs
+              >= b.total_reward_cents * 1.0 / b.n_logs) AS policy_wins
+    FROM tot t CROSS JOIN base b
+    """,
+)
+def offline_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse-propensity scoring: the logged
+    event stream is treated as (context = hour, action = event type,
+    reward = value in exact cents); the GREEDY target policy picks each
+    context's empirically-best action (exact integer rate comparison),
+    and its value is estimated as IPS = 1/n Σ 1{a=π(x)}·r/p̂(a|x) with
+    the behavior propensity p̂ = c(x,a)/n(x) from the log's own counts —
+    so each (context, action) cell contributes the exact rational
+    s·n/c. The ≤|ctx| cell contributions are float-summed in a SORTED
+    ordered fold (list_reduce / sorted-array aggregate), the repo's
+    standard trick for cross-engine float determinism. This is the
+    counterfactual 'what would the greedy policy have earned' readout —
+    the evaluation layer a recommendation/bandit pipeline needs before
+    shipping a policy.
+
+    Scale: one map-side-combined (context, action) aggregate; policy
+    selection and IPS run on that dimension frame; nothing per-row after
+    the first pass.
+    """
+    logs = load(spark, sf_dir, "events").select(
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("ctx"),
+        F.col("event_type").alias("act"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("r"),
+    )
+    cell = logs.groupBy("ctx", "act").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("r").cast("bigint").alias("s"),
+    )
+    nx = cell.groupBy("ctx").agg(F.sum("c").cast("bigint").alias("n"))
+    pi = (
+        cell.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("ctx").orderBy(
+                    F.expr("s * 1000000 div c").desc(), "act"
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("ctx", F.col("act").alias("pi_act"))
+    )
+    pi2 = pi.select(F.col("ctx").alias("pctx"), "pi_act")
+    contrib = (
+        cell.join(F.broadcast(nx), "ctx")
+        .join(
+            F.broadcast(pi2),
+            (F.col("ctx") == F.col("pctx")) & (F.col("act") == F.col("pi_act")),
+        )
+        .select(
+            F.col("ctx").alias("cctx"),
+            "c",
+            "s",
+            "n",
+            (F.col("s").cast("double") * F.col("n") / F.col("c")).alias(
+                "ips_part"
+            ),
+        )
+    )
+    tot = contrib.agg(
+        F.sum("c").cast("bigint").alias("n_matched"),
+        F.sum("s").cast("bigint").alias("matched_reward_cents"),
+        F.expr(
+            """
+            aggregate(
+              transform(array_sort(collect_list(struct(cctx, ips_part))),
+                        x -> x.ips_part),
+              CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+            """
+        ).alias("ips_sum"),
+    )
+    base = cell.agg(
+        F.sum("s").cast("bigint").alias("total_reward_cents"),
+        F.sum("c").cast("bigint").alias("n_logs"),
+    )
+    return tot.crossJoin(F.broadcast(base)).select(
+        "n_matched",
+        "matched_reward_cents",
+        F.round(F.col("ips_sum") / F.col("n_logs") / 100.0, 6).alias("ips_value"),
+        F.round(
+            F.col("total_reward_cents") * 1.0 / F.col("n_logs") / 100.0, 6
+        ).alias("behavior_value"),
+        (
+            F.col("ips_sum") / F.col("n_logs")
+            >= F.col("total_reward_cents") * 1.0 / F.col("n_logs")
+        ).alias("policy_wins"),
+    )
