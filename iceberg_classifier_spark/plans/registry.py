@@ -115,6 +115,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         curation6,
         analytics7,
         linkage,
+        profiling2,
     )
 
     keys = list(REGISTRY)
