@@ -116,6 +116,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics7,
         linkage,
         profiling2,
+        closedform,
     )
 
     keys = list(REGISTRY)
