@@ -117,6 +117,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         linkage,
         profiling2,
         closedform,
+        curation7,
     )
 
     keys = list(REGISTRY)
