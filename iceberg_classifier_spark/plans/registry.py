@@ -118,6 +118,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         profiling2,
         closedform,
         curation7,
+        advanced4,
     )
 
     keys = list(REGISTRY)
