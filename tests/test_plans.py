@@ -770,3 +770,41 @@ def test_distinct_value_prefix_sums_are_bucket_partitioned(spark, sf_dir):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "ntile" not in analyzed, "pareto: global ntile resurfaced"
+
+
+def test_round4b_schema_discovery_and_closedform_plan_shapes(spark, sf_dir):
+    """This wave's additions keep the scale properties: no cartesian pair
+    generation anywhere (the phonetic fuzzy join is code-blocked, the FK
+    containment join is distinct-keyed semi), no row-at-a-time Python,
+    and the retrieval/HITS top-ks are TakeOrdered limits, not global
+    rank windows over the corpus."""
+    for name in (
+        "fk_inference_audit",
+        "functional_dependency_audit",
+        "boolean_retrieval_and",
+        "ols_normal_equations",
+        "pca2_closed_form",
+        "dsir_importance_weights",
+        "phonetic_blocking_audit",
+        "hits_hub_authority",
+        "binseg_changepoints",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+
+    # top-ks are bounded TakeOrdered merges, never corpus-wide ranks
+    for name in ("boolean_retrieval_and", "hits_hub_authority"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k not TakeOrdered"
+
+    # FK containment must join on distinct keys via left-semi
+    plan = plan_of(spark, sf_dir, "fk_inference_audit")
+    assert "LeftSemi" in plan, "fk_inference_audit: containment not a semi join"
+
+    # phonetic fuzzy candidate join must be equi-keyed on the code block
+    # (the 1-row scalar crossJoins legitimately show as nested-loop)
+    plan = plan_of(spark, sf_dir, "phonetic_blocking_audit")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
+        "phonetic_blocking_audit: pair join not equi-keyed on the code"
+    )
