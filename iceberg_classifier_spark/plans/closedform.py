@@ -199,3 +199,108 @@ def pca2_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats.createOrReplaceTempView("pca2_stats_v")
     return spark.sql(_PCA_SOLVE + " FROM pca2_stats_v ORDER BY label")
+
+
+# Pairwise correlations from exact integer sums; R²_j of each feature on
+# the other two via the 3-variable closed form; VIF_j = 1/(1-R²_j).
+_R = (
+    "((n1 * s{a}{b} - s{a} * s{b})"
+    " / sqrt((n1 * s{a}{a} - s{a} * s{a}) * (n1 * s{b}{b} - s{b} * s{b})))"
+)
+_R12, _R13, _R23 = (
+    _R.format(a=1, b=2),
+    _R.format(a=1, b=3),
+    _R.format(a=2, b=3),
+)
+# R²_1 (x1 on x2,x3) = (r12² + r13² − 2·r12·r13·r23) / (1 − r23²), etc.
+_VIF_R2 = {
+    1: f"(({_R12})*({_R12}) + ({_R13})*({_R13})"
+       f" - 2*({_R12})*({_R13})*({_R23})) / (1 - ({_R23})*({_R23}))",
+    2: f"(({_R12})*({_R12}) + ({_R23})*({_R23})"
+       f" - 2*({_R12})*({_R23})*({_R13})) / (1 - ({_R13})*({_R13}))",
+    3: f"(({_R13})*({_R13}) + ({_R23})*({_R23})"
+       f" - 2*({_R13})*({_R23})*({_R12})) / (1 - ({_R12})*({_R12}))",
+}
+
+_VIF_FEATURES = {1: "l_quantity", 2: "l_extendedprice", 3: "l_discount"}
+
+def _vif_solve(from_rel: str) -> str:
+    """UNION ALL of the three per-feature VIF selects over ``from_rel``
+    — the same text drives Spark (temp view) and DuckDB (CTE)."""
+    return "\nUNION ALL\n".join(
+        f"""
+        SELECT '{_VIF_FEATURES[j]}' AS feature,
+               round({_VIF_R2[j]}, 6) AS r2_on_others,
+               round(1.0 / (1.0 - ({_VIF_R2[j]})), 6) AS vif
+        FROM {from_rel}
+        """
+        for j in (1, 2, 3)
+    )
+
+
+@query(
+    "vif_multicollinearity",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+             CAST(round(l_extendedprice) AS BIGINT) AS x2,
+             CAST(round(l_discount * 100) AS BIGINT) AS x3
+      FROM lineitem
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n1,
+             CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(CAST(sum(x3) AS BIGINT) AS DOUBLE) AS s3,
+             CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+             CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+             CAST(CAST(sum(x1 * x3) AS BIGINT) AS DOUBLE) AS s13,
+             CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+             CAST(CAST(sum(x2 * x3) AS BIGINT) AS DOUBLE) AS s23,
+             CAST(CAST(sum(x3 * x3) AS BIGINT) AS DOUBLE) AS s33
+      FROM q
+    )
+    SELECT * FROM ({_vif_solve("stats")})
+    ORDER BY feature
+    """,
+)
+def vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors for the lineitem feature triple
+    (quantity, extendedprice, discount): pairwise Pearson correlations
+    from one exact-integer sufficient-statistics pass, then the
+    3-variable closed form R²_j = (r_jk² + r_jl² − 2·r_jk·r_jl·r_kl) /
+    (1 − r_kl²) and VIF_j = 1/(1 − R²_j) — the collinearity screen that
+    belongs before any regression fit (ols_normal_equations). On this
+    synthetic data the three columns are generated independently, so
+    the audit correctly reports VIF ≈ 1 for all features — the
+    no-collinearity verdict is itself the checked output (on real
+    TPC-H, extendedprice ≈ qty × unit price would flag).
+    Dollar/percent quantization keeps every Σx·y an exact int64
+    through TPC-H SF100; the correlation and VIF arithmetic is the
+    identical double expression text in both engines.
+
+    Scale: one map-side-combined aggregate builds all 10 sufficient
+    statistics; the solve is a 3-row dimension select. p features cost
+    a p(p+1)/2 stat vector — same single-pass layout as
+    embedding_cov_matrix.
+    """
+    q = load(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("bigint").alias("x1"),
+        F.round("l_extendedprice").cast("bigint").alias("x2"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x3"),
+    )
+    stats = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("x1").cast("bigint").cast("double").alias("s1"),
+        F.sum("x2").cast("bigint").cast("double").alias("s2"),
+        F.sum("x3").cast("bigint").cast("double").alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").cast("double").alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).cast("bigint").cast("double").alias("s13"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").cast("double").alias("s22"),
+        F.sum(F.col("x2") * F.col("x3")).cast("bigint").cast("double").alias("s23"),
+        F.sum(F.col("x3") * F.col("x3")).cast("bigint").cast("double").alias("s33"),
+    )
+    stats.createOrReplaceTempView("vif_stats_v")
+    return spark.sql(
+        f"SELECT * FROM ({_vif_solve('vif_stats_v')}) ORDER BY feature"
+    )

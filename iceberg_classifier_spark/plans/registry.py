@@ -119,6 +119,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         closedform,
         curation7,
         advanced4,
+        vectors3,
     )
 
     keys = list(REGISTRY)
