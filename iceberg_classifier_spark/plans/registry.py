@@ -120,6 +120,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         curation7,
         advanced4,
         vectors3,
+        search2,
     )
 
     keys = list(REGISTRY)
