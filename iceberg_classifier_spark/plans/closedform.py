@@ -304,3 +304,123 @@ def vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT * FROM ({_vif_solve('vif_stats_v')}) ORDER BY feature"
     )
+
+
+# Pairwise correlations with the response, shared text in both engines.
+_R1Y = "((n1 * s1y - sx1 * sy) / sqrt((n1 * s11 - sx1 * sx1) * (n1 * syy - sy * sy)))"
+_R2Y = "((n1 * s2y - sx2 * sy) / sqrt((n1 * s22 - sx2 * sx2) * (n1 * syy - sy * sy)))"
+_R12X = "((n1 * s12 - sx1 * sx2) / sqrt((n1 * s11 - sx1 * sx1) * (n1 * s22 - sx2 * sx2)))"
+_R2_FULL = (
+    f"((({_R1Y})*({_R1Y}) + ({_R2Y})*({_R2Y})"
+    f" - 2*({_R1Y})*({_R2Y})*({_R12X})) / (1 - ({_R12X})*({_R12X})))"
+)
+_SHAP1 = (
+    f"(0.5 * ({_R1Y})*({_R1Y})"
+    f" + 0.5 * ({_R2_FULL} - ({_R2Y})*({_R2Y})))"
+)
+_SHAP2 = (
+    f"(0.5 * ({_R2Y})*({_R2Y})"
+    f" + 0.5 * ({_R2_FULL} - ({_R1Y})*({_R1Y})))"
+)
+
+
+def _shapley_solve(from_rel: str) -> str:
+    return f"""
+    SELECT 'n_lineitems' AS feature,
+           round(({_R1Y})*({_R1Y}), 6) AS r2_alone,
+           round({_R2_FULL} - ({_R2Y})*({_R2Y}), 6) AS r2_marginal,
+           round({_SHAP1}, 6) AS shapley_r2,
+           round({_R2_FULL}, 6) AS r2_full,
+           (abs(({_SHAP1}) + ({_SHAP2}) - {_R2_FULL}) < 1e-12)
+             AS decomposition_exact
+    FROM {from_rel}
+    UNION ALL
+    SELECT 'total_quantity' AS feature,
+           round(({_R2Y})*({_R2Y}), 6) AS r2_alone,
+           round({_R2_FULL} - ({_R1Y})*({_R1Y}), 6) AS r2_marginal,
+           round({_SHAP2}, 6) AS shapley_r2,
+           round({_R2_FULL}, 6) AS r2_full,
+           (abs(({_SHAP1}) + ({_SHAP2}) - {_R2_FULL}) < 1e-12)
+             AS decomposition_exact
+    FROM {from_rel}
+    """
+
+
+_OLS_STATS_SQL = """
+    WITH per_order AS (
+      SELECT l_orderkey AS ok,
+             CAST(count(*) AS BIGINT) AS x1,
+             CAST(round(sum(l_quantity)) AS BIGINT) AS x2
+      FROM lineitem GROUP BY 1
+    ), xy AS (
+      SELECT p.x1, p.x2, CAST(round(o.o_totalprice) AS BIGINT) AS y
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.ok
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n1,
+             CAST(CAST(sum(x1) AS BIGINT) AS DOUBLE) AS sx1,
+             CAST(CAST(sum(x2) AS BIGINT) AS DOUBLE) AS sx2,
+             CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x1 * x1) AS BIGINT) AS DOUBLE) AS s11,
+             CAST(CAST(sum(x1 * x2) AS BIGINT) AS DOUBLE) AS s12,
+             CAST(CAST(sum(x2 * x2) AS BIGINT) AS DOUBLE) AS s22,
+             CAST(CAST(sum(x1 * y) AS BIGINT) AS DOUBLE) AS s1y,
+             CAST(CAST(sum(x2 * y) AS BIGINT) AS DOUBLE) AS s2y,
+             CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM xy
+    )
+"""
+
+
+@query(
+    "shapley_r2_decomposition",
+    oracle=f"""
+    {_OLS_STATS_SQL}
+    SELECT * FROM ({_shapley_solve("stats")}) ORDER BY feature
+    """,
+)
+def shapley_r2_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley decomposition of regression R²: split
+    ols_normal_equations' model fit EXACTLY between its two features by
+    averaging each feature's marginal R² contribution over both entry
+    orders — Shapley value = ½·R²(alone) + ½·(R²(full) − R²(other)).
+    This is the game-theoretic feature-importance attribution (LMG /
+    Shapley regression) analysts use when features correlate and
+    "which feature explains the variance" has no naive answer; the
+    decomposition_exact column asserts the shares sum to the full R²
+    (the Shapley efficiency axiom) inside 1e-12. Same exact-int
+    sufficient statistics as the OLS fit; every R² is a shared double
+    expression tree, so all shares are bit-exact at 6dp.
+
+    Scale: identical to ols_normal_equations — one stats pass, a 2-row
+    dimension solve. p features need 2^p subset R²s (closed-form up to
+    ~10 features from the same p² stat vector); beyond that production
+    uses sampled permutations, the same stats pass feeding each.
+    """
+    per_order = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x1"),
+            F.round(F.sum("l_quantity")).cast("bigint").alias("x2"),
+        )
+    )
+    xy = per_order.join(
+        load(spark, sf_dir, "orders"),
+        per_order.ok == F.col("o_orderkey"),
+    ).select("x1", "x2", F.round("o_totalprice").cast("bigint").alias("y"))
+    stats = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("x1").cast("bigint").cast("double").alias("sx1"),
+        F.sum("x2").cast("bigint").cast("double").alias("sx2"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").cast("double").alias("syy"),
+    )
+    stats.createOrReplaceTempView("shapley_stats_v")
+    return spark.sql(
+        f"SELECT * FROM ({_shapley_solve('shapley_stats_v')}) ORDER BY feature"
+    )

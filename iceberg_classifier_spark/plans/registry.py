@@ -121,6 +121,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         advanced4,
         vectors3,
         search2,
+        layout,
     )
 
     keys = list(REGISTRY)

@@ -404,3 +404,25 @@ def test_early_stopping_head_is_seed_deterministic(spark, sf_dir):
     b = [tuple(r) for r in fn(spark, sf_dir).collect()]
     assert a == b and len(a) >= 3
     assert any(r[3] for r in a), "no is_best step recorded"
+
+
+def test_hilbert_curve_is_valid():
+    """The unrolled SQL xy2d (plans/layout.py) is a true Hilbert curve:
+    indexes over the 16x16 grid are a permutation of 0..255 and
+    consecutive indexes are grid-adjacent (unit Manhattan step)."""
+    import duckdb
+
+    from iceberg_classifier_spark.plans.layout import _hilbert_sql
+
+    sql = (
+        "WITH cells AS (SELECT a.x AS xb, b.y AS yb"
+        " FROM (SELECT unnest(range(16)) AS x) a,"
+        " (SELECT unnest(range(16)) AS y) b),"
+        " h0 AS (SELECT xb, yb, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d"
+        " FROM cells)" + _hilbert_sql() + " SELECT xb, yb, d FROM h4"
+    )
+    df = duckdb.sql(sql).df().sort_values("d", ignore_index=True)
+    assert sorted(df.d) == list(range(256))
+    dx = df.xb.diff().abs().iloc[1:]
+    dy = df.yb.diff().abs().iloc[1:]
+    assert ((dx + dy) == 1).all()
