@@ -137,7 +137,7 @@ _BINSEG_BODY = """
       SELECT rn, day, y,
              CAST(sum(y) OVER (ORDER BY rn) AS BIGINT) AS cs,
              CAST(sum(y * y) OVER (ORDER BY rn) AS BIGINT) AS cq
-      FROM daily
+      FROM binseg_daily
     ), tot AS (
       SELECT CAST(max(rn) AS BIGINT) AS n,
              CAST(max(cs) AS BIGINT) AS s,
@@ -223,7 +223,7 @@ _DAILY_SQL = """
 
 @query(
     "binseg_changepoints",
-    oracle=f"WITH daily AS ({_DAILY_SQL}),\n{_binseg_sql()}",
+    oracle=f"WITH binseg_daily AS ({_DAILY_SQL}),\n{_binseg_sql()}",
 )
 def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-segmentation changepoint detection on the daily revenue
@@ -254,5 +254,5 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
         )
     )
-    daily.createOrReplaceTempView("daily")
+    daily.createOrReplaceTempView("binseg_daily")
     return spark.sql("WITH " + _binseg_sql().lstrip())

@@ -49,14 +49,14 @@ def _hilbert_sql() -> str:
 # idiv: integer-division operator — Spark spells it `div`, DuckDB `//`
 _HILBERT_AUDIT = """
     cells AS (
-      SELECT DISTINCT xb, yb FROM g
+      SELECT DISTINCT xb, yb FROM hilbert_grid
     ), h0 AS (
       SELECT xb, yb, xb AS x, yb AS y, CAST(0 AS BIGINT) AS d FROM cells
     )HILBERT_ROUNDS,
     hd AS (SELECT xb, yb, d AS hval FROM h4),
     j AS (
       SELECT g.xb, g.yb, g.cust_off, g.day_off, g.crange, g.drange, hd.hval
-      FROM g JOIN hd USING (xb, yb)
+      FROM hilbert_grid g JOIN hd USING (xb, yb)
     )
     SELECT CAST(hval IDIV 16 AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
@@ -87,7 +87,7 @@ def _hilbert_audit(idiv: str) -> str:
       SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
              min(od) AS mind, max(od) AS maxd
       FROM o
-    ), g AS (
+    ), hilbert_grid AS (
       SELECT o.o_custkey - r.minc AS cust_off,
              datediff('day', r.mind, o.od) AS day_off,
              (o.o_custkey - r.minc) * {_HGRID}
@@ -141,5 +141,5 @@ def hilbert_curve_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("maxc") - F.col("minc")).alias("crange"),
         F.datediff("maxd", "mind").alias("drange"),
     )
-    g.createOrReplaceTempView("g")
+    g.createOrReplaceTempView("hilbert_grid")
     return spark.sql("WITH " + _hilbert_audit("div").lstrip())
