@@ -122,6 +122,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         vectors3,
         search2,
         layout,
+        analytics8,
     )
 
     keys = list(REGISTRY)
