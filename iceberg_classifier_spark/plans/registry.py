@@ -123,6 +123,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         search2,
         layout,
         analytics8,
+        evalops,
     )
 
     keys = list(REGISTRY)
