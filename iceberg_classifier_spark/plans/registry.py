@@ -124,6 +124,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         layout,
         analytics8,
         evalops,
+        evalops2,
     )
 
     keys = list(REGISTRY)
