@@ -125,6 +125,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics8,
         evalops,
         evalops2,
+        textops4,
     )
 
     keys = list(REGISTRY)
