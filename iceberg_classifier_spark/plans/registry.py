@@ -126,6 +126,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         evalops,
         evalops2,
         textops4,
+        evalops3,
     )
 
     keys = list(REGISTRY)
