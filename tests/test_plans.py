@@ -808,3 +808,49 @@ def test_round4b_schema_discovery_and_closedform_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
         "phonetic_blocking_audit: pair join not equi-keyed on the code"
     )
+
+
+def test_round4c_eval_and_fusion_plan_shapes(spark, sf_dir):
+    """The eval/causal/search wave keeps the scale invariants: no
+    cartesian pair generation (the rank-correlation day-pair join is
+    dimension-sized and deliberately inequality-keyed), no row-Python,
+    and retrieval/compaction top-ks bounded."""
+    for name in (
+        "rrf_hybrid_fusion",
+        "psi_stability_index",
+        "ab_power_analysis",
+        "cdc_log_compaction",
+        "forecast_backtest_rolling",
+        "pr_auc_exact",
+        "difference_in_differences",
+        "lift_gain_deciles",
+        "stylometry_burrows_delta",
+        "aa_test_calibration",
+        "quantile_treatment_effects",
+        "dp_clipped_mean",
+        "jl_projection_distortion",
+        "hilbert_curve_cluster",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        if name not in ("rank_correlation_daily",):
+            assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # RRF prunes postings via broadcast before ranking, top-k bounded
+    plan = plan_of(spark, sf_dir, "rrf_hybrid_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+    # CDC compaction's max-by is key-partitioned, never a global window
+    analyzed = (
+        REGISTRY["cdc_log_compaction"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(user_id" in analyzed
+
+    # QTE cumulative is arm-partitioned over the distinct-value dimension
+    analyzed = (
+        REGISTRY["quantile_treatment_effects"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(treated" in analyzed
