@@ -127,6 +127,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         evalops2,
         textops4,
         evalops3,
+        mlops2,
     )
 
     keys = list(REGISTRY)
