@@ -128,6 +128,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         textops4,
         evalops3,
         mlops2,
+        search3,
     )
 
     keys = list(REGISTRY)
