@@ -129,6 +129,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         evalops3,
         mlops2,
         search3,
+        warehouse5,
     )
 
     keys = list(REGISTRY)
