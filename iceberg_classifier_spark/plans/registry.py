@@ -130,6 +130,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         mlops2,
         search3,
         warehouse5,
+        bizops,
     )
 
     keys = list(REGISTRY)
