@@ -131,6 +131,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         search3,
         warehouse5,
         bizops,
+        governance2,
     )
 
     keys = list(REGISTRY)
