@@ -132,6 +132,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         warehouse5,
         bizops,
         governance2,
+        bizops2,
     )
 
     keys = list(REGISTRY)
