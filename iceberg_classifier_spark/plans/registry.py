@@ -133,6 +133,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         bizops,
         governance2,
         bizops2,
+        analytics9,
     )
 
     keys = list(REGISTRY)
