@@ -134,6 +134,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         governance2,
         bizops2,
         analytics9,
+        bizops3,
     )
 
     keys = list(REGISTRY)
