@@ -135,6 +135,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         bizops2,
         analytics9,
         bizops3,
+        multimodal2,
     )
 
     keys = list(REGISTRY)
