@@ -142,6 +142,16 @@ def _dot_spark(a: str, b: str) -> str:
     )
 
 
+def _dot_spark_hex(ha: str, hb: str) -> str:
+    """Dot product over PRE-COMPUTED md5 hex columns — one md5 per
+    token instead of {dim} per pair side (16× fewer hash calls)."""
+    digit = "(CAST(conv(substr({h}, {k}, 1), 16, 10) AS BIGINT) - 8)"
+    return " + ".join(
+        f"{digit.format(h=ha, k=k)} * {digit.format(h=hb, k=k)}"
+        for k in range(1, _MAXSIM_DIM + 1)
+    )
+
+
 @query(
     "colbert_maxsim_retrieval",
     oracle=f"""
@@ -202,7 +212,10 @@ def colbert_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
     )
-    dtok = toks.distinct()
+    dtok = toks.distinct().select(
+        "doc_id",
+        F.md5(F.col("word").cast("binary")).alias("hd"),
+    )
     terms = (
         toks.groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -213,13 +226,16 @@ def colbert_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("c"), "word")).alias("rk"),
         )
         .where(F.col("rk").isin(*_MAXSIM_RANKS))
-        .select(F.col("word").alias("qw"))
+        .select(
+            F.col("word").alias("qw"),
+            F.md5(F.col("word").cast("binary")).alias("hq"),
+        )
     )
     sims = (
         dtok.crossJoin(F.broadcast(terms))
         .groupBy("doc_id", "qw")
         .agg(
-            F.max(F.expr(_dot_spark("word", "qw"))).cast("bigint").alias("best")
+            F.max(F.expr(_dot_spark_hex("hd", "hq"))).cast("bigint").alias("best")
         )
     )
     scored = sims.groupBy("doc_id").agg(
