@@ -136,6 +136,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics9,
         bizops3,
         multimodal2,
+        analytics10,
     )
 
     keys = list(REGISTRY)
