@@ -854,3 +854,55 @@ def test_round4c_eval_and_fusion_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "windowspecdefinition(treated" in analyzed
+
+
+def test_round4d_domain_waves_plan_shapes(spark, sf_dir):
+    """Lakehouse-internals / bizops / spectral waves keep the scale
+    invariants: no cartesian pair generation (the RANSAC vote join and
+    rank-correlation day-pair join are deliberate dimension-sized
+    products), row-Python only in the Arrow-batched FFT kernel, and
+    every per-key window partitioned."""
+    for name in (
+        "occ_conflict_detection",
+        "cow_vs_mor_write_amplification",
+        "metric_driver_tree",
+        "cohort_ltv_curves",
+        "safety_stock_reorder",
+        "snapshot_expiry_orphans",
+        "column_entropy_ranking",
+        "erlang_c_staffing",
+        "twap_vs_mean_daily",
+        "holt_winters_daily",
+        "second_price_auction_clearing",
+        "revenue_recognition_waterfall",
+        "peak_detection_daily",
+        "bigram_greedy_decode",
+        "colbert_maxsim_retrieval",
+        "latency_percentile_heatmap",
+        "session_bounce_dwell",
+        "capture_recapture_estimate",
+        "join_cardinality_feedback",
+        "ransac_line_fit",
+        "slo_burn_rate_alerts",
+        "successive_halving_replay",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+
+    # FFT runs as ONE Arrow-batched kernel, not row Python
+    plan = plan_of(spark, sf_dir, "multimodal_fft_dominant")
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "BatchEvalPython" not in plan
+
+    # per-key windows stay partitioned (no corpus-wide rank anywhere)
+    for name, marker in (
+        ("second_price_auction_clearing", "windowspecdefinition(slot"),
+        ("cohort_ltv_curves", "windowspecdefinition(cohort_week"),
+        ("latency_percentile_heatmap", "windowspecdefinition(hod"),
+        ("session_bounce_dwell", "windowspecdefinition(user_id"),
+    ):
+        analyzed = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert marker in analyzed, f"{name}: window not key-partitioned"
