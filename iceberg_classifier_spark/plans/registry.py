@@ -137,6 +137,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         bizops3,
         multimodal2,
         analytics10,
+        sysops,
     )
 
     keys = list(REGISTRY)
