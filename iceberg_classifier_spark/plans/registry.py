@@ -138,6 +138,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         multimodal2,
         analytics10,
         sysops,
+        recsys,
     )
 
     keys = list(REGISTRY)
