@@ -139,6 +139,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics10,
         sysops,
         recsys,
+        dqops,
     )
 
     keys = list(REGISTRY)
