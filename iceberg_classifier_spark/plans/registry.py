@@ -140,6 +140,8 @@ def load_all_queries() -> dict[str, QueryDef]:
         sysops,
         recsys,
         dqops,
+        graph2,
+        robustops,
     )
 
     keys = list(REGISTRY)

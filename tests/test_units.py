@@ -426,3 +426,44 @@ def test_hilbert_curve_is_valid():
     dx = df.xb.diff().abs().iloc[1:]
     dy = df.yb.diff().abs().iloc[1:]
     assert ((dx + dy) == 1).all()
+
+
+def test_luhn_fold_matches_reference():
+    """The SQL Luhn digit fold (plans/robustops.py) == the textbook
+    python implementation on a spread of ids."""
+    import duckdb
+
+    def luhn_check_digit(n: int) -> int:
+        digits = [int(d) for d in str(n)][::-1]
+        total = 0
+        for i, d in enumerate(digits):
+            if i % 2 == 0:  # 1st from right gets doubled (payload rule)
+                d2 = d * 2
+                total += d2 - 9 if d2 > 9 else d2
+            else:
+                total += d
+        return (10 - total % 10) % 10
+
+    ids = [0, 1, 9, 10, 79927398712, 123456, 4539148803436467]
+    sql = """
+      SELECT id,
+             (10 - list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, CAST(len(CAST(id AS VARCHAR)) + 1
+                                            AS BIGINT)),
+                 i -> CAST(CASE WHEN i % 2 = 1 THEN
+                     CASE WHEN 2 * CAST(substr(reverse(CAST(id AS VARCHAR)),
+                          CAST(i AS INTEGER), 1) AS BIGINT) > 9
+                       THEN 2 * CAST(substr(reverse(CAST(id AS VARCHAR)),
+                            CAST(i AS INTEGER), 1) AS BIGINT) - 9
+                       ELSE 2 * CAST(substr(reverse(CAST(id AS VARCHAR)),
+                            CAST(i AS INTEGER), 1) AS BIGINT) END
+                   ELSE CAST(substr(reverse(CAST(id AS VARCHAR)),
+                        CAST(i AS INTEGER), 1) AS BIGINT)
+                   END AS BIGINT))),
+               (a, v) -> a + v) % 10) % 10 AS cd
+      FROM (SELECT unnest([0, 1, 9, 10, 79927398712, 123456,
+                          4539148803436467]) AS id)
+    """
+    got = dict(duckdb.execute(sql).fetchall())
+    for n in ids:
+        assert got[n] == luhn_check_digit(n), f"id {n}"
