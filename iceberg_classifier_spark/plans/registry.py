@@ -142,6 +142,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         dqops,
         graph2,
         robustops,
+        dedup2,
     )
 
     keys = list(REGISTRY)
