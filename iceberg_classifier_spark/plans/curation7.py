@@ -30,6 +30,7 @@ _DSIR_SLOT_SQL = (
 
 @query(
     "dsir_importance_weights",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang,

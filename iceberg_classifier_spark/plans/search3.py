@@ -154,6 +154,7 @@ def _dot_spark_hex(ha: str, hb: str) -> str:
 
 @query(
     "colbert_maxsim_retrieval",
+    headline=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
