@@ -143,6 +143,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         graph2,
         robustops,
         dedup2,
+        analytics11,
     )
 
     keys = list(REGISTRY)
