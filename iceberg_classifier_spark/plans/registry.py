@@ -144,6 +144,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         robustops,
         dedup2,
         analytics11,
+        analytics12,
     )
 
     keys = list(REGISTRY)
