@@ -145,6 +145,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         dedup2,
         analytics11,
         analytics12,
+        mlscore,
     )
 
     keys = list(REGISTRY)
