@@ -146,6 +146,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics11,
         analytics12,
         mlscore,
+        textops5,
     )
 
     keys = list(REGISTRY)
