@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from iceberg_classifier_spark.plans.analytics2 import _md5_prefix_sql
 from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load
 
@@ -416,3 +417,144 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("alarm"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Stratified Poisson sampling + Horvitz-Thompson total
+# ---------------------------------------------------------------------------
+
+# Inclusion thresholds per price band, out of 10000: 2% of small orders,
+# 20% of mid orders, take-all of large orders (the classic audit design —
+# sample effort where the money is).
+_HT_BANDS = [(0, 200), (1, 2000), (2, 10000)]
+_HT_BAND_SQL = """CASE WHEN o_totalprice < 50000 THEN 0
+                       WHEN o_totalprice < 150000 THEN 1 ELSE 2 END"""
+_HT_T_SQL = "CASE band WHEN 0 THEN 200 WHEN 1 THEN 2000 ELSE 10000 END"
+
+
+@query(
+    "horvitz_thompson_total",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {_HT_BAND_SQL} AS band,
+             {_md5_prefix_sql("CAST(o_orderkey AS VARCHAR)")} % 10000 AS h
+      FROM orders
+    ), tagged AS (
+      SELECT k, cents, band, {_HT_T_SQL} AS t,
+             CASE WHEN h < {_HT_T_SQL} THEN 1 ELSE 0 END AS sampled
+      FROM base
+    ), bands AS (
+      SELECT band, CAST(max(t) AS BIGINT) AS threshold,
+             CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(sampled) AS BIGINT) AS n_sampled,
+             CAST(sum(cents) AS BIGINT) AS pop_cents,
+             CAST(sum(CASE WHEN sampled = 1 THEN cents ELSE 0 END)
+               AS BIGINT) AS sampled_cents
+      FROM tagged GROUP BY band
+    )
+    SELECT band, threshold, n_pop, n_sampled, pop_cents, sampled_cents,
+           round(sampled_cents * 10000.0 / threshold / 100.0, 2)
+             AS ht_dollars,
+           round(pop_cents / 100.0, 2) AS true_dollars
+    FROM bands
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS band, CAST(0 AS BIGINT) AS threshold,
+           CAST(sum(n_pop) AS BIGINT) AS n_pop,
+           CAST(sum(n_sampled) AS BIGINT) AS n_sampled,
+           CAST(sum(pop_cents) AS BIGINT) AS pop_cents,
+           CAST(sum(sampled_cents) AS BIGINT) AS sampled_cents,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(sampled_cents * 10000.0 / threshold / 100.0
+                    ORDER BY band)), (a, v) -> a + v), 2) AS ht_dollars,
+           round(sum(pop_cents) / 100.0, 2) AS true_dollars
+    FROM bands
+    ORDER BY band
+    """,
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Poisson sampling with a Horvitz-Thompson total: orders
+    are banded by price (small/mid/large), sampled via a deterministic
+    md5 coin at band-specific rates (2% / 20% / take-all — audit
+    effort concentrated where the money is), and the population
+    revenue is estimated as Σ_band sampled_cents · (10000/t_band) —
+    each sampled row weighted by its inverse inclusion probability.
+    Per-band rows expose the design (threshold, counts, exact band
+    totals, band HT vs truth); the -1 row is the full HT estimate
+    against the true total it would replace at scale.
+
+    Determinism: inclusion is the portable md5-prefix coin; band
+    totals are exact int64 cents; the only float arithmetic is one
+    division per band plus a 3-term band-ordered fold for the pooled
+    estimate.
+
+    Scale: banding, the coin, and the inclusion flag are pure map-side
+    expressions; one map-side-combined groupBy(band) carries integer
+    partials. The estimator never materializes the sample — at 100 TB
+    you'd write the sampled rows out with the same predicate and this
+    query is the audit sidecar that certifies the weights.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(_HT_BAND_SQL).alias("band"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT)"
+            )
+            % 10000
+        ).alias("h"),
+    )
+    tagged = base.select(
+        "k",
+        "cents",
+        "band",
+        F.expr(_HT_T_SQL).alias("t"),
+        F.expr(f"CASE WHEN h < {_HT_T_SQL} THEN 1 ELSE 0 END").alias(
+            "sampled"
+        ),
+    )
+    bands = tagged.groupBy("band").agg(
+        F.max("t").cast("bigint").alias("threshold"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+        F.sum("sampled").cast("bigint").alias("n_sampled"),
+        F.sum("cents").cast("bigint").alias("pop_cents"),
+        F.sum(F.when(F.col("sampled") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_cents"),
+    )
+    per_band = bands.select(
+        "band",
+        "threshold",
+        "n_pop",
+        "n_sampled",
+        "pop_cents",
+        "sampled_cents",
+        F.round(
+            F.col("sampled_cents") * 10000.0 / F.col("threshold") / 100.0, 2
+        ).alias("ht_dollars"),
+        F.round(F.col("pop_cents") / 100.0, 2).alias("true_dollars"),
+    )
+    summary = bands.agg(
+        F.lit(-1).cast("bigint").alias("band"),
+        F.lit(0).cast("bigint").alias("threshold"),
+        F.sum("n_pop").cast("bigint").alias("n_pop"),
+        F.sum("n_sampled").cast("bigint").alias("n_sampled"),
+        F.sum("pop_cents").cast("bigint").alias("pop_cents"),
+        F.sum("sampled_cents").cast("bigint").alias("sampled_cents"),
+        F.round(
+            F.expr(
+                """
+                aggregate(transform(array_sort(collect_list(struct(band,
+                    sampled_cents * 10000.0 / threshold / 100.0))),
+                  s -> s.col2), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+                """
+            ),
+            2,
+        ).alias("ht_dollars"),
+        F.round(F.sum("pop_cents") / 100.0, 2).alias("true_dollars"),
+    )
+    return per_band.unionAll(summary).orderBy("band")

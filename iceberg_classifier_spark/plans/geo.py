@@ -347,3 +347,116 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon tagging (integer ray casting)
+# ---------------------------------------------------------------------------
+
+# Two fixed fence polygons in µdeg (x = lon, y = lat): a convex quad and a
+# concave pentagon. Integer vertices ⇒ every crossing test below is exact
+# int64 arithmetic (|num| ≤ 3.6e8 · 3.6e8 ≈ 1.3e17 < 2⁶³).
+_POLYGONS = {
+    0: [(40_000_000, 10_000_000), (50_000_000, 50_000_000),
+        (120_000_000, 45_000_000), (100_000_000, 5_000_000)],
+    1: [(200_000_000, 60_000_000), (210_000_000, 100_000_000),
+        (300_000_000, 110_000_000), (250_000_000, 80_000_000),
+        (310_000_000, 62_000_000)],
+}
+
+
+def _poly_edges():
+    for pid, vs in _POLYGONS.items():
+        for i, (x1, y1) in enumerate(vs):
+            x2, y2 = vs[(i + 1) % len(vs)]
+            yield pid, x1, y1, x2, y2
+
+
+_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT {p} AS pid, CAST({x1} AS BIGINT) AS x1, CAST({y1} AS BIGINT)"
+    f" AS y1, CAST({x2} AS BIGINT) AS x2, CAST({y2} AS BIGINT) AS y2"
+    for p, x1, y1, x2, y2 in _poly_edges()
+)
+
+
+@query(
+    "point_in_polygon_tag",
+    oracle=f"""
+    WITH pts AS ({_PTS_SQL}),
+    edges AS ({_EDGES_SQL}),
+    crossings AS (
+      SELECT e.pid, p.k,
+             CASE WHEN (e.y1 > p.lat) <> (e.y2 > p.lat)
+                   AND (CASE WHEN e.y2 - e.y1 > 0
+                        THEN (e.x1 - p.lon) * (e.y2 - e.y1)
+                             + (p.lat - e.y1) * (e.x2 - e.x1) > 0
+                        ELSE (e.x1 - p.lon) * (e.y2 - e.y1)
+                             + (p.lat - e.y1) * (e.x2 - e.x1) < 0 END)
+                  THEN 1 ELSE 0 END AS c
+      FROM pts p CROSS JOIN edges e
+    ), tagged AS (
+      SELECT pid, k, CAST(sum(c) % 2 AS BIGINT) AS inside
+      FROM crossings GROUP BY pid, k
+    )
+    SELECT pid AS polygon_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(inside) AS BIGINT) AS n_inside,
+           CAST(sum(inside) * 1000000 // count(*) AS BIGINT) AS inside_ppm,
+           CAST(sum(CASE WHEN inside = 1 THEN k ELSE 0 END) AS BIGINT)
+             AS key_checksum
+    FROM tagged GROUP BY pid ORDER BY pid
+    """,
+)
+def point_in_polygon_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence tagging by even-odd ray casting, all in exact integer
+    arithmetic: for each synthetic µdeg point and each fixed fence
+    polygon (one convex, one concave), count edges whose segment
+    crosses the +x ray — an edge (x₁,y₁)→(x₂,y₂) crosses iff the
+    y-interval straddles the point's y AND the signed numerator
+    (x₁−pₓ)(y₂−y₁) + (p_y−y₁)(x₂−x₁) has the sign of (y₂−y₁); odd
+    crossing count = inside. No division, no floats — the test is
+    bit-exact on both engines by construction (the standard robustness
+    trick in computational geometry: compare cross products, never
+    intersection coordinates).
+
+    Scale: the polygon edge set is a tiny broadcast dimension; each
+    point evaluates its crossings map-side (points × edges stays
+    inside one stage, combined per point with map-side partial
+    aggregation). For thousands of fences, block by bounding-box grid
+    cell first (the `geo_radius_pairs` equi-join pattern) so each
+    point only tests fences whose bbox cell it shares.
+    """
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_custkey") * 48271 % 120000000).alias("lat"),
+        (F.col("c_custkey") * 69621 % 360000000).alias("lon"),
+    )
+    edges = spark.createDataFrame(
+        list(_poly_edges()), "pid int, x1 long, y1 long, x2 long, y2 long"
+    )
+    num = (F.col("x1") - F.col("lon")) * (F.col("y2") - F.col("y1")) + (
+        F.col("lat") - F.col("y1")
+    ) * (F.col("x2") - F.col("x1"))
+    crossing = (
+        ((F.col("y1") > F.col("lat")) != (F.col("y2") > F.col("lat")))
+        & F.when(F.col("y2") - F.col("y1") > 0, num > 0).otherwise(num < 0)
+    ).cast("bigint")
+    tagged = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("pid", "k")
+        .agg((F.sum(crossing) % 2).cast("bigint").alias("inside"))
+    )
+    return (
+        tagged.groupBy(F.col("pid").alias("polygon_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum("inside").cast("bigint").alias("n_inside"),
+            F.expr(
+                "CAST(sum(inside) * 1000000 div count(1) AS BIGINT)"
+            ).alias("inside_ppm"),
+            F.sum(F.when(F.col("inside") == 1, F.col("k")).otherwise(0))
+            .cast("bigint")
+            .alias("key_checksum"),
+        )
+        .orderBy("polygon_id")
+    )

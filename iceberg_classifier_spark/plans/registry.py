@@ -147,6 +147,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics12,
         mlscore,
         textops5,
+        linkage2,
     )
 
     keys = list(REGISTRY)
