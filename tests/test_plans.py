@@ -906,3 +906,56 @@ def test_round4d_domain_waves_plan_shapes(spark, sf_dir):
             ._jdf.queryExecution().analyzed().toString()
         )
         assert marker in analyzed, f"{name}: window not key-partitioned"
+
+
+def test_round4e_stats_linkage_waves_plan_shapes(spark, sf_dir):
+    """Survival/scoring/text/linkage waves keep the scale invariants:
+    no row-Python UDFs (winnowing/MAP@k run as Arrow-batched
+    mapInPandas), no cartesian pair generation (the SNM pair source is
+    lead() windows, SymSpell candidates come from a broadcast
+    delete-index equi-join), and per-key windows stay partitioned."""
+    for name in (
+        "nelson_aalen_hazard",
+        "logrank_ship_delay",
+        "wilson_ci_ranking",
+        "page_hinkley_drift",
+        "woe_iv_binning",
+        "decision_stump_split",
+        "readability_scores",
+        "naive_bayes_lang",
+        "sorted_neighborhood_blocking",
+        "symspell_correction",
+        "horvitz_thompson_total",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # winnowing + MAP@k: custom kernels are Arrow-batched, never row Python
+    for name in ("winnowing_fingerprints", "map_at_k_eval"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), name
+        assert "BatchEvalPython" not in plan, name
+
+    # top-k leaderboards are TakeOrdered, not a global sort
+    for name in ("wilson_ci_ranking",):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+    # SymSpell's dictionary and the polygon edge set ride as broadcasts
+    for name in ("symspell_correction", "point_in_polygon_tag"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+    # per-key windows partitioned: SNM sorts within blocks, SymSpell
+    # ranks within (doc, pos), naive Bayes argmaxes within doc
+    for name, marker in (
+        ("sorted_neighborhood_blocking", "windowspecdefinition(blk"),
+        ("symspell_correction", "windowspecdefinition(doc_id"),
+        ("naive_bayes_lang", "windowspecdefinition(doc_id"),
+    ):
+        analyzed = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert marker in analyzed, f"{name}: window not key-partitioned"
