@@ -148,6 +148,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         mlscore,
         textops5,
         linkage2,
+        analytics13,
     )
 
     keys = list(REGISTRY)
