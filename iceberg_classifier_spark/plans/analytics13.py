@@ -417,3 +417,194 @@ def jackknife_cluster_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_jack / 10000.0, 6).alias("var_jack"),
         F.round(F.sqrt(var_jack) / 100.0, 6).alias("se_jack"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decoding of a 2-state activity regime HMM
+# ---------------------------------------------------------------------------
+
+_V_LSTAY = "ln(0.9)"
+_V_LSW = "ln(0.1)"
+# flat DOUBLE[] Viterbi state: [lp0, lp1] || path0 || path1 — DuckDB 1.0's
+# list_reduce drops LIST fields inside a STRUCT accumulator (scalar fields
+# fold fine), so the state is one flat double list on both engines.
+
+
+@query(
+    "viterbi_regime_decode",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), stats AS (
+      SELECT CAST(sum(x) AS BIGINT) * 1.0 / count(*) AS m,
+             greatest(1.0, sqrt((CAST(sum(x * x) AS BIGINT)
+               - CAST(sum(x) AS BIGINT) * 1.0 * sum(x) / count(*))
+               * 1.0 / count(*))) AS sig
+      FROM daily
+    ), seq AS (
+      SELECT list(struct_pack(day := day, x := x) ORDER BY day) AS days,
+             max(m) AS m, max(sig) AS sig
+      FROM daily CROSS JOIN stats
+    ), folded AS (
+      SELECT days, m, sig,
+        list_reduce(
+          list_prepend(CAST([] AS DOUBLE[]),
+            list_transform(days, s -> [CAST(s.x AS DOUBLE)])),
+          (a, v) -> CASE WHEN len(a) = 0 THEN [
+              ln(0.5) - (v[1] - 0.8 * m) * (v[1] - 0.8 * m)
+                        / (2 * sig * sig),
+              ln(0.5) - (v[1] - 1.2 * m) * (v[1] - 1.2 * m)
+                        / (2 * sig * sig),
+              CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)]
+            ELSE
+              list_concat(list_concat(list_concat(list_concat(
+                [CASE WHEN a[1] + {_V_LSTAY} >= a[2] + {_V_LSW}
+                      THEN a[1] + {_V_LSTAY} ELSE a[2] + {_V_LSW} END
+                 - (v[1] - 0.8 * m) * (v[1] - 0.8 * m) / (2 * sig * sig),
+                 CASE WHEN a[1] + {_V_LSW} >= a[2] + {_V_LSTAY}
+                      THEN a[1] + {_V_LSW} ELSE a[2] + {_V_LSTAY} END
+                 - (v[1] - 1.2 * m) * (v[1] - 1.2 * m) / (2 * sig * sig)],
+                CASE WHEN a[1] + {_V_LSTAY} >= a[2] + {_V_LSW}
+                  THEN list_slice(a, 3, 2 + (len(a) - 2) // 2)
+                  ELSE list_slice(a, 3 + (len(a) - 2) // 2, len(a)) END),
+                [CAST(0 AS DOUBLE)]),
+                CASE WHEN a[1] + {_V_LSW} >= a[2] + {_V_LSTAY}
+                  THEN list_slice(a, 3, 2 + (len(a) - 2) // 2)
+                  ELSE list_slice(a, 3 + (len(a) - 2) // 2, len(a)) END),
+                [CAST(1 AS DOUBLE)])
+          END) AS st
+      FROM seq
+    ), path AS (
+      SELECT days, m,
+             CASE WHEN st[1] >= st[2]
+                  THEN list_slice(st, 3, 2 + (len(st) - 2) // 2)
+                  ELSE list_slice(st, 3 + (len(st) - 2) // 2, len(st)) END
+               AS p,
+             round(greatest(st[1], st[2]), 4) AS best_logprob
+      FROM folded
+    )
+    SELECT u.s.day AS day, u.s.x AS daily_count,
+           CAST(u.s.st AS BIGINT) AS regime,
+           round(CASE WHEN u.s.st = 0 THEN 0.8 * m ELSE 1.2 * m END, 4)
+             AS regime_mean,
+           best_logprob
+    FROM path, unnest(list_transform(range(1, len(days) + 1),
+      i -> struct_pack(day := days[CAST(i AS INTEGER)].day,
+                       x := days[CAST(i AS INTEGER)].x,
+                       st := p[CAST(i AS INTEGER)]))) AS u(s)
+    ORDER BY day
+    """,
+)
+def viterbi_regime_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Viterbi decoding of a 2-state Gaussian-emission HMM over the
+    daily event-count series: low regime μ₀ = 0.8·mean, high regime
+    μ₁ = 1.2·mean (σ from the series' own exact moments), sticky
+    transitions (stay 0.9 / switch 0.1) — the max-product dynamic
+    program that labels each day with its most-likely latent regime,
+    the workhorse behind regime segmentation and state-conditioned
+    monitoring. The fold carries [lp₀, lp₁] AND both survivor paths
+    (Viterbi's backpointer trellis collapsed to the two live paths a
+    2-state chain needs), encoded as one flat DOUBLE[] because DuckDB's
+    list_reduce mis-folds LIST fields inside STRUCT accumulators.
+
+    Determinism: the series is day-keyed (≤366 elements); emissions,
+    transitions, and argmax comparisons are identical double
+    expressions folded in day order on both engines (ties prefer the
+    from-state-0 / stay branch via >=).
+
+    Scale: the fact table collapses to per-day counts map-side; the
+    dynamic program runs once over the bounded day dimension (partition
+    by series/metric for fleets of chains — each fold is independent).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    seq = daily.agg(
+        F.expr("array_sort(collect_list(struct(day, x)))").alias("days"),
+        (F.sum("x").cast("bigint") * 1.0 / F.count(F.lit(1))).alias("m"),
+        F.greatest(
+            F.lit(1.0),
+            F.sqrt(
+                (
+                    F.sum(F.col("x") * F.col("x")).cast("bigint")
+                    - F.sum("x").cast("bigint")
+                    * 1.0
+                    * F.sum("x")
+                    / F.count(F.lit(1))
+                )
+                * 1.0
+                / F.count(F.lit(1))
+            ),
+        ).alias("sig"),
+    )
+    lstay, lsw = "ln(0.9)", "ln(0.1)"
+    folded = seq.select(
+        "days",
+        "m",
+        F.expr(
+            f"""
+            aggregate(transform(days, s -> CAST(s.x AS DOUBLE)),
+              CAST(array() AS ARRAY<DOUBLE>),
+              (a, v) -> CASE WHEN size(a) = 0 THEN array(
+                  ln(0.5) - (v - 0.8 * m) * (v - 0.8 * m)
+                            / (2 * sig * sig),
+                  ln(0.5) - (v - 1.2 * m) * (v - 1.2 * m)
+                            / (2 * sig * sig),
+                  CAST(0 AS DOUBLE), CAST(1 AS DOUBLE))
+                ELSE
+                  concat(
+                    array(
+                      CASE WHEN a[0] + {lstay} >= a[1] + {lsw}
+                           THEN a[0] + {lstay} ELSE a[1] + {lsw} END
+                      - (v - 0.8 * m) * (v - 0.8 * m) / (2 * sig * sig),
+                      CASE WHEN a[0] + {lsw} >= a[1] + {lstay}
+                           THEN a[0] + {lsw} ELSE a[1] + {lstay} END
+                      - (v - 1.2 * m) * (v - 1.2 * m) / (2 * sig * sig)),
+                    CASE WHEN a[0] + {lstay} >= a[1] + {lsw}
+                      THEN slice(a, 3, (size(a) - 2) div 2)
+                      ELSE slice(a, 3 + (size(a) - 2) div 2,
+                                 (size(a) - 2) div 2) END,
+                    array(CAST(0 AS DOUBLE)),
+                    CASE WHEN a[0] + {lsw} >= a[1] + {lstay}
+                      THEN slice(a, 3, (size(a) - 2) div 2)
+                      ELSE slice(a, 3 + (size(a) - 2) div 2,
+                                 (size(a) - 2) div 2) END,
+                    array(CAST(1 AS DOUBLE)))
+              END)
+            """
+        ).alias("st"),
+    )
+    path = folded.select(
+        "days",
+        "m",
+        F.expr(
+            """
+            CASE WHEN st[0] >= st[1]
+                 THEN slice(st, 3, (size(st) - 2) div 2)
+                 ELSE slice(st, 3 + (size(st) - 2) div 2,
+                            (size(st) - 2) div 2) END
+            """
+        ).alias("p"),
+        F.round(F.greatest(F.expr("st[0]"), F.expr("st[1]")), 4).alias(
+            "best_logprob"
+        ),
+    )
+    rows = path.select(
+        "m",
+        "best_logprob",
+        F.posexplode(F.expr("arrays_zip(days, p)")).alias("i", "z"),
+    )
+    return rows.select(
+        F.col("z.days.day").alias("day"),
+        F.col("z.days.x").alias("daily_count"),
+        F.col("z.p").cast("bigint").alias("regime"),
+        F.round(
+            F.when(F.col("z.p") == 0, 0.8 * F.col("m")).otherwise(
+                1.2 * F.col("m")
+            ),
+            4,
+        ).alias("regime_mean"),
+        "best_logprob",
+    ).orderBy("day")
