@@ -149,6 +149,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         textops5,
         linkage2,
         analytics13,
+        search4,
     )
 
     keys = list(REGISTRY)
