@@ -150,6 +150,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         linkage2,
         analytics13,
         search4,
+        analytics14,
     )
 
     keys = list(REGISTRY)
