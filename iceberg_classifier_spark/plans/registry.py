@@ -151,6 +151,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics13,
         search4,
         analytics14,
+        evalops4,
     )
 
     keys = list(REGISTRY)
