@@ -959,3 +959,49 @@ def test_round4e_stats_linkage_waves_plan_shapes(spark, sf_dir):
             ._jdf.queryExecution().analyzed().toString()
         )
         assert marker in analyzed, f"{name}: window not key-partitioned"
+
+
+def test_round4f_stats_retrieval_waves_plan_shapes(spark, sf_dir):
+    """Waves 13/14 + search4/evalops4 keep the scale invariants: the
+    only Python is Arrow-batched (MMR pool/greedy), pair and
+    checkpoint expansions ride broadcast joins (never CartesianProduct
+    of two fact sides), sequential estimators are single bounded folds,
+    and per-key windows stay partitioned."""
+    for name in (
+        "kruskal_wallis_priority",
+        "ipw_ate_cells",
+        "jackknife_cluster_ratio",
+        "viterbi_regime_decode",
+        "friedman_test",
+        "gumbel_return_levels",
+        "rmst_shipping",
+        "cmh_stratified_test",
+        "mcnemar_paired_test",
+        "cohen_kappa_agreement",
+        "kalman_filter_1d",
+        "heaps_law_fit",
+        "silhouette_labels",
+        "brier_decomposition",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # MMR: pool via mapInPandas GEMM, greedy via grouped applyInPandas —
+    # both Arrow-batched, partitioned by query
+    plan = plan_of(spark, sf_dir, "mmr_rerank")
+    assert "MapInPandas" in plan, "mmr pool not Arrow-batched"
+    assert "FlatMapGroupsInPandas" in plan, "mmr greedy not grouped-Arrow"
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    # per-key windows partitioned
+    for name, marker in (
+        ("friedman_test", "windowspecdefinition(blk"),
+        ("mmr_rerank", "windowspecdefinition(query_id"),
+    ):
+        analyzed = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert marker in analyzed, f"{name}: window not key-partitioned"
