@@ -152,6 +152,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         search4,
         analytics14,
         evalops4,
+        bizops4,
     )
 
     keys = list(REGISTRY)
