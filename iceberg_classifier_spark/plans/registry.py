@@ -153,6 +153,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics14,
         evalops4,
         bizops4,
+        attribution,
     )
 
     keys = list(REGISTRY)
