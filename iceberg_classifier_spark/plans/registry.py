@@ -154,6 +154,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         evalops4,
         bizops4,
         attribution,
+        analytics15,
     )
 
     keys = list(REGISTRY)
