@@ -155,6 +155,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         bizops4,
         attribution,
         analytics15,
+        curation8,
     )
 
     keys = list(REGISTRY)
