@@ -156,6 +156,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         attribution,
         analytics15,
         curation8,
+        linkage3,
     )
 
     keys = list(REGISTRY)
