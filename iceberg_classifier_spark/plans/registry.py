@@ -157,6 +157,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics15,
         curation8,
         linkage3,
+        analytics16,
     )
 
     keys = list(REGISTRY)
