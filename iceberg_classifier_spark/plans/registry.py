@@ -158,6 +158,8 @@ def load_all_queries() -> dict[str, QueryDef]:
         curation8,
         linkage3,
         analytics16,
+        search5,
+        analytics17,
     )
 
     keys = list(REGISTRY)
