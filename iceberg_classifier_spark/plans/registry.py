@@ -160,6 +160,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics16,
         search5,
         analytics17,
+        analytics18,
     )
 
     keys = list(REGISTRY)
