@@ -473,7 +473,7 @@ def lsh_s_curve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 - F.pow(F.col("s"), F.col("rows_per_band")), F.col("bands")
     )
     return (
-        cfg.crossJoin(grid)
+        cfg.crossJoin(F.broadcast(grid))
         .select(
             "bands",
             "rows_per_band",

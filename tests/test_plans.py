@@ -1005,3 +1005,53 @@ def test_round4f_stats_retrieval_waves_plan_shapes(spark, sf_dir):
             ._jdf.queryExecution().analyzed().toString()
         )
         assert marker in analyzed, f"{name}: window not key-partitioned"
+
+
+def test_round4g_domain_waves_plan_shapes(spark, sf_dir):
+    """Bizops4/attribution/analytics15-18/curation8/linkage3/search5
+    keep the scale invariants: no row-Python anywhere, pair and grid
+    expansions are broadcast- or key-joined (never a fact×fact
+    cartesian), sequential estimators are bounded folds, and top-k
+    selections are TakeOrdered."""
+    for name in (
+        "croston_intermittent",
+        "abc_xyz_classification",
+        "price_elasticity_loglog",
+        "markov_removal_attribution",
+        "anova_oneway_priority",
+        "brown_forsythe_test",
+        "acceptance_sampling_oc",
+        "confident_learning_noise",
+        "active_learning_batch",
+        "qgram_edit_join",
+        "ucb_bandit_replay",
+        "fixed_effects_within",
+        "competing_risks_cif",
+        "hierarchical_forecast_reconciliation",
+        "lsh_s_curve_planner",
+        "dirichlet_ql_search",
+        "mediation_product_coeffs",
+        "bass_diffusion_fit",
+        "weibull_rank_regression",
+        "runs_test_daily",
+        "ljung_box_test",
+        "graph_modularity_score",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # QL retrieval: top-k are TakeOrdereds, never a corpus-wide rank
+    plan = plan_of(spark, sf_dir, "dirichlet_ql_search")
+    assert "TakeOrderedAndProject" in plan
+    # active learning: all three acquisitions are TakeOrdered
+    plan = plan_of(spark, sf_dir, "active_learning_batch")
+    assert "TakeOrderedAndProject" in plan
+
+    # journey windows are user-partitioned; q-gram pairs ride the gram
+    # equi-join
+    analyzed = (
+        REGISTRY["markov_removal_attribution"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(user_id" in analyzed
