@@ -161,6 +161,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         search5,
         analytics17,
         analytics18,
+        textops6,
     )
 
     keys = list(REGISTRY)
