@@ -162,6 +162,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics17,
         analytics18,
         textops6,
+        analytics19,
     )
 
     keys = list(REGISTRY)
