@@ -163,6 +163,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics18,
         textops6,
         analytics19,
+        analytics20,
     )
 
     keys = list(REGISTRY)
