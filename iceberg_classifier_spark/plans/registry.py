@@ -164,6 +164,8 @@ def load_all_queries() -> dict[str, QueryDef]:
         textops6,
         analytics19,
         analytics20,
+        multimodal3,
+        evalops5,
     )
 
     keys = list(REGISTRY)
