@@ -1055,3 +1055,33 @@ def test_round4g_domain_waves_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "windowspecdefinition(user_id" in analyzed
+
+
+def test_round4h_multimodal_eval_waves_plan_shapes(spark, sf_dir):
+    """Waves 19/20 + multimodal3/evalops5/textops6: Python only as
+    Arrow-batched kernels, blocked pair generation, bounded folds."""
+    for name in (
+        "chain_ladder_development",
+        "xbar_r_control_chart",
+        "markov_stationary_entropy_rate",
+        "pacf_durbin_levinson",
+        "duplicate_payment_detection",
+        "price_ending_bias",
+        "integral_image_boxsum",
+        "bradley_terry_strengths",
+        "bpe_apply_encode",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # audio + leakage kernels are Arrow-batched mapInPandas
+    for name in ("multimodal_audio_zcr_silence", "embedding_leakage_scan"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+    # dup-payment candidates come from the (cust, cents) equi-join and
+    # the top-k is TakeOrdered
+    plan = plan_of(spark, sf_dir, "duplicate_payment_detection")
+    assert "TakeOrderedAndProject" in plan
