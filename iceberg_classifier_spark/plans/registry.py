@@ -166,6 +166,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics20,
         multimodal3,
         evalops5,
+        mlscore2,
     )
 
     keys = list(REGISTRY)
