@@ -167,6 +167,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         multimodal3,
         evalops5,
         mlscore2,
+        analytics21,
     )
 
     keys = list(REGISTRY)
