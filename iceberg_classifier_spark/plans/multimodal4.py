@@ -1,0 +1,269 @@
+"""Multimodal wave 4: banded perceptual-hash near-dup detection and a
+histogram-equalization audit.
+
+The aHash near-dup join is the image counterpart of `dedup_simhash`:
+split the 62-bit perceptual hash into 4 bands, candidates = pairs
+sharing any band (pigeonhole: hamming ≤ 6 guarantees ≥1 clean band of
+15/16 bits... with 4 bands any pair within hamming 3·band-misses must
+collide somewhere), verify with popcount — candidate volume scales
+with collisions, never |images|². Histogram equalization is the
+classic contrast transform; its audit form (how much does the CDF
+remap spread the histogram) is exact integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_AH_PIX = 62  # 62-bit hash (positive int64), as multimodal_image_ahash
+_AH_BAND = 4  # bands of ~16 bits
+_AH_HAM = 6  # near-dup verify threshold
+
+
+def _ahash_cols() -> str:
+    bit = (
+        f"CASE WHEN ascii(substring(px, i, 1)) * {_AH_PIX} > tot"
+        " THEN {v} ELSE 0 END"
+    )
+    return (
+        f"CAST(aggregate(transform(sequence(1, {_AH_PIX}),"
+        f" i -> {bit.format(v='shiftleft(CAST(1 AS BIGINT), i - 1)')}),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+    )
+
+
+@query(
+    "image_ahash_neardup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, substr(text, 1, {_AH_PIX}) AS px
+      FROM documents WHERE length(text) >= {_AH_PIX}
+    ), tot AS (
+      SELECT doc_id, px,
+             list_sum(list_transform(generate_series(1, {_AH_PIX}),
+               i -> ord(substr(px, CAST(i AS INTEGER), 1)))) AS tot
+      FROM m
+    ), h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(1, {_AH_PIX}),
+               i -> CASE WHEN ord(substr(px, CAST(i AS INTEGER), 1))
+                              * {_AH_PIX} > tot
+                    THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+               AS BIGINT) AS ah
+      FROM tot
+    ), bands AS (
+      SELECT doc_id, ah, g.b,
+             (ah >> (g.b * 16)) & 65535 AS band_key
+      FROM h, (SELECT unnest(range(0, {_AH_BAND})) AS b) g
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.ah AS ha,
+             b.ah AS hb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT da, db, bit_count(CAST(xor(ha, hb) AS BIGINT)) AS ham
+      FROM cand
+    )
+    SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_images,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN ham <= {_AH_HAM} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neardup,
+           CAST(coalesce(min(ham), -1) AS BIGINT) AS min_hamming,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                ELSE sum(ham) // count(*) END AS BIGINT) AS mean_hamming
+    FROM verified
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection over the binary image
+    column: 62-bit aHash per image (`multimodal_image_ahash`'s
+    brighter-than-mean construction), hashes split into four 16-bit
+    bands, candidate pairs ONLY from same-band equality (the simhash
+    banding trick ported to images), then exact hamming popcount with
+    the ≤6 near-dup verdict — the image-dedup shape every vision
+    corpus runs before training (text twin: `dedup_simhash`).
+
+    Determinism: hashes are exact integer bit arithmetic; candidates
+    and hamming distances are exact; summary is integer counts.
+
+    Scale: band posting lists make candidate volume proportional to
+    band collisions (df-cap hot bands as in the text dedups); popcount
+    verification touches only candidates. Nothing all-pairs.
+    """
+    m = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= _AH_PIX)
+        .select("doc_id", F.substring("text", 1, _AH_PIX).alias("px"))
+    )
+    tot = F.expr(
+        f"aggregate(transform(sequence(1, {_AH_PIX}),"
+        " i -> ascii(substring(px, i, 1))), 0, (a, x) -> a + x)"
+    )
+    h = m.withColumn("tot", tot).select(
+        "doc_id", F.expr(_ahash_cols()).alias("ah")
+    )
+    bands_dim = spark.range(0, _AH_BAND).select(
+        F.col("id").cast("int").alias("b")
+    )
+    bands = h.crossJoin(F.broadcast(bands_dim)).select(
+        "doc_id",
+        "ah",
+        "b",
+        F.expr("(ah >> (b * 16)) & 65535").alias("band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.ah").alias("ha"),
+            F.col("b.ah").alias("hb"),
+        )
+        .distinct()
+    )
+    verified = cand.select(
+        F.expr("bit_count(ha ^ hb)").cast("bigint").alias("ham")
+    )
+    n_images = h.count()
+    return verified.agg(
+        F.lit(n_images).cast("bigint").alias("n_images"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("ham") <= _AH_HAM, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_neardup"),
+        F.coalesce(F.min("ham"), F.lit(-1)).cast("bigint").alias(
+            "min_hamming"
+        ),
+        F.expr(
+            "CAST(CASE WHEN count(1) = 0 THEN 0"
+            " ELSE sum(ham) div count(1) END AS BIGINT)"
+        ).alias("mean_hamming"),
+    )
+
+
+_HE_PIX = 64  # first 64 bytes as the grayscale tile
+
+
+@query(
+    "histogram_equalization_audit",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, substr(text, 1, {_HE_PIX}) AS px
+      FROM documents WHERE length(text) >= {_HE_PIX}
+    ), vals AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, {_HE_PIX}),
+               i -> ord(substr(px, CAST(i AS INTEGER), 1)) // 8) AS v
+      FROM m
+    ), stats AS (
+      SELECT doc_id, v,
+             list_sum(list_transform(range(0, 32), lvl ->
+               CASE WHEN len(list_filter(v, x -> x = lvl)) > 0
+               THEN 1 ELSE 0 END)) AS levels_used,
+             list_max(v) - list_min(v) AS dynamic_range
+      FROM vals
+    ), eq AS (
+      SELECT doc_id, levels_used, dynamic_range,
+             list_transform(s.v, x ->
+               (len(list_filter(s.v, y -> y <= x)) * 31) // {_HE_PIX})
+               AS veq
+      FROM stats s
+    )
+    SELECT doc_id,
+           CAST(levels_used AS BIGINT) AS levels_used,
+           CAST(dynamic_range AS BIGINT) AS dynamic_range,
+           CAST(list_max(veq) - list_min(veq) AS BIGINT)
+             AS equalized_range,
+           CAST(list_sum(list_transform(range(0, 32), lvl ->
+             CASE WHEN len(list_filter(veq, x -> x = lvl)) > 0
+             THEN 1 ELSE 0 END)) AS BIGINT) AS equalized_levels
+    FROM eq ORDER BY doc_id LIMIT 25
+    """,
+)
+def histogram_equalization_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram-equalization audit over 64-byte grayscale tiles
+    (5-bit levels): per image, the levels in use and dynamic range
+    BEFORE, and the range/levels AFTER the classic CDF remap
+    v' = ⌊cdf(v)·31⌋ — equalization's contract is stretching the
+    range toward full scale while never inventing levels, and both
+    properties are checked here with exact integer arithmetic (the
+    audit that decides whether a contrast-normalization stage is
+    worth adding to an image-ingest pipeline).
+
+    Determinism: quantized levels, CDF counts, and remapped values
+    are all exact integers.
+
+    Scale: per-image array HOFs, map-side (32-level histograms keep
+    the per-pixel CDF lookup O(levels)); the LIMIT bounds the output
+    frame, not the computation shape — at corpus scale the same audit
+    aggregates per source instead of per image.
+    """
+    m = (
+        load(spark, sf_dir, "documents")
+        .where(F.length("text") >= _HE_PIX)
+        .select("doc_id", F.substring("text", 1, _HE_PIX).alias("px"))
+    )
+    vals = m.select(
+        "doc_id",
+        F.expr(
+            f"""
+            transform(sequence(1, {_HE_PIX}),
+              i -> ascii(substring(px, i, 1)) div 8)
+            """
+        ).alias("v"),
+    )
+    stats = vals.select(
+        "doc_id",
+        "v",
+        F.expr(
+            """
+            aggregate(sequence(0, 31), 0, (a, lvl) ->
+              a + IF(size(filter(v, x -> x = lvl)) > 0, 1, 0))
+            """
+        ).alias("levels_used"),
+        F.expr("array_max(v) - array_min(v)").alias("dynamic_range"),
+    )
+    eq = stats.select(
+        "doc_id",
+        "levels_used",
+        "dynamic_range",
+        F.expr(
+            f"""
+            transform(v, x ->
+              (size(filter(v, y -> y <= x)) * 31) div {_HE_PIX})
+            """
+        ).alias("veq"),
+    )
+    return (
+        eq.select(
+            "doc_id",
+            F.col("levels_used").cast("bigint").alias("levels_used"),
+            F.col("dynamic_range").cast("bigint").alias("dynamic_range"),
+            F.expr("CAST(array_max(veq) - array_min(veq) AS BIGINT)").alias(
+                "equalized_range"
+            ),
+            F.expr(
+                """
+                CAST(aggregate(sequence(0, 31), 0, (a, lvl) ->
+                  a + IF(size(filter(veq, x -> x = lvl)) > 0, 1, 0))
+                  AS BIGINT)
+                """
+            ).alias("equalized_levels"),
+        )
+        .orderBy("doc_id")
+        .limit(25)
+    )

@@ -168,6 +168,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         evalops5,
         mlscore2,
         analytics21,
+        multimodal4,
     )
 
     keys = list(REGISTRY)
