@@ -169,6 +169,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         mlscore2,
         analytics21,
         multimodal4,
+        expops,
     )
 
     keys = list(REGISTRY)
