@@ -170,6 +170,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics21,
         multimodal4,
         expops,
+        analytics22,
     )
 
     keys = list(REGISTRY)
