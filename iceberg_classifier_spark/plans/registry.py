@@ -171,6 +171,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         multimodal4,
         expops,
         analytics22,
+        analytics23,
     )
 
     keys = list(REGISTRY)
