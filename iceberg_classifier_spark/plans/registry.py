@@ -172,6 +172,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         expops,
         analytics22,
         analytics23,
+        analytics24,
     )
 
     keys = list(REGISTRY)
