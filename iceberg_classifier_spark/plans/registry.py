@@ -173,6 +173,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics22,
         analytics23,
         analytics24,
+        analytics25,
     )
 
     keys = list(REGISTRY)
