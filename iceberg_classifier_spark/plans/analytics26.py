@@ -1,0 +1,272 @@
+"""Analytics wave 26: Hodges-Lehmann location and the Wilcoxon
+signed-rank test.
+
+Hodges-Lehmann (median of all pairwise means) is the location
+estimator dual to the Wilcoxon test — 95% Gaussian efficiency with a
+29% breakdown point, and on a bounded integer variable it is EXACT
+via histogram self-convolution. The signed-rank test is the paired
+nonparametric workhorse, here on first-vs-last order delays per
+customer, completing the family (one/two/k-sample, matched-binary,
+blocked-rank tests all exist in the engine; this adds matched-
+continuous).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_DELAY = "least(greatest(datediff('day', o_orderdate, l_shipdate), 0), 60)"
+_DELAY_SPARK = (
+    "least(greatest(datediff(CAST(l_shipdate AS DATE),"
+    " CAST(o_orderdate AS DATE)), 0), 60)"
+)
+
+
+@query(
+    "hodges_lehmann_location",
+    oracle=f"""
+    WITH obs AS (
+      SELECT {_DELAY} AS t
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), hist AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM obs GROUP BY t
+    ), walsh AS (
+      SELECT a.t + b.t AS s2,
+             CAST(sum(CASE WHEN a.t = b.t THEN a.c * (a.c + 1) / 2
+                      ELSE a.c * b.c END) AS BIGINT) AS w
+      FROM hist a JOIN hist b ON a.t <= b.t
+      GROUP BY a.t + b.t
+    ), cum AS (
+      SELECT s2, w,
+             CAST(sum(w) OVER (ORDER BY s2) AS BIGINT) AS cw,
+             CAST(sum(w) OVER () AS BIGINT) AS tw
+      FROM walsh
+    )
+    SELECT (SELECT CAST(sum(c) AS BIGINT) FROM hist) AS n,
+           (SELECT tw FROM cum LIMIT 1) AS n_walsh_pairs,
+           round(min(s2) / 2.0, 1) AS hodges_lehmann,
+           (SELECT round(min(t * 1.0), 1) FROM (
+              SELECT t, sum(c) OVER (ORDER BY t) AS cc,
+                     sum(c) OVER () AS tc
+              FROM hist) WHERE 2 * cc >= tc + 1) AS plain_median
+    FROM cum WHERE 2 * cw >= tw + 1
+    """,
+)
+def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location of the ship delay: the median of all
+    n(n+1)/2 Walsh averages (xᵢ+xⱼ)/2, i ≤ j — computed EXACTLY via
+    the histogram self-convolution (pair counts c_a·c_b, diagonal
+    c(c+1)/2, grouped by the integer sum) instead of materializing
+    10¹⁸ pairs — the Wilcoxon-dual estimator that keeps Gaussian
+    efficiency while shrugging off 29% contamination, shown against
+    the plain median.
+
+    Determinism: Walsh-pair counts and both cumulative medians are
+    exact integers (the estimate itself is a half-integer).
+
+    Scale: the convolution joins the ≤61-row histogram with itself —
+    bounded 61² cells regardless of n; the fact table is touched once
+    by the histogram groupBy.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    obs = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.expr(_DELAY_SPARK).alias("t")
+    )
+    hist = obs.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = hist.alias("a")
+    b = hist.alias("b")
+    walsh = (
+        a.join(b, F.col("a.t") <= F.col("b.t"))
+        .groupBy((F.col("a.t") + F.col("b.t")).alias("s2"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.t") == F.col("b.t"),
+                    F.col("a.c") * (F.col("a.c") + 1) / 2,
+                ).otherwise(F.col("a.c") * F.col("b.c"))
+            )
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    ws = Window.orderBy("s2")
+    cum = walsh.select(
+        "s2",
+        F.sum("w").over(ws).alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("tw"),
+    )
+    hl = cum.filter(2 * F.col("cw") >= F.col("tw") + 1).agg(
+        F.min("s2").alias("hl2"), F.max("tw").alias("tw")
+    )
+    wm = Window.orderBy("t")
+    med = (
+        hist.select(
+            "t",
+            F.sum("c").over(wm).alias("cc"),
+            F.sum("c").over(Window.partitionBy()).alias("tc"),
+        )
+        .filter(2 * F.col("cc") >= F.col("tc") + 1)
+        .agg(
+            F.min(F.col("t") * 1.0).alias("plain_median"),
+            F.max("tc").alias("n"),
+        )
+    )
+    return hl.crossJoin(F.broadcast(med)).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("tw").cast("bigint").alias("n_walsh_pairs"),
+        F.round(F.col("hl2") / 2.0, 1).alias("hodges_lehmann"),
+        F.round("plain_median", 1).alias("plain_median"),
+    )
+
+
+@query(
+    "wilcoxon_signed_rank",
+    oracle=f"""
+    WITH ranked_orders AS (
+      SELECT o.o_custkey AS cust, o.o_orderkey,
+             {_DELAY} AS t,
+             row_number() OVER (PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate, o.o_orderkey,
+                        l.l_linenumber) AS rf,
+             row_number() OVER (PARTITION BY o.o_custkey
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC,
+                        l.l_linenumber DESC) AS rl
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), pairs AS (
+      SELECT cust,
+             max(CASE WHEN rf = 1 THEN t END) AS first_t,
+             max(CASE WHEN rl = 1 THEN t END) AS last_t
+      FROM ranked_orders GROUP BY cust
+      HAVING max(CASE WHEN rf = 1 THEN o_orderkey END)
+             <> max(CASE WHEN rl = 1 THEN o_orderkey END)
+    ), diffs AS (
+      SELECT cust, last_t - first_t AS d,
+             abs(last_t - first_t) AS ad
+      FROM pairs WHERE last_t <> first_t
+    ), hist AS (
+      SELECT ad, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cpos
+      FROM diffs GROUP BY ad
+    ), ranked AS (
+      SELECT ad, c, cpos,
+             2 * (CAST(sum(c) OVER (ORDER BY ad) AS BIGINT) - c) + c + 1
+               AS r2
+      FROM hist
+    ), sums AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cpos * r2) AS BIGINT) AS wplus2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+      FROM ranked
+    )
+    SELECT n AS n_pairs,
+           CAST(wplus2 AS BIGINT) AS w_plus_doubled,
+           round(wplus2 / 2.0 - n * (n + 1.0) / 4.0, 4) AS centered_w,
+           round((wplus2 / 2.0 - n * (n + 1.0) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1.0) / 24.0
+                        - tie3 / 48.0), 6) AS z_score,
+           CASE WHEN abs((wplus2 / 2.0 - n * (n + 1.0) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1.0) / 24.0
+                        - tie3 / 48.0)) > 1.959964 THEN 1 ELSE 0 END
+             AS reject_05
+    FROM sums
+    """,
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test: did shipping get faster or slower
+    between each customer's FIRST and LAST order? Paired differences
+    (customers with ≥2 orders; zero differences dropped per the
+    standard convention) rank by |d| via the doubled-midrank histogram
+    (exact integers, ties exact), W⁺ sums the positive-difference
+    ranks, and the tie-corrected normal approximation gives z — the
+    matched-continuous member of the engine's nonparametric family
+    (`mann_whitney_u` unpaired, `cochran_q_test` matched-binary,
+    `friedman_test` blocked-rank).
+
+    Determinism: pair construction uses total (date, key, line)
+    orders; doubled midranks and W⁺ are exact int64; z is closed-form.
+
+    Scale: pairing is two partitioned rank windows over the fact join;
+    ranking happens on the ≤61-value |d| histogram — never a per-pair
+    rank.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderkey",
+        "o_orderdate",
+        "l_linenumber",
+        F.expr(_DELAY_SPARK).alias("t"),
+    )
+    wf = Window.partitionBy("cust").orderBy(
+        "o_orderdate", "o_orderkey", "l_linenumber"
+    )
+    wl = Window.partitionBy("cust").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"), F.desc("l_linenumber")
+    )
+    ranked_orders = base.select(
+        "cust",
+        "o_orderkey",
+        "t",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    pairs = (
+        ranked_orders.groupBy("cust")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("t"))).alias("first_t"),
+            F.max(F.when(F.col("rl") == 1, F.col("t"))).alias("last_t"),
+            F.max(F.when(F.col("rf") == 1, F.col("o_orderkey"))).alias(
+                "fk"
+            ),
+            F.max(F.when(F.col("rl") == 1, F.col("o_orderkey"))).alias(
+                "lk"
+            ),
+        )
+        .filter(F.col("fk") != F.col("lk"))
+    )
+    diffs = pairs.filter(F.col("last_t") != F.col("first_t")).select(
+        (F.col("last_t") - F.col("first_t")).alias("d"),
+        F.abs(F.col("last_t") - F.col("first_t")).alias("ad"),
+    )
+    hist = diffs.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cpos"),
+    )
+    wa = Window.orderBy("ad")
+    ranked = hist.select(
+        "ad",
+        "c",
+        "cpos",
+        (
+            2 * (F.sum("c").over(wa) - F.col("c")) + F.col("c") + 1
+        ).alias("r2"),
+    )
+    sums = ranked.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("cpos") * F.col("r2")).cast("bigint").alias("wplus2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    centered = F.col("wplus2") / 2.0 - F.col("n") * (F.col("n") + 1.0) / 4.0
+    sd = F.sqrt(
+        F.col("n") * (F.col("n") + 1.0) * (2 * F.col("n") + 1.0) / 24.0
+        - F.col("tie3") / 48.0
+    )
+    z = centered / sd
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        F.col("wplus2").alias("w_plus_doubled"),
+        F.round(centered, 4).alias("centered_w"),
+        F.round(z, 6).alias("z_score"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).alias("reject_05"),
+    )

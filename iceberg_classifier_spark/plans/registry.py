@@ -174,6 +174,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics23,
         analytics24,
         analytics25,
+        analytics26,
     )
 
     keys = list(REGISTRY)
