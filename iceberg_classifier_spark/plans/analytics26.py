@@ -81,7 +81,7 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = hist.alias("a")
     b = hist.alias("b")
     walsh = (
-        a.join(b, F.col("a.t") <= F.col("b.t"))
+        a.join(F.broadcast(b), F.col("a.t") <= F.col("b.t"))
         .groupBy((F.col("a.t") + F.col("b.t")).alias("s2"))
         .agg(
             F.sum(

@@ -1085,3 +1085,47 @@ def test_round4h_multimodal_eval_waves_plan_shapes(spark, sf_dir):
     # the top-k is TakeOrdered
     plan = plan_of(spark, sf_dir, "duplicate_payment_detection")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round4i_late_waves_plan_shapes(spark, sf_dir):
+    """Waves 21-26 + expops/multimodal4/mlscore2: no row-Python, no
+    fact×fact cartesians (pair sources are histogram/equi-joins),
+    sequential estimators are bounded folds, selections TakeOrdered."""
+    for name in (
+        "obrien_fleming_looks",
+        "hash_chain_audit",
+        "ss_inventory_policy_replay",
+        "image_ahash_neardup",
+        "histogram_equalization_audit",
+        "sample_ratio_mismatch",
+        "poisson_rate_scoreci",
+        "optimal_threshold_selection",
+        "permutation_importance_auc",
+        "temperature_entropy_sweep",
+        "kde_density_curve",
+        "jarque_bera_test",
+        "cochran_q_test",
+        "hurst_exponent_rs",
+        "variance_ratio_test",
+        "garman_klass_volatility",
+        "hash_collision_audit",
+        "adstock_lag_regression",
+        "geometric_retention_fit",
+        "littles_law_audit",
+        "taylors_law_fit",
+        "hodges_lehmann_location",
+        "wilcoxon_signed_rank",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # threshold selections are TakeOrdered; signed-rank pairs ride
+    # customer-partitioned windows
+    plan = plan_of(spark, sf_dir, "optimal_threshold_selection")
+    assert "TakeOrderedAndProject" in plan
+    analyzed = (
+        REGISTRY["wilcoxon_signed_rank"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(cust" in analyzed
