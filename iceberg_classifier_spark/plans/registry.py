@@ -175,6 +175,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics24,
         analytics25,
         analytics26,
+        analytics27,
     )
 
     keys = list(REGISTRY)
