@@ -176,6 +176,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics25,
         analytics26,
         analytics27,
+        textops7,
     )
 
     keys = list(REGISTRY)
