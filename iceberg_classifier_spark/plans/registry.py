@@ -177,6 +177,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics26,
         analytics27,
         textops7,
+        analytics28,
     )
 
     keys = list(REGISTRY)
