@@ -178,6 +178,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics27,
         textops7,
         analytics28,
+        analytics29,
     )
 
     keys = list(REGISTRY)
