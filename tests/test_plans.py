@@ -1129,3 +1129,26 @@ def test_round4i_late_waves_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "windowspecdefinition(cust" in analyzed
+
+
+def test_round4j_final_waves_plan_shapes(spark, sf_dir):
+    """Waves 27-29 + textops7: histogram-bounded grids, no row-Python,
+    no fact×fact cartesians, TakeOrdered tails."""
+    for name in (
+        "tost_equivalence_test",
+        "meta_analysis_dl",
+        "intraclass_correlation",
+        "self_bleu_diversity",
+        "distribution_fit_selection",
+        "hill_tail_index",
+        "gaussian_mixture_em",
+        "pav_calibration_map",
+        "energy_distance_test",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # Hill's only corpus interaction is a TakeOrdered top-k
+    plan = plan_of(spark, sf_dir, "hill_tail_index")
+    assert "TakeOrderedAndProject" in plan
