@@ -179,6 +179,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         textops7,
         analytics28,
         analytics29,
+        analytics30,
     )
 
     keys = list(REGISTRY)
