@@ -180,6 +180,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics28,
         analytics29,
         analytics30,
+        analytics31,
     )
 
     keys = list(REGISTRY)
