@@ -181,6 +181,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics29,
         analytics30,
         analytics31,
+        analytics32,
     )
 
     keys = list(REGISTRY)
