@@ -1152,3 +1152,27 @@ def test_round4j_final_waves_plan_shapes(spark, sf_dir):
     # Hill's only corpus interaction is a TakeOrdered top-k
     plan = plan_of(spark, sf_dir, "hill_tail_index")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round4k_closing_waves_plan_shapes(spark, sf_dir):
+    """Waves 31/32: gap/island windows stay user- or slot-partitioned,
+    grids broadcast, no row-Python, no fact×fact cartesians."""
+    for name in (
+        "session_gap_sensitivity",
+        "mtbf_availability",
+        "reserve_price_grid",
+        "rich_club_coefficient",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    for name, marker in (
+        ("session_gap_sensitivity", "windowspecdefinition(user_id"),
+        ("reserve_price_grid", "windowspecdefinition(slot"),
+    ):
+        analyzed = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert marker in analyzed, f"{name}: window not key-partitioned"
