@@ -182,6 +182,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics30,
         analytics31,
         analytics32,
+        analytics33,
     )
 
     keys = list(REGISTRY)

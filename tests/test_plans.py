@@ -1176,3 +1176,23 @@ def test_round4k_closing_waves_plan_shapes(spark, sf_dir):
             ._jdf.queryExecution().analyzed().toString()
         )
         assert marker in analyzed, f"{name}: window not key-partitioned"
+
+
+def test_round4l_wave33_plan_shapes(spark, sf_dir):
+    """Wave 33: the Fisher sample is a TakeOrdered cap, trend/PRESS
+    collapse to map-side grouped sufficient stats, no row-Python,
+    no fact×fact cartesians (the only cross joins broadcast 1-row
+    scalar frames)."""
+    for name in (
+        "fisher_exact_test",
+        "cochran_armitage_trend",
+        "press_loocv_regression",
+        "ar2_yule_walker_forecast",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    # the exact test's sample is bounded by a TakeOrdered, not a sort
+    plan = plan_of(spark, sf_dir, "fisher_exact_test")
+    assert "TakeOrderedAndProject" in plan
