@@ -183,6 +183,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics31,
         analytics32,
         analytics33,
+        textops8,
     )
 
     keys = list(REGISTRY)

@@ -1196,3 +1196,30 @@ def test_round4l_wave33_plan_shapes(spark, sf_dir):
     # the exact test's sample is bounded by a TakeOrdered, not a sort
     plan = plan_of(spark, sf_dir, "fisher_exact_test")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round4m_wave34_plan_shapes(spark, sf_dir):
+    """Wave 34: autocomplete rank partitions by prefix with a
+    TakeOrdered prefix head; ROUGE pairing is a source-partitioned
+    lead (no self-join); no row-Python, no cartesians."""
+    for name in (
+        "good_turing_smoothing",
+        "prefix_autocomplete_topk",
+        "rouge_l_pairs",
+        "encoding_anomaly_audit",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    plan = plan_of(spark, sf_dir, "prefix_autocomplete_topk")
+    assert "TakeOrderedAndProject" in plan
+    for name, marker in (
+        ("prefix_autocomplete_topk", "windowspecdefinition(p#"),
+        ("rouge_l_pairs", "windowspecdefinition(source"),
+    ):
+        analyzed = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert marker in analyzed, f"{name}: window not key-partitioned"
