@@ -184,6 +184,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics32,
         analytics33,
         textops8,
+        sysops2,
     )
 
     keys = list(REGISTRY)

@@ -1223,3 +1223,28 @@ def test_round4m_wave34_plan_shapes(spark, sf_dir):
             ._jdf.queryExecution().analyzed().toString()
         )
         assert marker in analyzed, f"{name}: window not key-partitioned"
+
+
+def test_round4n_wave35_plan_shapes(spark, sf_dir):
+    """Wave 35: folds partition by user, MoR deletes broadcast into
+    the anti-join, pattern windows stay user-partitioned, no
+    row-Python, no cartesians."""
+    for name in (
+        "token_bucket_rate_limit",
+        "lru_hit_ratio_curve",
+        "row_pattern_match_vshape",
+        "position_delete_merge_on_read",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    plan = plan_of(spark, sf_dir, "token_bucket_rate_limit")
+    assert "TakeOrderedAndProject" in plan
+    plan = plan_of(spark, sf_dir, "position_delete_merge_on_read")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    analyzed = (
+        REGISTRY["row_pattern_match_vshape"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(user_id" in analyzed
