@@ -185,6 +185,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics33,
         textops8,
         sysops2,
+        vectors4,
     )
 
     keys = list(REGISTRY)

@@ -1248,3 +1248,20 @@ def test_round4n_wave35_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "windowspecdefinition(user_id" in analyzed
+
+
+def test_round4o_wave36_plan_shapes(spark, sf_dir):
+    """Wave 36: the quantized query block broadcasts (nested-loop on
+    the inequality, never CartesianProduct), LDA/ridge collapse to
+    map-side moments, no row-Python."""
+    for name in (
+        "binary_quantization_hamming",
+        "fisher_lda_direction",
+        "learning_curve_ridge",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    plan = plan_of(spark, sf_dir, "binary_quantization_hamming")
+    assert "BroadcastNestedLoopJoin" in plan
