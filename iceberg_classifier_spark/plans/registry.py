@@ -186,6 +186,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         textops8,
         sysops2,
         vectors4,
+        multimodal5,
     )
 
     keys = list(REGISTRY)

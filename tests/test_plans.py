@@ -1265,3 +1265,14 @@ def test_round4o_wave36_plan_shapes(spark, sf_dir):
 
     plan = plan_of(spark, sf_dir, "binary_quantization_hamming")
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_round4p_wave37_plan_shapes(spark, sf_dir):
+    """Wave 37: multimodal kernels are map-only Arrow passes (the
+    one allowed Python is mapInPandas/ArrowEvalPython, never
+    row-at-a-time BatchEvalPython), no cartesians."""
+    for name in ("audio_spectral_centroid", "image_phash_dct"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "MapInPandas" in plan, f"{name}: expected Arrow kernel"
