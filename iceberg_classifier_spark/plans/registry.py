@@ -187,6 +187,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         sysops2,
         vectors4,
         multimodal5,
+        analytics34,
     )
 
     keys = list(REGISTRY)

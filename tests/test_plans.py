@@ -1276,3 +1276,24 @@ def test_round4p_wave37_plan_shapes(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
         assert "MapInPandas" in plan, f"{name}: expected Arrow kernel"
+
+
+def test_round4q_wave38_plan_shapes(spark, sf_dir):
+    """Wave 38: CvM rides value-grouped prefix sums, newsvendor
+    windows partition by brand, Moran's adjacency is an equi-join on
+    cell keys (broadcast offsets, never point pairs)."""
+    for name in (
+        "cramer_von_mises_two_sample",
+        "newsvendor_quantile_policy",
+        "morans_i_cells",
+        "bartlett_test",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    analyzed = (
+        REGISTRY["newsvendor_quantile_policy"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(brand" in analyzed
