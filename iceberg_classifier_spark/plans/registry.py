@@ -188,6 +188,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         vectors4,
         multimodal5,
         analytics34,
+        search6,
     )
 
     keys = list(REGISTRY)

@@ -1297,3 +1297,23 @@ def test_round4q_wave38_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "windowspecdefinition(brand" in analyzed
+
+
+def test_round4r_wave39_plan_shapes(spark, sf_dir):
+    """Wave 39: champion ranking partitions by term, interleave/PRF
+    windows partition by query, dimension sides broadcast, no
+    row-Python, no cartesians."""
+    for name in (
+        "champion_list_retrieval",
+        "team_draft_interleaving",
+        "rocchio_prf",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+    analyzed = (
+        REGISTRY["champion_list_retrieval"].fn(spark, sf_dir)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "windowspecdefinition(word" in analyzed
