@@ -189,6 +189,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         multimodal5,
         analytics34,
         search6,
+        mlscore3,
     )
 
     keys = list(REGISTRY)

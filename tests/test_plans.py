@@ -1317,3 +1317,12 @@ def test_round4r_wave39_plan_shapes(spark, sf_dir):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "windowspecdefinition(word" in analyzed
+
+
+def test_round4s_wave40_plan_shapes(spark, sf_dir):
+    """Wave 40: IRLS runs on the bounded binomial histogram — one
+    fact pass, no row-Python, no cartesian (the per-iteration cross
+    joins in the oracle are 1-row parameter frames)."""
+    plan = plan_of(spark, sf_dir, "logreg_irls_histogram")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
