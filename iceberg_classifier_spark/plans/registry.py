@@ -190,6 +190,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics34,
         search6,
         mlscore3,
+        glmtree,
     )
 
     keys = list(REGISTRY)

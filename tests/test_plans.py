@@ -1326,3 +1326,16 @@ def test_round4s_wave40_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "logreg_irls_histogram")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4t_wave41_plan_shapes(spark, sf_dir):
+    """Wave 41: GLM/tree estimators keep the fact-table work to one
+    histogram pass — no row-Python anywhere; the Cox histogram joins
+    lineitem-orders without a cartesian; CART's split search uses
+    only broadcast 1-row cross joins (BroadcastNestedLoopJoin is the
+    expected physical form — assert no CartesianProduct)."""
+    for name in ("poisson_irls_daily", "cox_ph_newton",
+                 "kmeans_lloyd_histogram", "cart_depth2_tree"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
