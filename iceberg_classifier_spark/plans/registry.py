@@ -191,6 +191,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         search6,
         mlscore3,
         glmtree,
+        econx,
     )
 
     keys = list(REGISTRY)

@@ -1339,3 +1339,19 @@ def test_round4t_wave41_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4u_wave42_plan_shapes(spark, sf_dir):
+    """Wave 42: econometric estimators are one-pass conditional
+    aggregates — RD's bandwidth filter reaches the scan, IV's part
+    dim broadcasts, and nothing runs row-at-a-time Python."""
+    plan = plan_of(spark, sf_dir, "regression_discontinuity")
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "iv_wald_estimate")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    for name in ("chow_break_test", "granger_causality_daily"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
