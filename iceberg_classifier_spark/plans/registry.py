@@ -192,6 +192,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         mlscore3,
         glmtree,
         econx,
+        analytics35,
     )
 
     keys = list(REGISTRY)

@@ -1355,3 +1355,15 @@ def test_round4u_wave42_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4v_wave43_plan_shapes(spark, sf_dir):
+    """Wave 43: drift/concordance/ranking/risk ops reduce the fact
+    table to bounded frames in one pass — no row-Python; the Kendall
+    pair join and ERR posting joins are equi/broadcast joins, never
+    an unblocked cartesian over fact rows."""
+    for name in ("js_hellinger_drift", "kendall_tau_daily",
+                 "err_ranking_eval", "var_cvar_daily"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
