@@ -193,6 +193,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         glmtree,
         econx,
         analytics35,
+        statx,
     )
 
     keys = list(REGISTRY)

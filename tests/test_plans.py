@@ -1367,3 +1367,15 @@ def test_round4v_wave43_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4w_wave44_plan_shapes(spark, sf_dir):
+    """Wave 44: stats ops reduce the fact table to bounded frames
+    (dollar cells / calendar days / 5 groups / 8 items) in one
+    map-side-combined pass — no row-Python, no cartesian over fact
+    rows (the only cross joins broadcast 1-row scalar frames)."""
+    for name in ("inequality_indices", "anderson_darling_normality",
+                 "mood_median_test", "cronbach_alpha_embeddings"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
