@@ -194,6 +194,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         econx,
         analytics35,
         statx,
+        finops,
     )
 
     keys = list(REGISTRY)

@@ -1379,3 +1379,15 @@ def test_round4w_wave44_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4x_wave45_plan_shapes(spark, sf_dir):
+    """Wave 45: the Lindley replay shuffles ONCE on user_id with the
+    fold local to each group; the daily ops reduce to the calendar
+    frame in one map-side-combined pass — no row-Python, no
+    cartesian anywhere."""
+    for name in ("lindley_queue_replay", "sharpe_sortino_daily",
+                 "rsi_wilder_daily", "kelly_criterion_daily"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
