@@ -195,6 +195,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         analytics35,
         statx,
         finops,
+        evalx,
     )
 
     keys = list(REGISTRY)

@@ -1391,3 +1391,20 @@ def test_round4x_wave45_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4y_wave46_plan_shapes(spark, sf_dir):
+    """Wave 46: DeLong joins the doc frame against two BROADCAST
+    bounded placement tables; MTLD's fold is per-doc local; Cliff's
+    delta pushes its priority filter to the scan — no row-Python,
+    no cartesian over fact rows anywhere."""
+    plan = plan_of(spark, sf_dir, "delong_auc_comparison")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "cliffs_delta_priority")
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan
+    for name in ("mtld_lexical_diversity",):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
