@@ -196,6 +196,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         statx,
         finops,
         evalx,
+        featsel,
     )
 
     keys = list(REGISTRY)

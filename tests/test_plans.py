@@ -1408,3 +1408,16 @@ def test_round4y_wave46_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4z_wave47_plan_shapes(spark, sf_dir):
+    """Wave 47: mRMR's MIs and greedy argmax run on the bounded cell
+    frame after ONE fact pass; SAX/Tukey reduce to calendar/group
+    frames — no row-Python, no cartesian over fact rows (mRMR's
+    1-row broadcast scalar joins surface as BroadcastNestedLoop,
+    not CartesianProduct)."""
+    for name in ("mrmr_feature_selection", "sax_daily_motifs",
+                 "tukey_hsd_priority"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
