@@ -197,6 +197,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         finops,
         evalx,
         featsel,
+        boostx,
     )
 
     keys = list(REGISTRY)

@@ -1421,3 +1421,16 @@ def test_round4z_wave47_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4aa_wave48_plan_shapes(spark, sf_dir):
+    """Wave 48: AdaBoost's rounds join 42 candidate stumps against
+    the bounded cell frame (the candidate x cell and 1-row stump
+    broadcasts surface as BroadcastNestedLoop, never
+    CartesianProduct); the audit and A/B grid are one-pass
+    conditional aggregates — no row-Python anywhere."""
+    for name in ("adaboost_stumps", "l_diversity_audit",
+                 "bayes_ab_grid"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
