@@ -198,6 +198,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         evalx,
         featsel,
         boostx,
+        privstat,
     )
 
     keys = list(REGISTRY)

@@ -1434,3 +1434,14 @@ def test_round4aa_wave48_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ab_wave49_plan_shapes(spark, sf_dir):
+    """Wave 49: randomized response is one stateless map pass (no
+    shuffle beyond the final combine); Page/Shapiro-Francia reduce
+    to bounded frames — no row-Python, no cartesian."""
+    for name in ("randomized_response_estimate", "page_trend_test",
+                 "shapiro_francia_normality"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
