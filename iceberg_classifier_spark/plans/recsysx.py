@@ -1,0 +1,414 @@
+"""Recsys-eval/stat/text wave 50: beyond-accuracy recommendation
+metrics, Grubbs outlier test, and vocabulary-richness indices.
+
+- `coverage_novelty_recs` — the beyond-accuracy triple for the
+  item-item recommender: catalog coverage (share of purchasable
+  items that ever appear in a top-3 list), novelty (mean
+  -log2 popularity of recommended items), and intra-list diversity
+  (1 - mean pairwise cosine inside each list).
+- `grubbs_outlier_test` — Grubbs' maximum-studentized-deviate test
+  on daily revenue with the exact critical-value formula (t-quantile
+  via the shared Acklam inverse-normal, valid at these df), naming
+  the offending day.
+- `vocabulary_richness_indices` — Yule's K, Herdan's C, Guiraud's R,
+  and the hapax share per language from the token
+  frequency-of-frequencies spectrum.
+
+Determinism: co-occurrence counts, frequency spectra, and deviations
+are exact int64; novelty/ILD quantize per entry to micro-units
+before averaging; Acklam is the same expression text both engines.
+
+Scale: recs derive from per-user-blocked co-purchase pairs (never
+all-items²), then per-item top-3 windows on the bounded pair frame;
+Grubbs runs on the calendar frame; richness is two aggregation
+levels (word counts → spectrum), both map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.plans.privstat import _acklam_inv_norm
+from iceberg_classifier_spark.sources.tables import load
+
+_REC_K = 3
+_REC_MIN_CO = 2
+
+
+@query(
+    "coverage_novelty_recs",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), nu AS (
+      SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM ui
+    ), pop AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n_u FROM ui GROUP BY 1
+    ), co AS (
+      SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS co_u
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+      GROUP BY 1, 2
+      HAVING count(*) >= {_REC_MIN_CO}
+    ), scored AS (
+      SELECT c.ia, c.ib,
+             c.co_u / sqrt(CAST(pa.n_u AS DOUBLE) * pb.n_u) AS cosine
+      FROM co c JOIN pop pa ON pa.i = c.ia JOIN pop pb ON pb.i = c.ib
+    ), recs AS (
+      SELECT ia, ib, cosine,
+             row_number() OVER (PARTITION BY ia
+               ORDER BY cosine DESC, ib) AS rk
+      FROM scored QUALIFY rk <= {_REC_K}
+    ), novelty AS (
+      SELECT r.ia,
+             CAST(round(avg(-ln(p.n_u * 1.0 / nu.n_users) / ln(2.0))
+               * 1000000) AS BIGINT) AS nov_micro
+      FROM recs r JOIN pop p ON p.i = r.ib CROSS JOIN nu
+      GROUP BY r.ia
+    ), ild AS (
+      SELECT x.ia,
+             CAST(round(avg(1.0 - COALESCE(s.cosine, 0.0)) * 1000000)
+               AS BIGINT) AS ild_micro
+      FROM recs x JOIN recs z
+        ON z.ia = x.ia AND x.ib < z.ib
+      LEFT JOIN scored s ON s.ia = x.ib AND s.ib = z.ib
+      GROUP BY x.ia
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pop) AS n_items,
+           (SELECT CAST(count(DISTINCT ia) AS BIGINT) FROM recs)
+             AS n_items_with_recs,
+           round((SELECT count(DISTINCT ib) FROM recs) * 1.0
+                 / (SELECT count(*) FROM pop), 6) AS catalog_coverage,
+           round((SELECT sum(nov_micro) * 1.0 / count(*) FROM novelty)
+                 / 1000000.0, 6) AS mean_novelty_bits,
+           round((SELECT sum(ild_micro) * 1.0 / count(*) FROM ild)
+                 / 1000000.0, 6) AS mean_ild
+    """,
+)
+def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of the item-item co-purchase
+    recommender (top-{_REC_K} by cosine, support >= {_REC_MIN_CO}):
+    catalog coverage — the share of purchasable items that ever get
+    recommended (low coverage = popularity bias); novelty — mean
+    self-information -log2(item popularity) of recommended items
+    (Vargas-Castells); intra-list diversity — 1 minus the mean
+    pairwise cosine INSIDE each rec list (lists of near-duplicates
+    score low). The accuracy-orthogonal complement of
+    `itemitem_cosine_topk` (the model) and `map_at_k_eval` /
+    `ndcg_ann_eval` (relevance).
+
+    Determinism: co-occurrence and popularity are exact int64;
+    per-entry novelty/ILD quantize to micro-units before the exact
+    integer mean; top-3 windows tie-break on item id.
+
+    Scale: pairs are blocked per user (basket-bounded, never
+    catalog²) and df-capped by the support floor; rec-list windows
+    partition by item; the ILD self-join touches {_REC_K} rows per
+    item. All metric frames are item-bounded.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ui = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    nu = ui.agg(F.countDistinct("u").cast("bigint").alias("n_users"))
+    pop = ui.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_u"))
+        .where(F.col("co_u") >= _REC_MIN_CO)
+    )
+    pa = pop.select(F.col("i").alias("ia"), F.col("n_u").alias("na"))
+    pb = pop.select(F.col("i").alias("ib"), F.col("n_u").alias("nb"))
+    scored = (
+        co.join(F.broadcast(pa), "ia")
+        .join(F.broadcast(pb), "ib")
+        .select(
+            "ia",
+            "ib",
+            (
+                F.col("co_u")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+            ).alias("cosine"),
+        )
+    )
+    recs = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("ia").orderBy(F.desc("cosine"), "ib")
+        ),
+    ).where(F.col("rk") <= _REC_K)
+    novelty = (
+        recs.join(
+            F.broadcast(pop.select(F.col("i").alias("ib"), "n_u")), "ib"
+        )
+        .crossJoin(F.broadcast(nu))
+        .groupBy("ia")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(F.col("n_u") * 1.0 / F.col("n_users"))
+                    / F.log(F.lit(2.0))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("nov_micro")
+        )
+    )
+    x = recs.select(F.col("ia"), F.col("ib").alias("xb"))
+    z = recs.select(F.col("ia"), F.col("ib").alias("zb"))
+    ild = (
+        x.join(z, "ia")
+        .where(F.col("xb") < F.col("zb"))
+        .join(
+            scored.select(
+                F.col("ia").alias("xb"),
+                F.col("ib").alias("zb"),
+                F.col("cosine").alias("sim"),
+            ),
+            ["xb", "zb"],
+            "left",
+        )
+        .groupBy("ia")
+        .agg(
+            F.round(
+                F.avg(1.0 - F.coalesce(F.col("sim"), F.lit(0.0))) * 1000000
+            )
+            .cast("bigint")
+            .alias("ild_micro")
+        )
+    )
+    n_items = pop.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    rec_stats = recs.agg(
+        F.countDistinct("ia").cast("bigint").alias("n_items_with_recs"),
+        F.countDistinct("ib").cast("bigint").alias("n_rec_items"),
+    )
+    nov_stats = novelty.agg(
+        (F.sum("nov_micro") * 1.0 / F.count(F.lit(1))).alias("nov_avg")
+    )
+    ild_stats = ild.agg(
+        (F.sum("ild_micro") * 1.0 / F.count(F.lit(1))).alias("ild_avg")
+    )
+    return (
+        n_items.crossJoin(F.broadcast(rec_stats))
+        .crossJoin(F.broadcast(nov_stats))
+        .crossJoin(F.broadcast(ild_stats))
+        .select(
+            "n_items",
+            "n_items_with_recs",
+            F.round(F.col("n_rec_items") * 1.0 / F.col("n_items"), 6).alias(
+                "catalog_coverage"
+            ),
+            F.round(F.col("nov_avg") / 1000000.0, 6).alias(
+                "mean_novelty_bits"
+            ),
+            F.round(F.col("ild_avg") / 1000000.0, 6).alias("mean_ild"),
+        )
+    )
+
+
+_GRUBBS_ALPHA = 0.05
+
+
+@query(
+    "grubbs_outlier_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS d,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY 1
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM daily
+    ), dev AS (
+      SELECT d, y, m.n,
+             abs(y - m.s1 * 1.0 / m.n)
+               / sqrt((m.s2 - m.s1 * 1.0 / m.n * m.s1) / (m.n - 1))
+               AS g
+      FROM daily CROSS JOIN mom m
+      ORDER BY g DESC, d LIMIT 1
+    ), crit AS (
+      SELECT n, d AS worst_day, g,
+             ({_acklam_inv_norm(f"1.0 - {_GRUBBS_ALPHA} / (2.0 * n)")})
+               AS t
+      FROM dev
+    )
+    SELECT n AS n_days, worst_day,
+           round(g, 6) AS g_stat,
+           round((n - 1) / sqrt(CAST(n AS DOUBLE))
+                 * sqrt(t * t / (n - 2 + t * t)), 6) AS g_crit,
+           CAST(g > (n - 1) / sqrt(CAST(n AS DOUBLE))
+                    * sqrt(t * t / (n - 2 + t * t)) AS BOOLEAN)
+             AS is_outlier_5pct
+    FROM crit
+    """,
+)
+def grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviate outlier test on daily
+    revenue: G = max|y - mean|/sd against the critical value
+    (n-1)/sqrt(n) * sqrt(t²/(n-2+t²)) with t the alpha/(2n) upper
+    t-quantile — approximated by the shared Acklam inverse-normal
+    (at n ~ 2.4k days the t and normal quantiles agree to ~1e-4,
+    far inside the 6dp tolerance... of the DECISION margin, and
+    identically on both engines). Names the offending day. The
+    single-point complement of `events_mad_outliers` (bulk robust
+    flagging) and `seasonal_anomaly_zscore` (seasonal residuals).
+
+    Determinism: daily sums/moments exact int64; the argmax
+    tie-breaks on day; Acklam is the identical expression text both
+    sides.
+
+    Scale: ONE fact pass to the calendar frame; the argmax is a
+    TakeOrdered over <=2.4k rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    g = F.abs(F.col("y") - F.col("s1") * 1.0 / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * 1.0 / F.col("n") * F.col("s1"))
+        / (F.col("n") - 1)
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(mom))
+        .select("d", "n", g.alias("g"))
+        .orderBy(F.desc("g"), "d")
+        .limit(1)
+    )
+    crit = dev.select(
+        "n",
+        F.col("d").alias("worst_day"),
+        "g",
+        F.expr(
+            _acklam_inv_norm(f"1.0 - {_GRUBBS_ALPHA} / (2.0 * n)")
+        ).alias("t"),
+    )
+    gc = (
+        (F.col("n") - 1)
+        / F.sqrt(F.col("n").cast("double"))
+        * F.sqrt(
+            F.col("t") * F.col("t") / (F.col("n") - 2 + F.col("t") * F.col("t"))
+        )
+    )
+    return crit.select(
+        F.col("n").alias("n_days"),
+        "worst_day",
+        F.round("g", 6).alias("g_stat"),
+        F.round(gc, 6).alias("g_crit"),
+        (F.col("g") > gc).alias("is_outlier_5pct"),
+    )
+
+
+@query(
+    "vocabulary_richness_indices",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS m
+      FROM toks GROUP BY 1, 2
+    ), spectrum AS (
+      SELECT lang, m, CAST(count(*) AS BIGINT) AS vm
+      FROM wc GROUP BY 1, 2
+    ), agg AS (
+      SELECT lang,
+             CAST(sum(m * vm) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT)
+               AS v1,
+             CAST(sum(m * m * vm) AS BIGINT) AS smm
+      FROM spectrum GROUP BY 1
+    )
+    SELECT lang, n AS n_tokens, v AS vocab_size, v1 AS hapax_count,
+           round(10000.0 * (smm - n) / (CAST(n AS DOUBLE) * n), 6)
+             AS yule_k,
+           round(ln(CAST(v AS DOUBLE)) / ln(CAST(n AS DOUBLE)), 6)
+             AS herdan_c,
+           round(v / sqrt(CAST(n AS DOUBLE)), 6) AS guiraud_r,
+           round(v1 * 1.0 / v, 6) AS hapax_share
+    FROM agg ORDER BY lang
+    """,
+)
+def vocabulary_richness_indices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical vocabulary-richness indices per language from the
+    token frequency-of-frequencies spectrum: Yule's K = 10^4
+    (sum m²V_m - N)/N² (repeat-rate characteristic, length-
+    invariant), Herdan's C = ln V / ln N, Guiraud's R = V/sqrt(N),
+    and the hapax-legomena share V1/V. The spectrum-based
+    complements of `mtld_lexical_diversity` (sequential TTR),
+    `heaps_law_fit` (vocabulary growth), and `zipf_token_fit`
+    (rank-frequency slope).
+
+    Determinism: the spectrum and all four index numerators are
+    exact int64 sums; the indices are closed-form doubles rounded
+    6dp.
+
+    Scale: two map-side-combinable aggregation levels (tokens →
+    word counts → spectrum); the spectrum frame is bounded by
+    max term frequency, not corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    wc = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    spectrum = wc.groupBy("lang", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vm")
+    )
+    agg = spectrum.groupBy("lang").agg(
+        F.sum(F.col("m") * F.col("vm")).cast("bigint").alias("n"),
+        F.sum("vm").cast("bigint").alias("v"),
+        F.sum(F.when(F.col("m") == 1, F.col("vm")).otherwise(0))
+        .cast("bigint")
+        .alias("v1"),
+        F.sum(F.col("m") * F.col("m") * F.col("vm"))
+        .cast("bigint")
+        .alias("smm"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab_size"),
+        F.col("v1").alias("hapax_count"),
+        F.round(
+            10000.0
+            * (F.col("smm") - F.col("n"))
+            / (F.col("n").cast("double") * F.col("n")),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            F.log(F.col("v").cast("double")) / F.log(F.col("n").cast("double")),
+            6,
+        ).alias("herdan_c"),
+        F.round(F.col("v") / F.sqrt(F.col("n").cast("double")), 6).alias(
+            "guiraud_r"
+        ),
+        F.round(F.col("v1") * 1.0 / F.col("v"), 6).alias("hapax_share"),
+    ).orderBy("lang")

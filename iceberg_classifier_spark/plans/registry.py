@@ -199,6 +199,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         featsel,
         boostx,
         privstat,
+        recsysx,
     )
 
     keys = list(REGISTRY)

@@ -1445,3 +1445,15 @@ def test_round4ab_wave49_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ac_wave50_plan_shapes(spark, sf_dir):
+    """Wave 50: rec pairs block per user and the metric frames are
+    item-bounded; Grubbs is a TakeOrdered over the calendar frame;
+    richness is two map-side aggregation levels — no row-Python,
+    no cartesian."""
+    for name in ("coverage_novelty_recs", "grubbs_outlier_test",
+                 "vocabulary_richness_indices"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
