@@ -200,6 +200,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         boostx,
         privstat,
         recsysx,
+        sysx,
     )
 
     keys = list(REGISTRY)

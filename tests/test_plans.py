@@ -1457,3 +1457,15 @@ def test_round4ac_wave50_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ad_wave51_plan_shapes(spark, sf_dir):
+    """Wave 51: NB shuffles once on the customer key; the
+    periodogram's 30-harmonic grid broadcasts against the calendar
+    frame; packing folds 40 items on one row — no row-Python, no
+    cartesian."""
+    for name in ("negative_binomial_fit", "periodogram_daily",
+                 "ffd_bin_packing_replay"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
