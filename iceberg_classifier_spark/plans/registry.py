@@ -201,6 +201,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         privstat,
         recsysx,
         sysx,
+        econx2,
     )
 
     keys = list(REGISTRY)

@@ -1469,3 +1469,17 @@ def test_round4ad_wave51_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ae_wave52_plan_shapes(spark, sf_dir):
+    """Wave 52: cointegration/tails reduce to the calendar frame;
+    power iteration's 10 matvec stages run on the 64-row matrix
+    frame with window normalization (linear lineage, no per-round
+    re-derivation); Erlang-B is one stateless agg — no row-Python,
+    no cartesian."""
+    for name in ("engle_granger_cointegration",
+                 "power_iteration_top_eigen", "erlang_b_blocking",
+                 "tail_dependence_daily"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
