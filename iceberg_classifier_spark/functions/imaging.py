@@ -117,20 +117,153 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img.reshape(h, w, 3))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real PNG: 8-byte
+    signature, IHDR (8-bit, color type 2 truecolor, no interlace),
+    one zlib-compressed IDAT, IEND — each chunk carrying its genuine
+    CRC-32. Scanline filters cycle None/Sub/Up by row so a decoder
+    must actually implement unfiltering (not just inflate) to get the
+    pixels back.
+    """
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (H, W, 3) uint8 RGB")
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        row = pixels[r].reshape(-1)
+        f = r % 3
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub: subtract left neighbor (bpp=3)
+            left = np.concatenate([np.zeros(3, np.uint8), row[:-3]])
+            filt = (row.astype(np.int16) - left).astype(np.uint8)
+        else:  # Up: subtract prior row
+            filt = (row.astype(np.int16) - prior).astype(np.uint8)
+        raw.append(f)
+        raw.extend(filt.tobytes())
+        prior = row
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor PNG into an (H, W, 3) uint8 RGB array.
+
+    The real format walk: signature check, chunk iteration with CRC-32
+    verification of every chunk, IHDR parse (8-bit depth, color type 2,
+    interlace 0 supported), IDAT concatenation + zlib inflate, then
+    per-scanline unfiltering of all five standard filter types
+    (None/Sub/Up/Average/Paeth).
+    """
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">II5B", payload
+            )
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit truecolor non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int16)
+        prior = out[r - 1].astype(np.int16) if r else np.zeros(stride, np.int16)
+        if f == 0:
+            recon = line
+        elif f == 2:  # Up
+            recon = (line + prior) & 0xFF
+        else:
+            # Sub/Average/Paeth need the reconstructed left neighbor —
+            # sequential in pixels, vector across channels (bpp=3)
+            recon = np.zeros(stride, dtype=np.int16)
+            for i in range(0, stride, 3):
+                a = recon[i - 3 : i] if i else np.zeros(3, np.int16)
+                b = prior[i : i + 3]
+                c = prior[i - 3 : i] if i else np.zeros(3, np.int16)
+                x = line[i : i + 3]
+                if f == 1:  # Sub
+                    recon[i : i + 3] = (x + a) & 0xFF
+                elif f == 3:  # Average
+                    recon[i : i + 3] = (x + (a + b) // 2) & 0xFF
+                elif f == 4:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    recon[i : i + 3] = (x + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+        out[r] = recon.astype(np.uint8)
+    return np.ascontiguousarray(out.reshape(h, w, 3))
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Decode a binary image payload by sniffing the format magic.
 
-    BMP and binary PPM (P6) decode natively (pure numpy, above). Other
-    formats (PNG/JPEG) need a compression codec not present in this
-    container and raise — wire PIL/libvips here in deploy environments;
-    the Spark plumbing (binary column, Arrow-batched mapInPandas) is
-    format-agnostic.
+    BMP, binary PPM (P6), and 8-bit truecolor PNG decode natively
+    (pure numpy + stdlib zlib, above). JPEG needs a DCT codec not
+    present in this container and raises — wire PIL/libvips here in
+    deploy environments; the Spark plumbing (binary column,
+    Arrow-batched mapInPandas) is format-agnostic.
     """
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        "only BMP/PPM decode without an imaging library; plug PIL/libvips "
-        "for PNG/JPEG in deploy environments"
+        "only BMP/PPM/PNG decode without an imaging library; plug "
+        "PIL/libvips for JPEG in deploy environments"
     )

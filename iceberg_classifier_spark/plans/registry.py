@@ -202,6 +202,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         recsysx,
         sysx,
         econx2,
+        multimodal6,
     )
 
     keys = list(REGISTRY)

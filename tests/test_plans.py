@@ -1483,3 +1483,16 @@ def test_round4ae_wave52_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4af_wave53_plan_shapes(spark, sf_dir):
+    """Wave 53: both codecs run inside ONE Arrow-batched mapInPandas
+    (ArrowEvalPython/MapInPandas in the plan is the intended shape;
+    row-at-a-time BatchEvalPython is not) with a pushed doc filter
+    on the PNG path."""
+    plan = plan_of(spark, sf_dir, "multimodal_png_decode")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "multimodal_mulaw_snr")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
