@@ -203,6 +203,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         sysx,
         econx2,
         multimodal6,
+        statx2,
     )
 
     keys = list(REGISTRY)

@@ -1496,3 +1496,15 @@ def test_round4af_wave53_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "multimodal_mulaw_snr")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round4ag_wave54_plan_shapes(spark, sf_dir):
+    """Wave 54: NW's 20-point grid broadcasts against the calendar
+    frame; Cpk is one map-side pass; the paradox audit joins the
+    edge list against broadcast-or-shuffled degree frames — no
+    row-Python, no cartesian."""
+    for name in ("nadaraya_watson_regression", "process_capability_cpk",
+                 "friendship_paradox_audit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
