@@ -204,6 +204,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         econx2,
         multimodal6,
         statx2,
+        causalx,
     )
 
     keys = list(REGISTRY)

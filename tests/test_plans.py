@@ -1508,3 +1508,17 @@ def test_round4ag_wave54_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ah_wave55_plan_shapes(spark, sf_dir):
+    """Wave 55: CEM is one broadcast-dim join pass to a strata frame;
+    the Bloom bit table broadcasts to the probe side; k-NN's pair
+    join is calendar-bounded — no row-Python, no cartesian over
+    fact rows."""
+    plan = plan_of(spark, sf_dir, "coarsened_exact_matching_att")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    for name in ("bloom_fpp_calibration", "knn_loo_regression_daily"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
