@@ -205,6 +205,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         multimodal6,
         statx2,
         causalx,
+        otx,
     )
 
     keys = list(REGISTRY)

@@ -1522,3 +1522,14 @@ def test_round4ah_wave55_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ai_wave56_plan_shapes(spark, sf_dir):
+    """Wave 56: Sinkhorn's 10 scaling rounds run on 5-element vector
+    frames against the 25-cell kernel (linear chain); EXP3 folds a
+    bounded TakeOrdered prefix — no row-Python, no cartesian over
+    fact rows."""
+    for name in ("sinkhorn_transport_plan", "exp3_bandit_replay"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
