@@ -206,6 +206,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         statx2,
         causalx,
         otx,
+        nmfx,
     )
 
     keys = list(REGISTRY)

@@ -1533,3 +1533,14 @@ def test_round4ai_wave56_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4aj_wave57_plan_shapes(spark, sf_dir):
+    """Wave 57: NMF's factor algebra runs on 10/14-row frames after
+    one matrix aggregation (localCheckpoint truncates per-round
+    lineage); Lorenz is a histogram prefix walk — no row-Python,
+    no cartesian over fact rows."""
+    for name in ("nmf_multiplicative_updates", "lorenz_curve_deciles"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
