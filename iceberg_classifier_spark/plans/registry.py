@@ -207,6 +207,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         causalx,
         otx,
         nmfx,
+        matchx,
     )
 
     keys = list(REGISTRY)

@@ -1544,3 +1544,14 @@ def test_round4aj_wave57_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ak_wave58_plan_shapes(spark, sf_dir):
+    """Wave 58: GS folds 50 fixed elements over the 25-cell
+    preference frame with a bounded stability-audit join; SJF/FCFS
+    are two prefix windows over 40 jobs — no row-Python, no
+    cartesian over fact rows."""
+    for name in ("gale_shapley_assignment", "sjf_vs_fcfs_flowtime"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
