@@ -419,7 +419,12 @@ def test_decode_image_rejects_unknown_formats():
 
     from iceberg_classifier_spark.functions.imaging import decode_image
 
+    # JPEG (SOI magic) has no codec in this container -> explicit stub
     with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0....")
+    # PNG now decodes for real, so a truncated PNG is a MALFORMED file
+    # (ValueError), not an unsupported format
+    with _pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
 
 
