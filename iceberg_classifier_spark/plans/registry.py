@@ -208,6 +208,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         otx,
         nmfx,
         matchx,
+        ratingx,
     )
 
     keys = list(REGISTRY)

@@ -1555,3 +1555,16 @@ def test_round4ak_wave58_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4al_wave59_plan_shapes(spark, sf_dir):
+    """Wave 59: Elo folds the bounded day-contest stream; Fisher's
+    two-year predicate reaches the scan; Holm runs on the 10-row
+    pair frame — no row-Python, no cartesian over fact rows."""
+    plan = plan_of(spark, sf_dir, "price_index_fisher")
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan
+    for name in ("elo_rating_replay", "holm_stepdown_welch"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
