@@ -209,6 +209,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         nmfx,
         matchx,
         ratingx,
+        graphx2,
     )
 
     keys = list(REGISTRY)

@@ -1568,3 +1568,15 @@ def test_round4al_wave59_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4am_wave60_plan_shapes(spark, sf_dir):
+    """Wave 60: SimRank iterates on the bounded nation-pair frame
+    after one fact pass; Verhoeff is stateless per-row fold work;
+    the keyspace estimator pushes its modulo predicate — no
+    row-Python, no cartesian over fact rows."""
+    for name in ("simrank_nations", "verhoeff_checksum_audit",
+                 "keyspace_cardinality_estimate"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
