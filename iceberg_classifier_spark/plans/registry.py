@@ -210,6 +210,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         matchx,
         ratingx,
         graphx2,
+        anomx,
     )
 
     keys = list(REGISTRY)

@@ -1580,3 +1580,14 @@ def test_round4am_wave60_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4an_wave61_plan_shapes(spark, sf_dir):
+    """Wave 61: S-H-ESD's rounds are ordered windows + TakeOrdered
+    over the bounded calendar frame (localCheckpoint truncates
+    lineage); circular stats is one stateless moment pass — no
+    row-Python, no cartesian."""
+    for name in ("seasonal_hybrid_esd", "circular_stats_dow"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
