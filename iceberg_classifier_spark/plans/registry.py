@@ -211,6 +211,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         ratingx,
         graphx2,
         anomx,
+        dpx,
     )
 
     keys = list(REGISTRY)

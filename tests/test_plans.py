@@ -1591,3 +1591,15 @@ def test_round4an_wave61_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ao_wave62_plan_shapes(spark, sf_dir):
+    """Wave 62: the forward fold walks the bounded day frame; the
+    Wagner-Whitin DP folds 12 elements with the 1995 predicate on
+    the scan — no row-Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "wagner_whitin_lotsize")
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "hmm_forward_likelihood")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
