@@ -212,6 +212,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         graphx2,
         anomx,
         dpx,
+        barcodex,
     )
 
     keys = list(REGISTRY)

@@ -1603,3 +1603,15 @@ def test_round4ao_wave62_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "hmm_forward_likelihood")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4ap_wave63_plan_shapes(spark, sf_dir):
+    """Wave 63: the EAN kernel is one Arrow-batched mapInPandas over
+    the key-sampled frame (modulo predicate pushed); the Parzen
+    grid crosses 201 fixed points with the bounded histogram."""
+    plan = plan_of(spark, sf_dir, "multimodal_ean13_decode")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "parzen_mode_estimate")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
