@@ -213,6 +213,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         anomx,
         dpx,
         barcodex,
+        scmx,
     )
 
     keys = list(REGISTRY)

@@ -1615,3 +1615,14 @@ def test_round4ap_wave63_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "parzen_mode_estimate")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4aq_wave64_plan_shapes(spark, sf_dir):
+    """Wave 64: synthetic control crosses a fixed 1771-weight grid
+    with the 24-month frame; Kemeny costs 120 permutations against
+    the 20-cell preference matrix — no row-Python, no cartesian
+    over fact rows (the fixed candidate-set crosses broadcast)."""
+    for name in ("synthetic_control_grid", "kemeny_rank_aggregation"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
