@@ -214,6 +214,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         dpx,
         barcodex,
         scmx,
+        flowx,
     )
 
     keys = list(REGISTRY)

@@ -1626,3 +1626,13 @@ def test_round4aq_wave64_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ar_wave65_plan_shapes(spark, sf_dir):
+    """Wave 65: the min-cut enumeration crosses fixed 32x32 masks
+    with bounded capacity frames; apportionment ranks a 100-row
+    quotient frame — no row-Python, no cartesian over fact rows."""
+    for name in ("maxflow_mincut_bipartite", "dhondt_seat_apportionment"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
