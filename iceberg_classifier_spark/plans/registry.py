@@ -215,6 +215,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         barcodex,
         scmx,
         flowx,
+        tsdbx,
     )
 
     keys = list(REGISTRY)

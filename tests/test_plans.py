@@ -1636,3 +1636,13 @@ def test_round4ar_wave65_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4as_wave66_plan_shapes(spark, sf_dir):
+    """Wave 66: Gorilla is two per-user lag windows + a global
+    combine; Morris folds a bounded prefix — no row-Python, no
+    cartesian."""
+    for name in ("gorilla_dod_encoding_audit", "morris_counter_replay"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
