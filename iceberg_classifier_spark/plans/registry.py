@@ -216,6 +216,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         scmx,
         flowx,
         tsdbx,
+        spatx,
     )
 
     keys = list(REGISTRY)

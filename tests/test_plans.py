@@ -1646,3 +1646,13 @@ def test_round4as_wave66_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4at_wave67_plan_shapes(spark, sf_dir):
+    """Wave 67: Gi* works on the fixed 432-cell grid with a 9-offset
+    broadcast join; the LSM fold walks the calendar frame with
+    O(levels) state — no row-Python, no cartesian over fact rows."""
+    for name in ("getis_ord_gi_star", "lsm_compaction_model_replay"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
