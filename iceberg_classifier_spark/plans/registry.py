@@ -217,6 +217,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         flowx,
         tsdbx,
         spatx,
+        auctx,
     )
 
     keys = list(REGISTRY)

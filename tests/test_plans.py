@@ -1656,3 +1656,13 @@ def test_round4at_wave67_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4au_wave68_plan_shapes(spark, sf_dir):
+    """Wave 68: the auction is fixed-size algebra on one wide row
+    after a broadcast-dim pass; AICc is one moment row + Cramer
+    closed forms — no row-Python, no cartesian."""
+    for name in ("gsp_vs_vcg_auction", "polynomial_aicc_selection"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
