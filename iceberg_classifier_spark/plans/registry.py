@@ -218,6 +218,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         tsdbx,
         spatx,
         auctx,
+        finx2,
     )
 
     keys = list(REGISTRY)

@@ -1666,3 +1666,15 @@ def test_round4au_wave68_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4av_wave69_plan_shapes(spark, sf_dir):
+    """Wave 69: IRR's rounds are 12-row NPV aggregations with year
+    predicates pushed to the scans; duration is one moment pass —
+    no row-Python, no cartesian over fact rows."""
+    plan = plan_of(spark, sf_dir, "duration_convexity_cashflow")
+    assert "PushedFilters: [" in plan
+    assert "BatchEvalPython" not in plan
+    plan = plan_of(spark, sf_dir, "irr_bisection")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
