@@ -219,6 +219,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         spatx,
         auctx,
         finx2,
+        contrastx,
     )
 
     keys = list(REGISTRY)

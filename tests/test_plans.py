@@ -1678,3 +1678,13 @@ def test_round4av_wave69_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "irr_bisection")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4aw_wave70_plan_shapes(spark, sf_dir):
+    """Wave 70: InfoNCE's pair work is batch-blocked (equi-join on
+    the batch key, never corpus^2); the JSD matrix lives on the
+    source x vocab frame — no row-Python, no cartesian."""
+    for name in ("infonce_loss_eval", "source_vocab_jsd_matrix"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
