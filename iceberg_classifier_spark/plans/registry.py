@@ -220,6 +220,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         auctx,
         finx2,
         contrastx,
+        dspx,
     )
 
     keys = list(REGISTRY)

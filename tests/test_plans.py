@@ -1688,3 +1688,13 @@ def test_round4aw_wave70_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ax_wave71_plan_shapes(spark, sf_dir):
+    """Wave 71: all three ops are stateless per-row map work into
+    small aggregates — no row-Python, no cartesian."""
+    for name in ("goertzel_tone_detect", "hash_avalanche_audit",
+                 "key_prime_factor_audit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
