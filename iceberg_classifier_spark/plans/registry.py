@@ -221,6 +221,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         finx2,
         contrastx,
         dspx,
+        privx2,
     )
 
     keys = list(REGISTRY)

@@ -1698,3 +1698,13 @@ def test_round4ax_wave71_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4ay_wave72_plan_shapes(spark, sf_dir):
+    """Wave 72: t-closeness is cumulative windows on the bounded
+    (QI, status) cell frame; the stopping rule is per-year windows
+    — no row-Python, no cartesian over fact rows."""
+    for name in ("t_closeness_audit", "secretary_problem_replay"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
