@@ -222,6 +222,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         contrastx,
         dspx,
         privx2,
+        votx,
     )
 
     keys = list(REGISTRY)

@@ -1708,3 +1708,11 @@ def test_round4ay_wave72_plan_shapes(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round4az_wave73_plan_shapes(spark, sf_dir):
+    """Wave 73: the majority graph is 10 duel cells off the bounded
+    day frame — no row-Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "copeland_condorcet_check")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
