@@ -223,6 +223,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         dspx,
         privx2,
         votx,
+        cryptx,
     )
 
     keys = list(REGISTRY)

@@ -1716,3 +1716,11 @@ def test_round4az_wave73_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "copeland_condorcet_check")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4ba_wave74_plan_shapes(spark, sf_dir):
+    """Wave 74: Shamir sharing is one stateless modular-math map pass
+    into a single aggregate — no row-Python, no cartesian."""
+    plan = plan_of(spark, sf_dir, "shamir_secret_sharing_audit")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
