@@ -49,7 +49,7 @@ _BIG = 1 << 50  # DP sentinel, far above any reachable path cost
     )
     SELECT CAST(e1.src AS BIGINT) AS a, CAST(e1.dst AS BIGINT) AS b,
            CAST(e2.dst AS BIGINT) AS c,
-           round((e1.w + e2.w + e3.w) / 10000.0, 2) AS cycle_value
+           CAST((e1.w + e2.w + e3.w + 50) // 100 AS DOUBLE) / 100 AS cycle_value
     FROM he e1
     JOIN he e2 ON e1.dst = e2.src
     JOIN he e3 ON e2.dst = e3.src AND e3.dst = e1.src
@@ -114,9 +114,20 @@ def motif_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.src").cast("bigint").alias("a"),
             F.col("e1.dst").cast("bigint").alias("b"),
             F.col("e2.dst").cast("bigint").alias("c"),
-            F.round(
-                (F.col("e1.w") + F.col("e2.w") + F.col("e3.w")) / 10000.0, 2
-            ).alias("cycle_value"),
+            # round(s/10000, 2) HALF_UP done in exact int64 — (s+50) div 100
+            # is the rounded value in cents; the final /100 maps an exact
+            # integer to the identical double on every engine (no x.xx5
+            # double boundary, the bug the sf0.01 oracle caught at r4).
+            (
+                ((F.col("e1.w") + F.col("e2.w") + F.col("e3.w") + F.lit(50)))
+                .cast("bigint")
+            ).alias("_s"),
+        )
+        .select(
+            "a",
+            "b",
+            "c",
+            (F.expr("_s div 100").cast("double") / 100).alias("cycle_value"),
         )
         .orderBy("a", "b", "c")
     )

@@ -82,7 +82,7 @@ def _heavy_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
            CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
-           round(wsum / 10000.0, 2) AS cycle_value,
+           CAST((wsum + 50) // 100 AS DOUBLE) / 100 AS cycle_value,
            (NOT EXISTS (SELECT 1 FROM he x
                         WHERE x.src = quad.a AND x.dst = quad.c)
             AND NOT EXISTS (SELECT 1 FROM he x
@@ -143,7 +143,12 @@ def motif_trade_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").cast("bigint").alias("b"),
             F.col("c").cast("bigint").alias("c"),
             F.col("d").cast("bigint").alias("d"),
-            F.round(F.col("wsum") / 10000.0, 2).alias("cycle_value"),
+            # exact int64 HALF_UP — see motif_trade_triangles (advanced.py):
+            # round(s/10000, 2) == ((s+50) div 100) / 100 with no double
+            # x.xx5 boundary for either engine to disagree on.
+            (F.expr("(wsum + 50) div 100").cast("double") / 100).alias(
+                "cycle_value"
+            ),
             (F.col("xa").isNull() & F.col("xb").isNull()).alias("chordless"),
         )
         .orderBy("a", "b", "c", "d")
