@@ -188,6 +188,8 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG (chunk extends past end of data)")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -209,8 +211,13 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT decompression failed: {exc}") from exc
     stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch (truncated IDAT)")
     out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         f = raw[r * (stride + 1)]

@@ -25,6 +25,47 @@ _L_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
 # RFM customer segmentation
 # ---------------------------------------------------------------------------
 
+
+def _distributed_ntile(df: DataFrame, nb: int, sort_cols, out: str) -> DataFrame:
+    """Exact ``ntile(nb) OVER (ORDER BY sort_cols)`` without the
+    single-partition sort ``WindowExec`` would use: range-repartition on the
+    sort key (a parallel sampled range shuffle, the same primitive a
+    distributed ORDER BY uses), rank locally inside each ordered range, then
+    add per-partition row-count offsets — a #partitions-sized driver fetch,
+    scale-independent. The rank→bucket map is then pure arithmetic
+    (first ``n % nb`` buckets hold ``n div nb + 1`` rows), so the bucket
+    assignment is bit-identical to the oracle's ntile for any total order
+    (sort_cols must end in a unique tiebreak so no ties straddle ranges).
+    """
+    d = df.repartitionByRange(*sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    d = d.localCheckpoint(eager=False)  # pin partitioning: count + rank reuse it
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(c for _, c in counts)
+    offs, acc = [], 0
+    for pid, c in counts:
+        offs.append((pid, acc))
+        acc += c
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(offs, "pid int, _off bigint")
+    )
+    q, r = divmod(total, nb) if total else (0, 0)
+    rank = (
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols))
+        + F.col("_off")
+    )
+    d = d.join(off, d["_pid"] == off["pid"]).withColumn("_rk", rank)
+    first_block = r * (q + 1)
+    bucket = F.when(
+        F.col("_rk") <= first_block, F.ceil(F.col("_rk") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("_rk") - first_block) / F.greatest(F.lit(q), F.lit(1))))
+    return d.withColumn(out, bucket.cast("int")).drop("_pid", "pid", "_off", "_rk")
+
+
 @query(
     "rfm_segments",
     oracle="""
@@ -56,11 +97,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic CRM cube (5×5×5) marketing teams drive campaigns from.
 
     Scale: the fact-sized work is one groupBy(custkey) with map-side
-    combine; the three ntile windows sort only the per-customer aggregate.
-    At extreme customer cardinality the exact ntiles swap for
-    approx-percentile boundaries broadcast into a single map pass —
-    the segment aggregate stays ≤125 rows either way. Tiebreak by custkey
-    makes every quintile assignment deterministic.
+    combine. The three quintile assignments are exact ntile semantics but
+    run as range-repartitioned two-phase ranks (``_distributed_ntile``):
+    a parallel range shuffle + per-partition row_number + broadcast
+    offsets — no single-partition WindowExec sort, so hundreds of millions
+    of customers rank in parallel. Tiebreak by custkey makes every
+    quintile assignment deterministic.
     """
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("ck")).agg(
@@ -68,30 +110,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.expr(_O_CENTS)).alias("cents"),
     )
-    # corpus max date as a global window max over the per-customer aggregate
-    # (max of maxes) — one scan of orders, no second-scan scalar subquery
-    scored = (
-        per_cust.withColumn(
-            "recency_days",
-            F.datediff(
-                F.max("last_order").over(Window.partitionBy()), F.col("last_order")
-            ),
-        )
-        .select(
-            "recency_days",
-            "frequency",
-            "cents",
-            F.ntile(5)
-            .over(Window.orderBy("recency_days", "ck"))
-            .alias("r_q"),
-            F.ntile(5)
-            .over(Window.orderBy(F.desc("frequency"), "ck"))
-            .alias("f_q"),
-            F.ntile(5)
-            .over(Window.orderBy(F.desc("cents"), "ck"))
-            .alias("m_q"),
-        )
+    # corpus max date: 1-row aggregate broadcast into the frame (no
+    # unpartitioned window max, which would single-partition the customers)
+    maxd = per_cust.agg(F.max("last_order").alias("_corpus_max"))
+    scored = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
+        "recency_days", F.datediff(F.col("_corpus_max"), F.col("last_order"))
     )
+    scored = _distributed_ntile(scored, 5, [F.col("recency_days").asc(), F.col("ck").asc()], "r_q")
+    scored = _distributed_ntile(scored, 5, [F.col("frequency").desc(), F.col("ck").asc()], "f_q")
+    scored = _distributed_ntile(scored, 5, [F.col("cents").desc(), F.col("ck").asc()], "m_q")
     return (
         scored.groupBy("r_q", "f_q", "m_q")
         .agg(

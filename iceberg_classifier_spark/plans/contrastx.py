@@ -284,16 +284,13 @@ def source_vocab_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
     )
+    # top-vocab via TakeOrdered (parallel per-partition top-k), not an
+    # unpartitioned row_number over the full corpus vocabulary
     vocab = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "w",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cnt"), "w"))
-            .alias("rk"),
-        )
-        .where(F.col("rk") <= _JSD_VOCAB)
+        .orderBy(F.desc("cnt"), "w")
+        .limit(_JSD_VOCAB)
         .select("w")
     )
     sw = (

@@ -354,14 +354,10 @@ def bigram_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads = (
         cnt.groupBy("w1")
         .agg(F.sum("n").cast("bigint").alias("head_total"))
-        .withColumn(
-            "hr",
-            F.row_number().over(
-                Window.orderBy(F.col("head_total").desc(), "w1")
-            ),
-        )
-        .filter(F.col("hr") <= 20)
-        .drop("hr")
+        # top-20 heads via TakeOrdered (parallel per-partition top-k +
+        # driver merge), not a vocabulary-sized unpartitioned row_number
+        .orderBy(F.col("head_total").desc(), "w1")
+        .limit(20)
     )
     ranked = cnt.withColumn(
         "rn",

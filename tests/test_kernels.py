@@ -541,6 +541,17 @@ def test_png_codec_roundtrip_and_crc():
     bad[-5] ^= 0xFF  # corrupt IEND CRC
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
+    # truncation mid-IDAT must raise ValueError, not leak struct.error
+    whole = encode_png(pix)
+    ihdr_end = 8 + 12 + 13  # signature + IHDR chunk (13-byte payload)
+    for cut in (ihdr_end + 6, ihdr_end + 10, len(whole) - 2):
+        with _pytest.raises(ValueError):
+            decode_png(whole[:cut])
+    # oversized declared chunk length must also raise ValueError
+    oversize = bytearray(whole)
+    oversize[ihdr_end : ihdr_end + 4] = (1 << 24).to_bytes(4, "big")
+    with _pytest.raises(ValueError):
+        decode_png(bytes(oversize))
 
 
 def test_png_decoder_handles_average_and_paeth_filters():
