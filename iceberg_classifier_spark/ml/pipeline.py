@@ -121,6 +121,7 @@ def prob_of_one(model: PipelineModel, df: DataFrame) -> DataFrame:
 class CVResult:
     oof: DataFrame  # (id, y, fold, prob) out-of-fold predictions
     test_pred: DataFrame  # (id, prob) averaged over folds
+    train_pred: DataFrame | None = None  # (id, y, fold, prob) in-fold
 
 
 def kfold_cv(
@@ -130,13 +131,18 @@ def kfold_cv(
     id_col: str,
     k: int = 4,
     model: str = "logreg",
+    with_train_pred: bool = False,
 ) -> CVResult:
     """myAngleCV (main.py:248-317) on MLlib: stratified folds, per-fold fit,
-    OOF preds on the held-out fold, test preds averaged over the K models."""
+    OOF preds on the held-out fold, test preds averaged over the K models.
+    ``with_train_pred`` additionally scores each fold model on its OWN
+    training rows (fold column = the model's fold index) — the in-sample
+    predictions a did-the-optimizer-work self-check needs."""
     folds, folds_cache = fit_ready(with_stratified_folds(train, "y", id_col, k))
     pipe = build_pipeline(feature_cols, model)
     oof_parts: list[DataFrame] = []
     test_parts: list[DataFrame] = []
+    train_parts: list[DataFrame] = []
     for j in range(k):
         tr = folds.where(F.col("fold") != j)
         ho = folds.where(F.col("fold") == j)
@@ -147,13 +153,24 @@ def kfold_cv(
         test_parts.append(
             prob_of_one(m, test).select(id_col, F.col("prob").alias(f"p{j}"))
         )
+        if with_train_pred:
+            train_parts.append(
+                prob_of_one(m, tr).select(
+                    id_col, "y", F.lit(j).alias("fold"), "prob"
+                )
+            )
     oof = oof_parts[0]
     for part in oof_parts[1:]:
         oof = oof.unionByName(part)
+    train_pred = None
+    if with_train_pred:
+        train_pred = train_parts[0]
+        for part in train_parts[1:]:
+            train_pred = train_pred.unionByName(part)
     tp = test_parts[0]
     for j, part in enumerate(test_parts[1:], start=1):
         tp = tp.join(part, id_col)
     avg = sum(F.col(f"p{j}") for j in range(1, k)) + F.col("p0")
     test_pred = tp.select(F.col(id_col), (avg / k).alias("prob"))
     folds_cache.unpersist()
-    return CVResult(oof=oof, test_pred=test_pred)
+    return CVResult(oof=oof, test_pred=test_pred, train_pred=train_pred)

@@ -329,11 +329,13 @@ def duplicate_payment_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nt AS (
       SELECT CAST(sum(n) AS BIGINT) AS nt FROM endings
     ), tot AS (
+      -- chi2 = sum (n_i - N/100)^2 / (N/100) = S / (100 N) with
+      -- S = sum (100 n_i - N)^2 exact; round half-up to 4dp in integers:
+      -- r = (20000 S + 100 N) div (200 N)
       SELECT max(x.nt) AS nt,
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list((e.n - x.nt / 100.0) * (e.n - x.nt / 100.0)
-                    / (x.nt / 100.0) ORDER BY e.ending)),
-               (a, v) -> a + v) AS chi2
+             (20000 * sum(CAST(100 * e.n - x.nt AS HUGEINT)
+                          * (100 * e.n - x.nt)) + 100 * max(x.nt))
+               // (200 * max(x.nt)) AS r4
       FROM endings e CROSS JOIN nt x
     ), top AS (
       SELECT ending, n FROM endings
@@ -344,8 +346,8 @@ def duplicate_payment_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.ending, t.n,
            CAST(t.n * 1000000 // s.nt AS BIGINT) AS share_ppm,
            CAST(10000 AS BIGINT) AS uniform_ppm,
-           round(s.chi2, 4) AS chi2_all_endings,
-           CASE WHEN s.chi2 > 123.225 THEN 1 ELSE 0 END AS reject_05
+           CAST(s.r4 AS DOUBLE) / 10000 AS chi2_all_endings,
+           CASE WHEN s.r4 > 1232250 THEN 1 ELSE 0 END AS reject_05
     FROM top t CROSS JOIN tot s
     ORDER BY rank
     """,
@@ -359,8 +361,12 @@ def price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure (real charges spread endings; invented and .99-priced
     amounts don't).
 
-    Determinism: ending counts are exact integers; the 100-term χ²
-    folds in ending order; shares are integer ppm.
+    Determinism: ending counts are exact integers; χ² uses the exact
+    closed form S/(100N) with S = Σ(100·nᵢ − N)² kept in wide integers
+    (decimal(38,0) / HUGEINT) and HALF_UP-rounded to 4dp by integer
+    division — order-independent and engine-exact, no double fold at a
+    representation boundary (the r4→r5 sf0.01 sweep caught the old
+    float fold landing on a 4dp half); shares are integer ppm.
 
     Scale: one map-side-combined groupBy over a map-side expression;
     the test runs on the 100-row ending dimension; top-10 is
@@ -372,18 +378,22 @@ def price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ending"
         )
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    wall = Window.partitionBy()
-    with_tot = endings.withColumn("nt", F.sum("n").over(wall))
-    tot = with_tot.agg(
-        F.max("nt").cast("bigint").alias("nt"),
-        F.expr(
-            """
-            aggregate(transform(array_sort(collect_list(struct(ending,
-                (n - nt / 100.0) * (n - nt / 100.0) / (nt / 100.0)
-                  AS vv))), s -> s.vv), CAST(0.0 AS DOUBLE),
-              (a, v) -> a + v)
-            """
-        ).alias("chi2"),
+    nt1 = endings.agg(F.sum("n").cast("bigint").alias("nt"))
+    tot = (
+        endings.crossJoin(F.broadcast(nt1))
+        .agg(
+            F.max("nt").alias("nt"),
+            F.sum(
+                (100 * F.col("n") - F.col("nt")).cast("decimal(38,0)")
+                * (100 * F.col("n") - F.col("nt"))
+            ).alias("s2"),
+        )
+        .select(
+            "nt",
+            F.expr(
+                "CAST((20000 * s2 + 100 * nt) div (200 * nt) AS BIGINT)"
+            ).alias("r4"),
+        )
     )
     top = endings.orderBy(F.desc("n"), "ending").limit(10)
     return (
@@ -399,8 +409,8 @@ def price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "share_ppm"
             ),
             F.lit(10000).cast("bigint").alias("uniform_ppm"),
-            F.round("chi2", 4).alias("chi2_all_endings"),
-            F.when(F.col("chi2") > 123.225, 1)
+            (F.col("r4").cast("double") / 10000).alias("chi2_all_endings"),
+            F.when(F.col("r4") > 1232250, 1)
             .otherwise(0)
             .alias("reject_05"),
         )

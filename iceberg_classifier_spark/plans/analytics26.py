@@ -132,10 +132,10 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_DELAY} AS t,
              row_number() OVER (PARTITION BY o.o_custkey
                ORDER BY o.o_orderdate, o.o_orderkey,
-                        l.l_linenumber) AS rf,
+                        l.l_linenumber, l.l_shipdate) AS rf,
              row_number() OVER (PARTITION BY o.o_custkey
                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC,
-                        l.l_linenumber DESC) AS rl
+                        l.l_linenumber DESC, l.l_shipdate DESC) AS rl
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ), pairs AS (
       SELECT cust,
@@ -202,13 +202,21 @@ def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         "l_linenumber",
+        "l_shipdate",
         F.expr(_DELAY_SPARK).alias("t"),
     )
+    # l_shipdate completes the tiebreak: the synthetic lineitem carries
+    # duplicate (orderkey, linenumber) rows with different shipdates, and
+    # t is a function of shipdate — without it the rf=1 pick is engine-
+    # dependent (caught by the sf0.01 parity sweep).
     wf = Window.partitionBy("cust").orderBy(
-        "o_orderdate", "o_orderkey", "l_linenumber"
+        "o_orderdate", "o_orderkey", "l_linenumber", "l_shipdate"
     )
     wl = Window.partitionBy("cust").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey"), F.desc("l_linenumber")
+        F.desc("o_orderdate"),
+        F.desc("o_orderkey"),
+        F.desc("l_linenumber"),
+        F.desc("l_shipdate"),
     )
     ranked_orders = base.select(
         "cust",

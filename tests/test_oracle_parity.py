@@ -57,10 +57,38 @@ def test_oracle_parity(name, spark, duck, sf_dir):
             assert mism == 0, f"{name}.{c}: {mism} mismatched cells"
 
 
+# Every rows-only (non-SQL-oracled) entry must carry in-query self-check
+# flag columns, and this test asserts they are all TRUE — a silently
+# degraded fit (model losing to the constant baseline, broken eigenbasis,
+# early stopping never firing) turns the row red instead of passing on
+# `count() >= 0`. A new rows-only query without an entry here fails fast.
+ROWS_ONLY_FLAGS = {
+    "early_stopping_head": ["stopped_early", "best_restored"],
+    "mllib_als_recs": ["sane"],
+    "mllib_gbt": ["train_beats_baseline", "val_not_degenerate"],
+    "mllib_grid_search_cv": ["beats_baseline"],
+    "mllib_kmeans": ["fit_ok"],
+    "mllib_logreg_cv": ["train_beats_baseline", "oof_not_degenerate"],
+    "mllib_mlp_cv": ["train_beats_baseline", "oof_not_degenerate"],
+    "mllib_pca": ["spectrum_ok", "variance_accounting_ok"],
+    "mllib_word2vec": ["sane"],
+    "tta_ten_crop_predict": ["sane"],
+}
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(name, spark, sf_dir):
-    df = REGISTRY[name].fn(spark, sf_dir)
-    assert df.count() >= 0
+def test_rows_only_self_checks(name, spark, sf_dir):
+    assert name in ROWS_ONLY_FLAGS, (
+        f"{name}: rows-only query must declare its self-check flag columns"
+    )
+    rows = REGISTRY[name].fn(spark, sf_dir).collect()
+    assert len(rows) > 0, f"{name}: empty result"
+    for flag in ROWS_ONLY_FLAGS[name]:
+        bad = [r for r in rows if not r[flag]]
+        assert not bad, (
+            f"{name}: self-check flag {flag!r} is FALSE on {len(bad)}/"
+            f"{len(rows)} rows — the fit degraded; first: {bad[0]}"
+        )
 
 
 def test_entry_smoke(spark):
