@@ -81,9 +81,10 @@ _NCE_TAU = 0.1
     )
     SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_batches,
            CAST(count(*) AS BIGINT) AS n_anchors,
-           round(sum(loss_micro) * 1.0 / count(*) / 1000000.0, 6)
-             AS mean_infonce_loss,
-           round(sum(top1) * 1.0 / count(*), 6) AS retrieval_acc,
+           CAST((2 * sum(loss_micro) + count(*)) // (2 * count(*))
+             AS DOUBLE) / 1000000 AS mean_infonce_loss,
+           CAST((2000000 * sum(top1) + count(*)) // (2 * count(*))
+             AS DOUBLE) / 1000000 AS retrieval_acc,
            round(avg(pos_s), 6) AS mean_positive_sim,
            round(avg(neg_s), 6) AS mean_negative_sim
     FROM per_anchor
@@ -203,12 +204,16 @@ def infonce_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_anchor.agg(
         F.countDistinct("b").cast("bigint").alias("n_batches"),
         F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
-        F.round(
-            F.sum("loss_micro") * 1.0 / F.count(F.lit(1)) / 1000000.0, 6
+        # integer HALF_UP (see motif_trade_triangles): round(a/b, 6) as
+        # ((2e6*a + b) div (2b)) / 1e6 — no double half boundary
+        F.expr(
+            "CAST((2 * sum(loss_micro) + count(*)) div (2 * count(*))"
+            " AS DOUBLE) / 1000000"
         ).alias("mean_infonce_loss"),
-        F.round(F.sum("top1") * 1.0 / F.count(F.lit(1)), 6).alias(
-            "retrieval_acc"
-        ),
+        F.expr(
+            "CAST((2000000 * sum(top1) + count(*)) div (2 * count(*))"
+            " AS DOUBLE) / 1000000"
+        ).alias("retrieval_acc"),
         F.round(F.avg("pos_s"), 6).alias("mean_positive_sim"),
         F.round(F.avg("neg_s"), 6).alias("mean_negative_sim"),
     )

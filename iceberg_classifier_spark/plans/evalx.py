@@ -318,9 +318,10 @@ _MTLD_SPARK = _mtld_step("a[0]", "a[1]", "a[2]", "a[3]", "x[0]", "x[1]")
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(sum(m) * 1.0 / count(*) / 1000000.0, 6) AS mean_mtld,
-           round(min(m) / 1000000.0, 6) AS min_mtld,
-           round(max(m) / 1000000.0, 6) AS max_mtld
+           CAST((2 * sum(m) + count(*)) // (2 * count(*)) AS DOUBLE)
+             / 1000000 AS mean_mtld,
+           CAST(min(m) AS DOUBLE) / 1000000 AS min_mtld,
+           CAST(max(m) AS DOUBLE) / 1000000 AS max_mtld
     FROM micro GROUP BY lang ORDER BY lang
     """,
 )
@@ -404,11 +405,14 @@ def mtld_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.round(
-                F.sum("m") * 1.0 / F.count(F.lit(1)) / 1000000.0, 6
+            # integer HALF_UP mean + exact micro-int min/max (6dp values
+            # need no float round at all)
+            F.expr(
+                "CAST((2 * sum(m) + count(*)) div (2 * count(*))"
+                " AS DOUBLE) / 1000000"
             ).alias("mean_mtld"),
-            F.round(F.min("m") / 1000000.0, 6).alias("min_mtld"),
-            F.round(F.max("m") / 1000000.0, 6).alias("max_mtld"),
+            (F.min("m").cast("double") / 1000000).alias("min_mtld"),
+            (F.max("m").cast("double") / 1000000).alias("max_mtld"),
         )
         .orderBy("lang")
     )

@@ -67,10 +67,16 @@ from iceberg_classifier_spark.sources.tables import load
     )
     SELECT CAST(count(*) AS BIGINT) AS n_users,
            CAST(sum(acc[7]) AS BIGINT) AS n_jobs,
-           round(sum(acc[4]) / sum(acc[7]) / 1000000.0, 6)
-             AS mean_wait_s,
-           round(max(acc[5]) / 1000000.0, 6) AS max_wait_s,
-           round(sum(acc[6]) / sum(acc[7]), 6) AS p_wait
+           CAST((2 * CAST(sum(acc[4]) AS BIGINT)
+                 + CAST(sum(acc[7]) AS BIGINT))
+                // (2 * CAST(sum(acc[7]) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS mean_wait_s,
+           CAST(CAST(max(acc[5]) AS BIGINT) AS DOUBLE) / 1000000
+             AS max_wait_s,
+           CAST((2000000 * CAST(sum(acc[6]) AS BIGINT)
+                 + CAST(sum(acc[7]) AS BIGINT))
+                // (2 * CAST(sum(acc[7]) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS p_wait
     FROM folded
     """,
 )
@@ -125,17 +131,22 @@ def lindley_queue_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum(F.element_at("acc", 7)).cast("bigint").alias("n_jobs"),
-        F.round(
-            F.sum(F.element_at("acc", 4))
-            / F.sum(F.element_at("acc", 7))
-            / 1000000.0,
-            6,
+        # the Lindley accumulators are integer-valued doubles (micro units
+        # and counts), so the 6dp emits round in exact int64 HALF_UP —
+        # ((2e6*a + b) div (2b)) / 1e6 — instead of a double boundary
+        F.expr(
+            "CAST((2 * CAST(sum(element_at(acc, 4)) AS BIGINT)"
+            " + CAST(sum(element_at(acc, 7)) AS BIGINT))"
+            " div (2 * CAST(sum(element_at(acc, 7)) AS BIGINT)) AS DOUBLE) / 1000000"
         ).alias("mean_wait_s"),
-        F.round(F.max(F.element_at("acc", 5)) / 1000000.0, 6).alias(
-            "max_wait_s"
-        ),
-        F.round(
-            F.sum(F.element_at("acc", 6)) / F.sum(F.element_at("acc", 7)), 6
+        (
+            F.max(F.element_at("acc", 5)).cast("bigint").cast("double")
+            / 1000000
+        ).alias("max_wait_s"),
+        F.expr(
+            "CAST((2000000 * CAST(sum(element_at(acc, 6)) AS BIGINT)"
+            " + CAST(sum(element_at(acc, 7)) AS BIGINT))"
+            " div (2 * CAST(sum(element_at(acc, 7)) AS BIGINT)) AS DOUBLE) / 1000000"
         ).alias("p_wait"),
     )
 
