@@ -1,0 +1,231 @@
+"""Corpus-curation wave 9: the FUSED end-to-end curation pipeline — the
+single most-used LLM-pretraining data shape, chaining every stage the repo
+already exposes piecemeal (quality filter -> exact dedup -> benchmark
+decontamination -> token-budget selection) into one plan with per-stage
+observability counters, the way a production corpus build actually runs.
+
+Reference analogy: the reference repo's train.json -> filtered/augmented
+training set assembly (main.py:61-133 data prep feeding main.py:248-317
+training) — here generalized to the corpus-curation funnel a 100 TB text
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.plans.registry import query
+from iceberg_classifier_spark.sources.tables import load
+
+_TOKS = "string_split(trim(text), ' ')"
+_QMIN = 330_000  # lexical-diversity floor, micro units (u*1e6 div n)
+_NMIN, _NMAX = 10, 5000  # token bounds
+_GRAM = 8  # decontamination n-gram size
+_BUDGET_DIV = 4  # budget = clean token mass div 4
+
+
+@query(
+    "curated_corpus_pipeline",
+    headline=True,
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, text, len({_TOKS}) AS n,
+             len(list_distinct({_TOKS})) AS u,
+             doc_id % 7 = 0 AS is_eval
+      FROM documents
+    ), train AS (
+      SELECT *, (u * 1000000) // n AS q FROM corpus
+      WHERE NOT is_eval AND n > 0
+    ), qkept AS (
+      SELECT * FROM train
+      WHERE n BETWEEN {_NMIN} AND {_NMAX} AND q >= {_QMIN}
+    ), dkept AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (
+          PARTITION BY array_to_string({_TOKS}[1:{_GRAM}], ' ')) AS rep
+        FROM qkept) WHERE doc_id = rep
+    ), evg AS (
+      SELECT DISTINCT g.gram FROM (
+        SELECT unnest(list_transform(
+                 generate_series({_GRAM}, len({_TOKS})),
+                 i -> array_to_string({_TOKS}[i - {_GRAM - 1}:i], ' ')))
+               AS gram
+        FROM documents WHERE doc_id % 7 = 0
+          AND len({_TOKS}) >= {_GRAM}) g
+    ), contaminated AS (
+      SELECT DISTINCT d.doc_id FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series({_GRAM}, len({_TOKS})),
+                 i -> array_to_string({_TOKS}[i - {_GRAM - 1}:i], ' ')))
+               AS gram
+        FROM dkept WHERE len({_TOKS}) >= {_GRAM}) d
+      JOIN evg USING (gram)
+    ), clean AS (
+      SELECT k.* FROM dkept k LEFT JOIN contaminated c USING (doc_id)
+      WHERE c.doc_id IS NULL
+    ), b AS (
+      SELECT CAST(sum(n) // {_BUDGET_DIV} AS BIGINT) AS budget FROM clean
+    ), sel AS (
+      SELECT * FROM (
+        SELECT clean.*, sum(n) OVER (ORDER BY q DESC, doc_id) AS s
+        FROM clean) cum CROSS JOIN b WHERE cum.s <= b.budget
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_ord, 'corpus' AS stage, '*' AS lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens FROM corpus
+      UNION ALL
+      SELECT 2, 'train_after_eval_holdout', '*', count(*),
+             CAST(sum(n) AS BIGINT) FROM train
+      UNION ALL
+      SELECT 3, 'quality_kept', '*', count(*), CAST(sum(n) AS BIGINT)
+      FROM qkept
+      UNION ALL
+      SELECT 4, 'dedup_kept', '*', count(*), CAST(sum(n) AS BIGINT)
+      FROM dkept
+      UNION ALL
+      SELECT 5, 'decontaminated', '*', count(*), CAST(sum(n) AS BIGINT)
+      FROM clean
+      UNION ALL
+      SELECT 6, 'budget_selected', '*', count(*), CAST(sum(n) AS BIGINT)
+      FROM sel
+      UNION ALL
+      SELECT 7, 'budget_selected', lang, count(*), CAST(sum(n) AS BIGINT)
+      FROM sel GROUP BY lang
+    ) ORDER BY stage_ord, lang
+    """,
+)
+def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused LLM-corpus curation funnel, one registered plan:
+
+    1. eval holdout (``doc_id % 7 = 0`` stands in for the benchmark suite)
+    2. quality filter — token bounds + integer lexical diversity
+       (``unique*1e6 div n >= 0.33e6``; exact integers, no float boundary)
+    3. prefix-fingerprint dedup — keep the min-doc_id representative per
+       8-token document prefix (the boilerplate/prefix-dup collapse of
+       Lee et al.'s dedup study, subsuming exact dedup; partitioned
+       window keyed on the prefix — production uses xxhash64(prefix))
+    4. benchmark decontamination — drop survivors sharing any verbatim
+       8-gram with the eval slice (eval gram set is benchmark-sized →
+       broadcast; the corpus side never shuffles for this stage)
+    5. token-budget selection — greedy by quality until ``Σn div 4`` of
+       the clean token mass, via the repo's two-level distributed prefix
+       sum (bucket offsets broadcast + within-bucket partitioned cumsum —
+       no corpus-wide single-partition sort)
+
+    Emits the per-stage observability counters (docs, tokens) the
+    `observe_pipeline_metrics` pattern tracks, plus the selected set's
+    per-language composition — the funnel report a data-mixing run reads.
+
+    Scale: stages 1-2 are one codegen'd scan; stage 3 is THE data-sized
+    shuffle; stage 4 is an explode + broadcast semi-join on the already-
+    reduced survivor set; stage 5 windows are bucket-partitioned. At
+    cluster scale, persist the ``dkept`` survivor frame once — every
+    later stage (gram branch, budget branch, stage counters) re-reads
+    that cached minority instead of rescanning the raw corpus.
+
+    Parity vs the stage-by-stage singles: quality_filter_pipeline,
+    dedup (exact), decontaminate_8gram, token_budget_selection.
+    """
+    toks = F.split(F.trim("text"), " ")
+    corpus = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("u"),
+        (F.col("doc_id") % 7 == 0).alias("is_eval"),
+    )
+    train = (
+        corpus.where(~F.col("is_eval") & (F.col("n") > 0))
+        .withColumn("q", F.expr("(u * 1000000) div n"))
+    )
+    qkept = train.where(
+        F.col("n").between(_NMIN, _NMAX) & (F.col("q") >= _QMIN)
+    )
+    prefix_fp = F.expr(
+        f"array_join(slice(split(trim(text), ' '), 1, {_GRAM}), ' ')"
+    )
+    dkept = (
+        qkept.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy(prefix_fp))
+        )
+        .where(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+    )
+    gram_expr = F.explode(
+        F.expr(
+            f"transform(sequence(1, size(split(trim(text), ' ')) - {_GRAM - 1}),"
+            f" i -> array_join(slice(split(trim(text), ' '), i, {_GRAM}), ' '))"
+        )
+    ).alias("gram")
+    evg = (
+        load(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 7 == 0) & (F.size(toks) >= _GRAM))
+        .select(gram_expr)
+        .distinct()
+    )
+    contaminated = (
+        dkept.where(F.size(F.split(F.trim("text"), " ")) >= _GRAM)
+        .select("doc_id", gram_expr)
+        .join(F.broadcast(evg), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dkept.join(contaminated, "doc_id", "left_anti")
+    budget = clean.agg(
+        F.expr(f"sum(n) div {_BUDGET_DIV}").cast("bigint").alias("budget")
+    )
+    # two-level distributed prefix sum in (q DESC, doc_id) order
+    cb = clean.withColumn("qb", F.expr("q div 4096"))
+    bkt = cb.groupBy("qb").agg(F.sum("n").alias("bn"))
+    off = bkt.select(
+        "qb",
+        (
+            F.sum("bn").over(Window.partitionBy().orderBy(F.desc("qb")))
+            - F.col("bn")
+        ).alias("off"),
+    )
+    wl = (
+        Window.partitionBy("qb")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        cb.join(F.broadcast(off), "qb")
+        .withColumn("s", F.col("off") + F.sum("n").over(wl))
+        .crossJoin(F.broadcast(budget))
+        .where(F.col("s") <= F.col("budget"))
+    )
+
+    def stage(ord_: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.lit("*").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        ).select("stage_ord", "stage", "lang", "n_docs", "n_tokens")
+
+    per_lang = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    ).select(
+        F.lit(7).alias("stage_ord"),
+        F.lit("budget_selected").alias("stage"),
+        "lang",
+        "n_docs",
+        "n_tokens",
+    )
+    return (
+        stage(1, "corpus", corpus)
+        .unionByName(stage(2, "train_after_eval_holdout", train))
+        .unionByName(stage(3, "quality_kept", qkept))
+        .unionByName(stage(4, "dedup_kept", dkept))
+        .unionByName(stage(5, "decontaminated", clean))
+        .unionByName(stage(6, "budget_selected", sel))
+        .unionByName(per_lang)
+        .orderBy("stage_ord", "lang")
+    )

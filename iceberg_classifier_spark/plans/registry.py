@@ -156,6 +156,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         attribution,
         analytics15,
         curation8,
+        curation9,
         linkage3,
         analytics16,
         search5,

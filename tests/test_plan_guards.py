@@ -1,0 +1,190 @@
+"""Plan-shape guard: no registered query may introduce an unpartitioned
+Window (single-partition global sort) outside the audited allowlist.
+
+The round-4 verdict audited the repo's unpartitioned-window sites: the
+entries below are all windows over BOUNDED frames (day/bucket/decile/top-k
+dimensions, post-limit frames, broadcast scalars) where a single partition
+is the right plan. Row-scale offenders (rfm_segments' customer ntiles,
+bigram_next_word's vocabulary rank, source_vocab_jsd_matrix's vocab rank)
+were de-globalized in round 5 and must stay out of this list.
+
+If this test fails with a NEW query name: either repartition the window
+(de-globalize) or — only if the window provably runs over a bounded
+dimension frame — add the name here with that justification in the commit.
+If it fails with a STALE name (allowlisted query no longer has the
+window), remove the name so the list stays an exact audit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_classifier_spark.plans.registry import load_all_queries
+
+REGISTRY = load_all_queries()
+
+# queries audited as bounded-frame unpartitioned-window users (see module
+# docstring). Regenerate with scripts/gen_window_allowlist.py.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "aa_test_calibration",
+    "abc_xyz_classification",
+    "acf_daily_counts",
+    "anderson_darling_normality",
+    "ar2_yule_walker_forecast",
+    "bass_diffusion_fit",
+    "bayes_ab_grid",
+    "benford_digit_audit",
+    "benjamini_hochberg_fdr",
+    "binseg_changepoints",
+    "bm25_search",
+    "boolean_retrieval_and",
+    "bootstrap_ci_poisson",
+    "calibration_reliability_bins",
+    "champion_list_retrieval",
+    "cliffs_delta_priority",
+    "cms_heavy_hitters",
+    "colbert_maxsim_retrieval",
+    "competing_risks_cif",
+    "concat_chunk_packing",
+    "copeland_condorcet_check",
+    "cramer_von_mises_two_sample",
+    "curated_corpus_pipeline",
+    "curriculum_quality_schedule",
+    "decision_stump_split",
+    "delong_auc_comparison",
+    "dhondt_seat_apportionment",
+    "dirichlet_ql_search",
+    "domain_mix_weights",
+    "duplicate_payment_detection",
+    "eb_shrunken_rates",
+    "elo_rating_replay",
+    "embedding_label_separation",
+    "engle_granger_cointegration",
+    "epoch_shuffle_shards",
+    "equi_depth_histogram_stats",
+    "err_ranking_eval",
+    "events_funnel",
+    "fisher_exact_test",
+    "growth_accounting_daily",
+    "gsp_vs_vcg_auction",
+    "hill_tail_index",
+    "histogram_binning_rules",
+    "hmm_forward_likelihood",
+    "hodges_lehmann_location",
+    "holm_stepdown_welch",
+    "hurst_exponent_rs",
+    "id_gap_audit",
+    "inequality_indices",
+    "interval_inflight_peak",
+    "isotonic_regression_daily",
+    "itemitem_cosine_topk",
+    "kaplan_meier_shipping",
+    "kelly_criterion_daily",
+    "km_greenwood_ci",
+    "kruskal_wallis_priority",
+    "ks_two_sample",
+    "lang_id_confusion",
+    "late_arrival_watermark_audit",
+    "lift_gain_deciles",
+    "link_prediction_jaccard",
+    "logrank_ship_delay",
+    "lorenz_curve_deciles",
+    "mahalanobis_outliers_2d",
+    "mann_whitney_u",
+    "mllib_word2vec",
+    "mood_median_test",
+    "mtbf_availability",
+    "negative_sampling_pairs",
+    "nelson_aalen_hazard",
+    "neyman_allocation_sample",
+    "page_hinkley_drift",
+    "page_trend_test",
+    "pareto_revenue_share",
+    "parzen_mode_estimate",
+    "peak_detection_daily",
+    "periodogram_daily",
+    "permutation_importance_auc",
+    "phrase_search",
+    "pr_auc_exact",
+    "price_ending_bias",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q20_promo_suppliers",
+    "rake_keyphrases",
+    "rank_correlation_daily",
+    "ransac_line_fit",
+    "recursive_cte_reachability",
+    "revenue_recognition_waterfall",
+    "rmst_shipping",
+    "roc_auc_exact",
+    "rocchio_prf",
+    "rrf_hybrid_fusion",
+    "rsi_wilder_daily",
+    "runs_test_daily",
+    "sax_daily_motifs",
+    "seasonal_dow_index",
+    "secretary_problem_replay",
+    "session_path_topk",
+    "shapiro_francia_normality",
+    "sharpe_sortino_daily",
+    "shingle_novelty_curve",
+    "sjf_vs_fcfs_flowtime",
+    "skyline_orders_2d",
+    "slo_burn_rate_alerts",
+    "sprt_sequential_test",
+    "successive_halving_replay",
+    "tail_dependence_daily",
+    "tdigest_quantile_merge",
+    "team_draft_interleaving",
+    "temporal_split_leakage_audit",
+    "token_budget_selection",
+    "ts_decomposition_daily",
+    "two_pass_median",
+    "uplift_stratified",
+    "var_cvar_daily",
+    "variance_ratio_test",
+    "vocab_oov_rate",
+    "wagner_whitin_lotsize",
+    "weibull_rank_regression",
+    "welch_ttest_priority",
+    "wilcoxon_signed_rank",
+    "wilson_ci_ranking",
+    "woe_iv_binning",
+    "zipf_token_fit",
+}
+
+
+def _unpartitioned_window_count(df) -> int:
+    plan = df._jdf.queryExecution().optimizedPlan()
+    n = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in ("Window", "WindowGroupLimit"):
+            try:
+                if node.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:  # noqa: BLE001 — node variant without spec
+                pass
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return n
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unaudited_unpartitioned_windows(name, spark, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    n = _unpartitioned_window_count(df)
+    if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+        assert n > 0, (
+            f"{name}: allowlisted but no unpartitioned Window remains — "
+            "remove it from UNPARTITIONED_WINDOW_ALLOWLIST"
+        )
+    else:
+        assert n == 0, (
+            f"{name}: {n} unpartitioned Window node(s) in the optimized "
+            "plan — a single-partition global sort. De-globalize (range-"
+            "repartition + offsets, TakeOrdered, broadcast scalar agg) or "
+            "audit the frame as bounded and allowlist it."
+        )
