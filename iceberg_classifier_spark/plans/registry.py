@@ -90,6 +90,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         mlpipe,
         multimodal,
         streaming_q,
+        streaming_q2,
         advanced,
         advanced2,
         advanced3,
