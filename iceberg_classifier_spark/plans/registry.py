@@ -91,6 +91,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         multimodal,
         streaming_q,
         streaming_q2,
+        dedup3,
         advanced,
         advanced2,
         advanced3,

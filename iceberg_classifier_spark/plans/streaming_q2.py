@@ -129,7 +129,11 @@ def _doc_thirds_stream(spark: SparkSession, sf_dir: str):
     )
 
 
-_BANDS_ORACLE = f"""
+def _bands_oracle(src: str = "documents") -> str:
+    """CTE chain computing (doc_id, band, key) LSH band keys for ``src``
+    — the DuckDB mirror of ``_band_keys`` (same md5-prefix base hash +
+    universal-hash family as dedup_minhash_lsh's oracle)."""
+    return f"""
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -137,7 +141,7 @@ _BANDS_ORACLE = f"""
                i -> string_split(text, ' ')[i] || ' ' ||
                     string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2])) AS s
-      FROM documents
+      FROM {src}
     ), hs AS (
       SELECT doc_id, list_transform(s, sg ->
         list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -159,6 +163,9 @@ _BANDS_ORACLE = f"""
       FROM hashed GROUP BY 1, 2
     )
 """
+
+
+_BANDS_ORACLE = _bands_oracle("documents")
 
 
 @query(

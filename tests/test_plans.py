@@ -1724,3 +1724,64 @@ def test_round4ba_wave74_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "shamir_secret_sharing_audit")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round5_curated_pipeline_plan_shapes(spark, sf_dir):
+    """Round-5 fused curation funnel: the decontamination join must be a
+    broadcast of the eval gram set (the corpus side never shuffles for
+    that stage), no cartesian, no row-Python."""
+    plan = plan_of(spark, sf_dir, "curated_corpus_pipeline")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_round5_skewed_dedup_has_no_band_selfjoin(spark, sf_dir):
+    """Hot-bucket hardening: dedup_minhash_skewed must decide dedup via
+    associative per-bucket aggregation, NEVER a band-key self-join —
+    the O(bucket²) pair blowup an all-identical corpus triggers. The
+    crisp invariant: no band-keyed Join may have the band-key generator
+    (Generate/posexplode) on BOTH sides — one side must already be the
+    aggregated bucket-min frame."""
+    df = REGISTRY["dedup_minhash_skewed"].fn(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan()
+
+    def side_is_raw_bands(node) -> bool:
+        """True if a Generate (the band-key posexplode) is reachable from
+        this join side WITHOUT passing through an Aggregate — i.e. the
+        side still carries one row per (doc, band) at full bucket
+        cardinality. An Aggregate collapses the bucket, so anything below
+        it is safe."""
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n.nodeName() == "Aggregate":
+                continue  # collapsed — don't descend
+            if n.nodeName() == "Generate":
+                return True
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
+    band_joins = 0
+    stack = [opt]
+    while stack:
+        node = stack.pop()
+        ch = node.children()
+        if node.nodeName() == "Join":
+            cond = str(node.condition())
+            if "band" in cond:
+                band_joins += 1
+                raw_sides = sum(
+                    side_is_raw_bands(ch.apply(i)) for i in range(2)
+                )
+                assert raw_sides <= 1, (
+                    "band-key SELF-join found: un-aggregated band keys on "
+                    "both sides — the hot-bucket O(n²) plan"
+                )
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    assert band_joins >= 1, "expected a band-keyed join in the plan"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
