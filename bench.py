@@ -33,16 +33,23 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
         # best-of-3: the first run may pay codegen/JIT compilation for this
         # query's operators, and single runs carry ±20% scheduler noise on
-        # a busy host; the min is the steady-state number
-        best = float("inf")
+        # a busy host; the min is the steady-state number. The median is
+        # reported alongside so a round-over-round delta can be classified:
+        # min moved ⇒ the plan changed; only median moved ⇒ host noise
+        # (methodology note per round-4 verdict task 8 — top_customers'
+        # +21% was noise on an unchanged plan).
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        times[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     out = {
@@ -50,6 +57,10 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
+        "runs_per_query": 3,
+        "method": "min of 3 per query after one warmup pass; medians "
+        "reported to separate plan regressions from scheduler noise",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -142,9 +142,14 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.where(~F.col("is_eval") & (F.col("n") > 0))
         .withColumn("q", F.expr("(u * 1000000) div n"))
     )
+    # cached: the quality survivors feed the dedup window, the gram
+    # branch, the budget/offset aggs AND four stage counters — one
+    # materialization instead of per-branch lineage recompute (the frame
+    # is survivor-sized, the same persist-the-minority note in the
+    # docstring; precedent: dedup_minhash_lsh's sig.cache())
     qkept = train.where(
         F.col("n").between(_NMIN, _NMAX) & (F.col("q") >= _QMIN)
-    )
+    ).cache()
     prefix_fp = F.expr(
         f"array_join(slice(split(trim(text), ' '), 1, {_GRAM}), ' ')"
     )
@@ -174,7 +179,7 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = dkept.join(contaminated, "doc_id", "left_anti")
+    clean = dkept.join(contaminated, "doc_id", "left_anti").cache()
     budget = clean.agg(
         F.expr(f"sum(n) div {_BUDGET_DIV}").cast("bigint").alias("budget")
     )
