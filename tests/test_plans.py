@@ -172,15 +172,24 @@ def test_geo_ops_are_grid_blocked(spark, sf_dir):
 
 
 def test_single_scan_moment_ops(spark, sf_dir):
-    """rfm/welch derive their global references (corpus max date, total
-    moments) from window functions over the tiny pre-aggregate — the fact
-    table is scanned exactly once, with no scalar-subquery second scan."""
-    for name in ("rfm_segments", "welch_ttest_priority"):
-        plan = plan_of(spark, sf_dir, name)
-        assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, (
-            f"{name}: fact table scanned more than once"
-        )
-        assert "Join" not in plan, f"{name}: unexpected join"
+    """welch derives its global moments from window functions over the
+    tiny pre-aggregate — the fact table is scanned exactly once, with no
+    scalar-subquery second scan. rfm_segments (round 5) ranks with the
+    range-repartitioned two-phase distributed ntile, whose per-partition
+    offset map joins back as a BROADCAST of a #partitions-sized frame —
+    so broadcast joins are expected there, but never a sort-merge join
+    and never a single-partition WindowExec sort (the plan-guards test
+    pins the latter)."""
+    plan = plan_of(spark, sf_dir, "welch_ttest_priority")
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2, (
+        "welch_ttest_priority: fact table scanned more than once"
+    )
+    assert "Join" not in plan, "welch_ttest_priority: unexpected join"
+    plan = plan_of(spark, sf_dir, "rfm_segments")
+    assert "SortMergeJoin" not in plan, (
+        "rfm_segments: offset joins must broadcast, not sort-merge"
+    )
+    assert "CartesianProduct" not in plan
 
 
 def test_proration_and_pit_join_once(spark, sf_dir):
