@@ -467,3 +467,38 @@ def test_luhn_fold_matches_reference():
     got = dict(duckdb.execute(sql).fetchall())
     for n in ids:
         assert got[n] == luhn_check_digit(n), f"id {n}"
+
+
+def test_distributed_ntile_matches_exact_semantics(spark):
+    """_distributed_ntile (range repartition + per-partition row_number +
+    broadcast offsets) must reproduce exact ntile(nb) bucket assignment —
+    first n % nb buckets hold n div nb + 1 rows — for assorted sizes,
+    including n < nb and tie-heavy keys (tiebreak column makes the order
+    total)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_classifier_spark.plans.analytics import _distributed_ntile
+
+    rng = random.Random(7)
+    for n, nb in [(1, 5), (3, 5), (7, 4), (23, 5), (40, 8)]:
+        rows = [(i, rng.randint(0, 3)) for i in range(n)]
+        df = spark.createDataFrame(rows, "ck int, v int")
+        got = {
+            r["ck"]: r["b"]
+            for r in _distributed_ntile(
+                df, nb, [F.col("v").asc(), F.col("ck").asc()], "b"
+            ).collect()
+        }
+        order = sorted(rows, key=lambda r: (r[1], r[0]))
+        q, rem = divmod(n, nb)
+        expected = {}
+        pos = 0
+        for b in range(1, nb + 1):
+            size = q + (1 if b <= rem else 0)
+            for _ in range(size):
+                if pos < n:
+                    expected[order[pos][0]] = b
+                    pos += 1
+        assert got == expected, f"n={n} nb={nb}: {got} != {expected}"
