@@ -266,17 +266,27 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (batch_id, n_docs, n_docs - n_vs - n_in, n_vs, n_in)
         )
         # MERGE all seen keys (accepted AND rejected — the rule is "any
-        # lower doc shares", so every seen key gates future arrivals)
-        merged = keys.select("band", "band_hash")
+        # lower doc shares", so every seen key gates future arrivals).
+        # APPEND-ONLY: only keys not already in the store are written, so
+        # each increment costs O(new keys), never an O(history) store
+        # rewrite — at 100 TB/day the rewrite would dominate the job.
+        new_keys = keys.select("band", "band_hash").dropDuplicates(
+            ["band", "band_hash"]
+        )
         if store_versions:
-            merged = merged.unionByName(
-                sess.read.parquet(store_versions[-1])
+            new_keys = new_keys.join(
+                sess.read.parquet(store_versions[0]),
+                ["band", "band_hash"],
+                "left_anti",
             )
-        out = os.path.join(state_root, f"v{batch_id}")
-        merged.dropDuplicates(["band", "band_hash"]).write.mode(
-            "overwrite"
-        ).parquet(out)
-        store_versions.append(out)
+        store_dir = (
+            store_versions[0]
+            if store_versions
+            else os.path.join(state_root, "store")
+        )
+        new_keys.write.mode("append").parquet(store_dir)
+        if not store_versions:
+            store_versions.append(store_dir)
         keys.unpersist()
 
     with streaming_shuffle(spark):
