@@ -47,7 +47,7 @@ _CENTS_W = (
       FROM ranked GROUP BY 1
     )
     SELECT decile, n_customers,
-           round(dec_cents / 10000.0, 2) AS decile_revenue,
+           CAST((dec_cents + 50) // 100 AS DOUBLE) / 100 AS decile_revenue,
            round(CAST(sum(dec_cents) OVER (ORDER BY decile) AS BIGINT) * 1.0
                  / CAST(sum(dec_cents) OVER () AS BIGINT), 6) AS cum_share
     FROM dec ORDER BY decile
@@ -117,7 +117,12 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.select(
             "decile",
             "n_customers",
-            F.round(F.col("dec_cents") / 10000.0, 2).alias("decile_revenue"),
+            # exact int64 HALF_UP (motif_trade_triangles convention): the
+            # cents×pct sum has a true 4dp expansion, so rounding the
+            # double quotient to 2dp sits on half-cent boundaries
+            (F.expr("(dec_cents + 50) div 100").cast("double") / 100).alias(
+                "decile_revenue"
+            ),
             F.round(
                 F.sum("dec_cents").over(Window.orderBy("decile"))
                 * 1.0

@@ -263,7 +263,8 @@ _UCB_SCALE = 1000000.0  # rewards are µ$/event integers; UCB term scaled
              WHEN 0 THEN 'click' WHEN 1 THEN 'error'
              WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
              ELSE 'view' END AS arm_name,
-           round(u.s.rew / 10000.0, 2) AS reward_cents
+           CAST((CAST(u.s.rew AS BIGINT) + 50) // 100 AS DOUBLE) / 100
+             AS reward_cents
     FROM folded, unnest(list_transform(range(1, len(days) + 1),
       i -> struct_pack(day := days[CAST(i AS INTEGER)].day,
                        pick := st[CAST(11 + i AS INTEGER)],
@@ -368,12 +369,14 @@ def ucb_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pick == 3, "signup")
         .otherwise("view")
         .alias("arm_name"),
-        F.round(
+        # exact int64 HALF_UP (motif convention): µ$ rewards have a true
+        # 4dp cents expansion — never round the double quotient at 2dp
+        (
             F.expr(
-                "CAST(element_at(s.rs, CAST(element_at(st,"
-                " CAST(12 + i AS INT)) + 1 AS INT)) AS DOUBLE)"
-            )
-            / 10000.0,
-            2,
+                "(CAST(element_at(s.rs, CAST(element_at(st,"
+                " CAST(12 + i AS INT)) + 1 AS INT)) AS BIGINT) + 50)"
+                " div 100"
+            ).cast("double")
+            / 100
         ).alias("reward_cents"),
     ).orderBy("day")
