@@ -455,8 +455,8 @@ _HT_T_SQL = "CASE band WHEN 0 THEN 200 WHEN 1 THEN 2000 ELSE 10000 END"
       FROM tagged GROUP BY band
     )
     SELECT band, threshold, n_pop, n_sampled, pop_cents, sampled_cents,
-           round(sampled_cents * 10000.0 / threshold / 100.0, 2)
-             AS ht_dollars,
+           CAST((20000 * sampled_cents + threshold) // (2 * threshold)
+                AS DOUBLE) / 100 AS ht_dollars,
            round(pop_cents / 100.0, 2) AS true_dollars
     FROM bands
     UNION ALL
@@ -465,9 +465,8 @@ _HT_T_SQL = "CASE band WHEN 0 THEN 200 WHEN 1 THEN 2000 ELSE 10000 END"
            CAST(sum(n_sampled) AS BIGINT) AS n_sampled,
            CAST(sum(pop_cents) AS BIGINT) AS pop_cents,
            CAST(sum(sampled_cents) AS BIGINT) AS sampled_cents,
-           round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list(sampled_cents * 10000.0 / threshold / 100.0
-                    ORDER BY band)), (a, v) -> a + v), 2) AS ht_dollars,
+           CAST(sum((20000 * sampled_cents + threshold)
+                    // (2 * threshold)) AS DOUBLE) / 100 AS ht_dollars,
            round(sum(pop_cents) / 100.0, 2) AS true_dollars
     FROM bands
     ORDER BY band
@@ -485,9 +484,9 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the true total it would replace at scale.
 
     Determinism: inclusion is the portable md5-prefix coin; band
-    totals are exact int64 cents; the only float arithmetic is one
-    division per band plus a 3-term band-ordered fold for the pooled
-    estimate.
+    totals are exact int64 cents; band estimates round in exact integer
+    arithmetic and the pooled estimate is their integer sum — no float
+    work anywhere in the estimator.
 
     Scale: banding, the coin, and the inclusion flag are pure map-side
     expressions; one map-side-combined groupBy(band) carries integer
@@ -533,8 +532,13 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         "pop_cents",
         "sampled_cents",
-        F.round(
-            F.col("sampled_cents") * 10000.0 / F.col("threshold") / 100.0, 2
+        # integer HALF_UP (motif convention): round2(sc*100/t) ==
+        # ((20000*sc + t) div (2t)) / 100 — no double decimal boundary
+        (
+            F.expr(
+                "(20000 * sampled_cents + threshold) div (2 * threshold)"
+            ).cast("double")
+            / 100
         ).alias("ht_dollars"),
         F.round(F.col("pop_cents") / 100.0, 2).alias("true_dollars"),
     )
@@ -545,15 +549,17 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sampled").cast("bigint").alias("n_sampled"),
         F.sum("pop_cents").cast("bigint").alias("pop_cents"),
         F.sum("sampled_cents").cast("bigint").alias("sampled_cents"),
-        F.round(
-            F.expr(
-                """
-                aggregate(transform(array_sort(collect_list(struct(band,
-                    sampled_cents * 10000.0 / threshold / 100.0))),
-                  s -> s.col2), CAST(0.0 AS DOUBLE), (a, v) -> a + v)
-                """
-            ),
-            2,
+        # pooled estimate = exact integer sum of the per-band rounded
+        # estimates (order-independent, engine-exact — replaces the old
+        # band-ordered double fold)
+        (
+            F.sum(
+                F.expr(
+                    "(20000 * sampled_cents + threshold)"
+                    " div (2 * threshold)"
+                )
+            ).cast("double")
+            / 100
         ).alias("ht_dollars"),
         F.round(F.sum("pop_cents") / 100.0, 2).alias("true_dollars"),
     )

@@ -45,9 +45,13 @@ _CENTS_V = "CAST(round(value * 100) AS BIGINT)"
       FROM cum WHERE k < n
     )
     SELECT event_type, day AS changepoint_day,
-           round(abs(n * sk - k * sn) * 1.0 / (n * n), 2) AS shift_score,
-           round(sk * 1.0 / k / 100.0, 2) AS mean_before,
-           round((sn - sk) * 1.0 / (n - k) / 100.0, 2) AS mean_after
+           CAST((200 * CAST(abs(n * sk - k * sn) AS HUGEINT) + n * n)
+                // (2 * CAST(n AS HUGEINT) * n) AS DOUBLE) / 100
+             AS shift_score,
+           CAST((200 * sk + 100 * k) // (200 * k) AS DOUBLE) / 100
+             AS mean_before,
+           CAST((200 * (sn - sk) + 100 * (n - k)) // (200 * (n - k))
+                AS DOUBLE) / 100 AS mean_after
     FROM scored WHERE r = 1 ORDER BY event_type
     """,
 )
@@ -90,18 +94,28 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("day").alias("changepoint_day"),
-            F.round(score * 1.0 / (F.col("n") * F.col("n")), 2).alias(
-                "shift_score"
-            ),
-            F.round(F.col("sk") * 1.0 / F.col("k") / 100.0, 2).alias(
-                "mean_before"
-            ),
-            F.round(
-                (F.col("sn") - F.col("sk"))
-                * 1.0
-                / (F.col("n") - F.col("k"))
-                / 100.0,
-                2,
+            # integer HALF_UP (motif convention): round2(a/b) ==
+            # ((200a + b) div (2b)) / 100 — exact quotients of exact ints
+            # never round a double at a decimal boundary; the score
+            # numerator goes through decimal(38,0) so 200*|n*sk - k*sn|
+            # cannot overflow int64 at large scale factors
+            (
+                F.expr(
+                    "CAST((200 * CAST(abs(n * sk - k * sn) AS DECIMAL(38,0))"
+                    " + n * n) div (2 * CAST(n AS DECIMAL(38,0)) * n)"
+                    " AS DOUBLE)"
+                )
+                / 100
+            ).alias("shift_score"),
+            (
+                F.expr("(200 * sk + 100 * k) div (200 * k)").cast("double")
+                / 100
+            ).alias("mean_before"),
+            (
+                F.expr(
+                    "(200 * (sn - sk) + 100 * (n - k)) div (200 * (n - k))"
+                ).cast("double")
+                / 100
             ).alias("mean_after"),
         )
         .orderBy("event_type")
