@@ -28,7 +28,7 @@ from iceberg_classifier_spark.plans.dedup import (
     _MH_B_SQL,
 )
 from iceberg_classifier_spark.plans.registry import query
-from iceberg_classifier_spark.sources.tables import load, table_path
+from iceberg_classifier_spark.sources.tables import table_path
 from iceberg_classifier_spark.streaming.events import streaming_shuffle
 
 _ROWS_PER_BAND = N_MINHASH // N_BANDS
