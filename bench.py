@@ -35,7 +35,7 @@ def main() -> None:
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
-        # best-of-3: the first run may pay codegen/JIT compilation for this
+        # best-of-5: the first run may pay codegen/JIT compilation for this
         # query's operators, and single runs carry ±20% scheduler noise on
         # a busy host; the min is the steady-state number. The median is
         # reported alongside so a round-over-round delta can be classified:
@@ -43,7 +43,7 @@ def main() -> None:
         # (methodology note per round-4 verdict task 8 — top_customers'
         # +21% was noise on an unchanged plan).
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -58,8 +58,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_median": medians,
-        "runs_per_query": 3,
-        "method": "min of 3 per query after one warmup pass; medians "
+        "runs_per_query": 5,
+        "method": "min of 5 per query after one warmup pass; medians "
         "reported to separate plan regressions from scheduler noise",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
