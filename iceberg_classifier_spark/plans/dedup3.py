@@ -63,9 +63,9 @@ def dedup_minhash_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets ≥ {_HOT}).
 
     Scale: the decision plan contains NO band-key self-join — the bucket
-    representative is ``min(doc_id) OVER (PARTITION BY band, band_hash)``
-    + a per-doc min, both associative aggregations with map-side partial
-    combine, so the hot bucket costs O(copies) rows through one shuffle
+    representative comes from ``groupBy(band, band_hash).agg(min(doc_id))``
+    joined back per doc, both associative aggregations with map-side
+    partial combine, so the hot bucket costs O(copies) rows through one shuffle
     instead of the O(copies²) pairs the pair-join plan would emit (at 100
     TB with a 1%-boilerplate crawl, that is the difference between a
     10-minute stage and an un-runnable one). The plan-shape test pins
