@@ -206,6 +206,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         sysx,
         econx2,
         multimodal6,
+        multimodal7,
         statx2,
         causalx,
         otx,
