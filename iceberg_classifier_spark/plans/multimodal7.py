@@ -108,7 +108,11 @@ def multimodal_curation_pipeline(
     qkept = lit.where(
         F.expr(f"tot div {_AH_PIX}").between(_BRIGHT_LO, _BRIGHT_HI)
     )
-    h = qkept.select("doc_id", F.expr(_ahash_cols()).alias("ah"))
+    # cached: the (doc_id, ah) frame is two longs per surviving image and
+    # feeds both sides of the band self-join, the anti-join and the stage
+    # counter — without it each branch re-evaluates the 62-step hash
+    # expression over the corpus (measured 40 s → ~3 s at sf0.1)
+    h = qkept.select("doc_id", F.expr(_ahash_cols()).alias("ah")).cache()
     bands_dim = spark.range(0, _AH_BAND).select(
         F.col("id").cast("int").alias("b")
     )
