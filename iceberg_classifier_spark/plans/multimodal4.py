@@ -104,9 +104,12 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(transform(sequence(1, {_AH_PIX}),"
         " i -> ascii(substring(px, i, 1))), 0, (a, x) -> a + x)"
     )
+    # cached: two longs per image, consumed by both band-join sides, the
+    # count and the verify — uncached, every branch re-evaluates the
+    # 62-step hash expression (the multimodal_curation_pipeline fix)
     h = m.withColumn("tot", tot).select(
         "doc_id", F.expr(_ahash_cols()).alias("ah")
-    )
+    ).cache()
     bands_dim = spark.range(0, _AH_BAND).select(
         F.col("id").cast("int").alias("b")
     )
