@@ -352,7 +352,7 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS sy,
              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                       * CAST(round(l_extendedprice * 100) AS BIGINT))
-               AS BIGINT) AS syy
+               AS HUGEINT) AS syy
       FROM lineitem GROUP BY 1
     ), tot AS (
       SELECT CAST(sum(n_x) AS BIGINT) AS n,
@@ -360,7 +360,7 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(n_x * x * x) AS BIGINT) AS sxx,
              CAST(sum(sy) AS BIGINT) AS sy_t,
              CAST(sum(x * sy) AS BIGINT) AS sxy,
-             CAST(sum(syy) AS BIGINT) AS syy_t
+             CAST(sum(syy) AS HUGEINT) AS syy_t
       FROM grp
     ), fit AS (
       SELECT n, sx, sxx, sy_t, sxy, syy_t,
@@ -419,8 +419,8 @@ def press_loocv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side-combined groupBy on 50 quantity values; no
     per-row residual pass, no second scan, no window over the fact
-    table. Sum y^2 in cents^2 stays under int64 through ~sf10; past
-    that the cents unit drops to whole dollars (documented trade).
+    table. Sums of y^2 accumulate in decimal(38,0)/HUGEINT — int64
+    overflows just below sf0.1 (caught by the r5 sf0.1 run sweep).
     """
     li = load(spark, sf_dir, "lineitem")
     cents = "CAST(round(l_extendedprice * 100) AS BIGINT)"
@@ -429,7 +429,10 @@ def press_loocv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_x"),
         F.sum(F.expr(cents)).cast("bigint").alias("sy"),
-        F.sum(F.expr(f"{cents} * {cents}")).cast("bigint").alias("syy"),
+        # cents^2 sums pass 9.2e18 near sf0.1 — accumulate in decimal(38,0)
+        F.sum(F.expr(f"CAST({cents} AS DECIMAL(38,0)) * {cents}")).alias(
+            "syy"
+        ),
     )
     tot = grp.agg(
         F.sum("n_x").cast("bigint").alias("n"),
@@ -439,7 +442,7 @@ def press_loocv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxx"),
         F.sum("sy").cast("bigint").alias("sy_t"),
         F.sum(F.col("x") * F.col("sy")).cast("bigint").alias("sxy"),
-        F.sum("syy").cast("bigint").alias("syy_t"),
+        F.sum("syy").alias("syy_t"),
     )
     fit = tot.select(
         "*",

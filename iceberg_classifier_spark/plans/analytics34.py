@@ -423,7 +423,7 @@ def morans_i_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS s,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)
                       * CAST(round(o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS s2
+               AS HUGEINT) AS s2
       FROM orders GROUP BY 1
     ), vars AS (
       SELECT pri, n_i,
@@ -475,13 +475,17 @@ def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_i"),
         F.sum(F.expr(cents)).cast("bigint").alias("s"),
-        F.sum(F.expr(f"{cents} * {cents}")).cast("bigint").alias("s2"),
+        # cents^2 summed in decimal(38,0): ~2.5e15 per row overflows an
+        # int64 accumulator beyond ~3.7k rows (hit at sf0.1 under ANSI)
+        F.sum(F.expr(f"CAST({cents} AS DECIMAL(38,0)) * {cents}")).alias(
+            "s2"
+        ),
     )
     vars_ = grp.select(
         "pri",
         "n_i",
         (
-            (F.col("s2") - F.col("s") * 1.0 * F.col("s") / F.col("n_i"))
+            (F.col("s2").cast("double") - F.col("s") * 1.0 * F.col("s") / F.col("n_i"))
             / (F.col("n_i") - 1)
         ).alias("v_i"),
     )

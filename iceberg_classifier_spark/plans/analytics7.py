@@ -24,7 +24,8 @@ _NEY_K = 1000  # total sample size to allocate
       FROM o GROUP BY 1
     ), w AS (
       SELECT pri, n_pop,
-             CAST(floor(sqrt(CAST(n_pop * ss - s * s AS DOUBLE))) AS BIGINT)
+             CAST(floor(sqrt(CAST(CAST(n_pop AS HUGEINT) * ss
+                      - CAST(s AS HUGEINT) * s AS DOUBLE))) AS BIGINT)
                AS wgt
       FROM st
     ), t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tot FROM w),
@@ -73,11 +74,19 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("bigint").alias("s"),
         F.sum(F.col("d") * F.col("d")).cast("bigint").alias("ss"),
     )
+    # n_pop*ss and s*s reach ~1e21 at sf0.1 — cross-multiply in
+    # decimal(38,0) (int64 overflows under ANSI); the double conversion
+    # of the exact wide difference matches DuckDB's HUGEINT-to-double
     w = st.select(
         "pri",
         "n_pop",
         F.floor(
-            F.sqrt((F.col("n_pop") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+            F.sqrt(
+                F.expr(
+                    "CAST(CAST(n_pop AS DECIMAL(38,0)) * ss"
+                    " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+                )
+            )
         )
         .cast("bigint")
         .alias("wgt"),

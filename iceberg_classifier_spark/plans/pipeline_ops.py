@@ -516,7 +516,11 @@ def quantile_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "vec_id",
             F.col("pos").cast("bigint").alias("pos"),
-            F.expr("(2 * rk - 1) * 1000000 div (2 * n)")
+            # rk is a 32-bit row_number: widen before *1e6 (overflows
+            # int32 past rank ~1073, hit at sf0.1 under ANSI)
+            F.expr(
+                "(2 * CAST(rk AS BIGINT) - 1) * 1000000 div (2 * n)"
+            )
             .cast("bigint")
             .alias("q_micro"),
         )
