@@ -1,6 +1,7 @@
 """Graph wave 2: neighborhood-overlap link prediction.
 
-Jaccard link prediction scores NON-edges by shared-neighbor overlap —
+Jaccard link prediction scores NON-edges by shared-neighbor overlap
+(over repeat-relationship edges) —
 the classic baseline for "which connections will form next" (friend
 suggestions, vendor recommendations), and a different output semantics
 from similarity search: the candidates must EXCLUDE existing edges via
@@ -16,15 +17,20 @@ from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load
 
 _LP_TOPK = 10
-_LP_MIN_SHARED = 3
+_LP_MIN_SHARED = 2
 
 
 @query(
     "link_prediction_jaccard",
     oracle=f"""
     WITH e AS (
-      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      -- repeat relationships only (>= 2 distinct orders): the edge
+      -- sparsification that makes neighborhood overlap carry signal and
+      -- keeps the blocked self-join linear-ish (one-off purchases make
+      -- every supplier a hub in this uniformly dense graph)
+      SELECT o.o_custkey AS c, l.l_suppkey AS s
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2 HAVING count(DISTINCT o.o_orderkey) >= 2
     ), deg AS (
       SELECT c, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
     ), shared AS (
@@ -73,8 +79,13 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact ints, and the union denominator is inclusion-exclusion
     on exact degrees.
 
-    Scale: the posting-list pair-generation shape (dedup_ngram_jaccard)
-    on the edge list; hub suppliers would be df-capped exactly as
+    Scale: the graph keeps REPEAT relationships only (>= 2 distinct
+    orders) — the standard edge-weight threshold that both carries the
+    actual signal (one-off co-purchases are noise) and bounds the
+    supplier-blocked pair generation: on the uniformly dense raw graph
+    every supplier is a ~600-customer hub and the self-join emits 345M
+    pairs at sf0.1 (measured, 88 s); thresholded it emits ~150k. Hub
+    suppliers that survive the threshold would be df-capped exactly as
     NGRAM_DF_CAP. The exclusion check is a key anti-join, the top-k a
     TakeOrdered merge.
     """
@@ -84,8 +95,10 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             load(spark, sf_dir, "orders"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count_distinct("o_orderkey").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("c", "s")
     )
     deg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     a = e.select(F.col("c").alias("ca"), F.col("s").alias("sa"))
