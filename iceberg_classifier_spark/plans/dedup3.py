@@ -81,7 +81,10 @@ def dedup_minhash_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    keys = _band_keys(docs_sk)
+    # cached: the band keys feed the bucket-min agg, the join-back and
+    # the hot-bucket stats — uncached each branch re-runs the md5 +
+    # 32-hash signature work over the corpus
+    keys = _band_keys(docs_sk).cache()
     # bucket representative via associative window min (map-side combinable
     # in the grouped rewrite below — NEVER a bucket self-join)
     bmin = keys.groupBy("band", "band_hash").agg(
