@@ -118,11 +118,20 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nu = ui.agg(F.countDistinct("u").cast("bigint").alias("n_users"))
     pop = ui.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
     a, b = ui.alias("a"), ui.alias("b")
-    co = (
-        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") != F.col("b.i")))
+    # canonical ia<ib pairs halve the heavy basket-blocked shuffle+agg;
+    # the mirrored direction is restored on the (support-filtered, much
+    # smaller) aggregate, not on the raw pair stream
+    co_half = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
         .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("co_u"))
         .where(F.col("co_u") >= _REC_MIN_CO)
+        .cache()  # read by both union directions
+    )
+    co = co_half.unionByName(
+        co_half.select(
+            F.col("ib").alias("ia"), F.col("ia").alias("ib"), "co_u"
+        )
     )
     pa = pop.select(F.col("i").alias("ia"), F.col("n_u").alias("na"))
     pb = pop.select(F.col("i").alias("ib"), F.col("n_u").alias("nb"))
@@ -138,12 +147,16 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+    # cached: scored feeds the rec ranking AND the ILD pair-similarity
+    # lookup; recs feeds novelty, both ILD sides and the coverage stats —
+    # uncached, every branch re-runs the user-blocked co-occurrence join
+    scored = scored.cache()
     recs = scored.withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("ia").orderBy(F.desc("cosine"), "ib")
         ),
-    ).where(F.col("rk") <= _REC_K)
+    ).where(F.col("rk") <= _REC_K).cache()
     novelty = (
         recs.join(
             F.broadcast(pop.select(F.col("i").alias("ib"), "n_u")), "ib"
