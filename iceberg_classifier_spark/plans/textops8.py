@@ -301,30 +301,44 @@ def rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("source").orderBy("doc_id")
         ),
     ).filter(F.col("tb").isNotNull())
-    lcs_expr = """
-        element_at(
-          aggregate(transform(sequence(1, size(ta)),
-                              i -> CAST(i AS DOUBLE)),
-            transform(sequence(0, size(tb)), x -> CAST(0 AS DOUBLE)),
-            (row, v) -> aggregate(transform(sequence(1, size(tb)),
-                                            j -> CAST(j AS DOUBLE)),
-              array(CAST(0 AS DOUBLE)),
-              (nr, u) -> concat(nr, array(greatest(
-                element_at(row, CAST(u + 1 AS INT)),
-                element_at(nr, CAST(u AS INT)),
-                element_at(row, CAST(u AS INT))
-                  + CASE WHEN element_at(tb, CAST(u AS INT))
-                         = element_at(ta, CAST(v AS INT))
-                    THEN CAST(1 AS DOUBLE)
-                    ELSE CAST(0 AS DOUBLE) END))))),
-          CAST(size(tb) + 1 AS INT))
-    """
+    # the O(cap^2) LCS DP is the textbook Pandas-UDF case: the Catalyst
+    # nested-fold formulation builds a fresh array per cell (O(cap^3)
+    # copies — measured 14 s at sf0.1); the Arrow-batched UDF runs the
+    # classic two-row integer DP per pair (~0.5 s), numerically identical
+    # (integer LCS). The oracle keeps the declarative fold.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the function-local `pd` alias can't resolve at inference;
+    # hint-less pandas_udf defaults to the SCALAR eval type we want
+    @pandas_udf("double")
+    def _lcs(ta_s, tb_s):
+        out = []
+        for A, B in zip(ta_s, tb_s):
+            A = list(A)
+            B = list(B)
+            prev = [0] * (len(B) + 1)
+            for av in A:
+                cur = [0]
+                for j, bv in enumerate(B, start=1):
+                    cur.append(
+                        max(
+                            prev[j],
+                            cur[j - 1],
+                            prev[j - 1] + (1 if av == bv else 0),
+                        )
+                    )
+                prev = cur
+            out.append(float(prev[len(B)]))
+        return pd.Series(out)
+
     scored = pairs.select(
         "source",
         "doc_id",
         F.size("ta").cast("bigint").alias("na"),
         F.size("tb").cast("bigint").alias("nb"),
-        F.expr(lcs_expr).alias("lcs"),
+        _lcs(F.col("ta"), F.col("tb")).alias("lcs"),
     )
     f_col = 2.0 * F.col("lcs") / (F.col("na") + F.col("nb"))
     return (
