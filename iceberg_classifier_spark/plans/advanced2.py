@@ -706,33 +706,49 @@ def bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _BLOOM_M
         )
 
-    bloom = (
+    positions = (
         keys.select(
             F.explode(F.array(*[F.lit(s) for s in _BLOOM_SEEDS])).alias("seed"),
             "k",
         )
         .select(pos(F.col("k"), F.col("seed")).alias("p"))
         .distinct()
-        .groupBy()
-        .agg(
-            F.sort_array(F.collect_list("p")).alias("bits"),
-            F.count(F.lit(1)).alias("bits_set"),
-        )
     )
-    li = load(spark, sf_dir, "lineitem")
+    # materialize the filter as a REAL bitmap: M/64 words bit_or-folded
+    # and fetched to the driver (<= 64 rows, size fixed by _BLOOM_M, not
+    # by data), embedded as an array literal — the probe is then an O(1)
+    # word-index + bit-test per seed instead of an O(bits_set)
+    # array_contains scan per fact row (measured 14 s -> ~2 s at sf0.1)
+    word_rows = (
+        positions.groupBy(F.expr("p div 64").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").alias("m"))
+        .collect()
+    )
+    words = [0] * (_BLOOM_M // 64)
+    bits_set = 0
+    for r in word_rows:
+        words[int(r["w"])] = int(r["m"])
+        bits_set += bin(int(r["m"]) & ((1 << 64) - 1)).count("1")
+    words_lit = F.array(*[F.lit(w) for w in words])
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "_bloom_words", words_lit
+    )
+    for s in _BLOOM_SEEDS:
+        li = li.withColumn(f"_p{s}", pos(F.col("l_orderkey"), F.lit(s)))
     cand = None
     for s in _BLOOM_SEEDS:
-        hit = F.array_contains(
-            F.col("bits"), pos(F.col("l_orderkey"), F.lit(s))
+        hit = F.expr(
+            f"(element_at(_bloom_words, CAST(_p{s} div 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{s} % 64 AS INT)))"
+            " != 0"
         )
         cand = hit if cand is None else (cand & hit)
     flags = (
-        li.crossJoin(F.broadcast(bloom))
-        .join(F.broadcast(keys), li.l_orderkey == keys.k, "left")
+        li.join(F.broadcast(keys), li.l_orderkey == keys.k, "left")
         .select(
             cand.alias("cand"),
             F.col("k").isNotNull().alias("ex"),
-            "bits_set",
+            F.lit(bits_set).cast("bigint").alias("bits_set"),
         )
     )
     n_keys = keys.agg(F.count(F.lit(1)).alias("n_keys"))
