@@ -902,20 +902,28 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10^9 docs the shuffle is 10 rows per partition, not the frame.
     """
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    ent = d.select(
-        "doc_id",
-        F.length("text").cast("bigint").alias("n_chars"),
-        F.expr(
-            """
-            ln(length(text)) - aggregate(
-              array_sort(array_distinct(split(text, ''))),
-              CAST(0.0 AS DOUBLE),
-              (acc, c) -> acc + size(filter(split(text, ''), x -> x = c))
-                          * 1.0D
-                          * ln(size(filter(split(text, ''), x -> x = c)))
-            ) / length(text)
-            """
-        ).alias("h"),
+    # bind the char array and per-distinct-char counts ONCE per row —
+    # interpreted higher-order lambdas don't CSE, so the old inline form
+    # re-split the text and re-filtered it twice per distinct character;
+    # the ≤20-row extremes frames then reuse the cached 3-column ent
+    ent = (
+        d.select("doc_id", F.split("text", "").alias("cs"),
+                 F.length("text").cast("bigint").alias("n_chars"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                """
+                ln(n_chars) - aggregate(
+                  transform(array_sort(array_distinct(cs)),
+                            c -> size(filter(cs, x -> x = c))),
+                  CAST(0.0 AS DOUBLE),
+                  (acc, k) -> acc + k * 1.0D * ln(k)
+                ) / n_chars
+                """
+            ).alias("h"),
+        )
+        .cache()
     )
     lo = ent.orderBy("h", "doc_id").limit(10).withColumn("is_low", F.lit(True))
     hi = (
