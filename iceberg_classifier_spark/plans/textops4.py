@@ -224,7 +224,17 @@ def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
-    assigned = e.crossJoin(F.broadcast(runs)).select(
+    # randomization is per USER: collapse events to per-user sufficient
+    # statistics first (one map-side agg), then expand users × runs — the
+    # md5 coin flips per (user, run), not per (event, run), cutting the
+    # expanded frame by the events-per-user factor; cell sums of the
+    # user partials equal the event-level sums exactly
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"),
+        F.sum("cents").cast("bigint").alias("s_u"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss_u"),
+    )
+    assigned = per_user.crossJoin(F.broadcast(runs)).select(
         "run_id",
         (
             F.conv(
@@ -244,16 +254,15 @@ def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
             % 2
         ).alias("arm"),
-        "cents",
+        "n_u",
+        "s_u",
+        "ss_u",
     )
     cell = assigned.groupBy("run_id", "arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").cast("double").alias("s"),
-        F.sum(F.col("cents") * F.col("cents"))
-        .cast("bigint")
-        .cast("double")
-        .alias("ss"),
-        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("n_u").cast("bigint").alias("n"),
+        F.sum("s_u").cast("bigint").cast("double").alias("s"),
+        F.sum("ss_u").cast("bigint").cast("double").alias("ss"),
+        F.sum("n_u").cast("double").alias("n1"),
     )
 
     def pick(arm, expr):
