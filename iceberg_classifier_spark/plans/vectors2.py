@@ -377,12 +377,21 @@ def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    u = q.select(
-        "label",
-        F.transform(
-            "vi",
-            lambda c: F.round(c * _SEP_SCALE / F.sqrt(self_vi)).cast("long"),
-        ).alias("uv"),
+    # bind the norm once per row (interpreted lambdas don't CSE — inlined,
+    # the normalizer re-ran the full O(dim) dot product per component),
+    # and cache u: both the self-dot and the posexplode branch consume it
+    u = (
+        q.withColumn("_nrm", F.sqrt(self_vi))
+        .select(
+            "label",
+            F.transform(
+                "vi",
+                lambda c: F.round(c * _SEP_SCALE / F.col("_nrm")).cast(
+                    "long"
+                ),
+            ).alias("uv"),
+        )
+        .cache()
     )
     self_u = F.aggregate(
         F.zip_with("uv", "uv", lambda a, b: a * b),
