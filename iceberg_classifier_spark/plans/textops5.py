@@ -420,9 +420,11 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": out_doc, "n_grams": out_ng, "hv": out_hv}
             )
 
+    # cached: the fingerprint rows feed the share count AND the join —
+    # uncached the Python winnowing pass (one md5 per k-gram) runs twice
     fp_rows = d.select("doc_id", "text").mapInPandas(
         select_fps, "doc_id long, n_grams long, hv long"
-    )
+    ).cache()
     shared = fp_rows.groupBy("hv").agg(
         F.countDistinct("doc_id").cast("bigint").alias("nd")
     )
