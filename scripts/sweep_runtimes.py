@@ -1,0 +1,54 @@
+"""Run EVERY registered query once at a given SF and report per-query
+wall time + errors — the whole-surface health sweep (the driver's bench
+only times headline queries; this catches scale bugs and perf outliers
+in the other ~580).
+
+Round-5 finds: 4 int64/int32 overflow crashes at sf0.1 (ANSI mode) and
+a dozen 7-88 s outliers (branch-recomputed expensive frames, O(n^2)
+hot-bucket joins, interpreted-lambda CSE misses) — all fixed.
+
+Usage: python scripts/sweep_runtimes.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from iceberg_classifier_spark.plans.registry import load_all_queries
+    from iceberg_classifier_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweep_times.json"
+    spark = get_spark("sweep")
+    registry = load_all_queries()
+    out: dict[str, object] = {}
+    for name in sorted(registry):
+        t0 = time.perf_counter()
+        try:
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[name] = round(time.perf_counter() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            out[name] = f"ERR {type(exc).__name__}"
+        print(name, out[name], flush=True)
+    json.dump(out, open(out_path, "w"))
+    errs = [k for k, v in out.items() if isinstance(v, str)]
+    slow = sorted(
+        ((v, k) for k, v in out.items() if not isinstance(v, str)),
+        reverse=True,
+    )[:15]
+    print("ERRORS:", errs)
+    print("SLOWEST:", [(k, v) for v, k in slow])
+
+
+if __name__ == "__main__":
+    main()
