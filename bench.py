@@ -59,8 +59,10 @@ def main() -> None:
         "queries": times,
         "queries_median": medians,
         "runs_per_query": 5,
-        "method": "min of 5 per query after one warmup pass; medians "
-        "reported to separate plan regressions from scheduler noise",
+        "method": "min of 5 timed runs per query (the first timed run "
+        "absorbs that query's codegen; one global JVM warmup pass runs "
+        "before any timing); medians reported to separate plan "
+        "regressions from scheduler noise",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -37,15 +37,17 @@ _CENTS_V = "CAST(round(value * 100) AS BIGINT)"
       FROM daily
     ), scored AS (
       SELECT event_type, day, k, n,
-             abs(n * sk - k * sn) AS score,
+             abs(CAST(n AS HUGEINT) * sk - CAST(k AS HUGEINT) * sn) AS score,
              row_number() OVER (
                PARTITION BY event_type
-               ORDER BY abs(n * sk - k * sn) DESC, day) AS r,
+               ORDER BY abs(CAST(n AS HUGEINT) * sk
+                            - CAST(k AS HUGEINT) * sn) DESC, day) AS r,
              sk, sn
       FROM cum WHERE k < n
     )
     SELECT event_type, day AS changepoint_day,
-           CAST((200 * CAST(abs(n * sk - k * sn) AS HUGEINT) + n * n)
+           CAST((200 * abs(CAST(n AS HUGEINT) * sk - CAST(k AS HUGEINT) * sn)
+                 + n * n)
                 // (2 * CAST(n AS HUGEINT) * n) AS DOUBLE) / 100
              AS shift_score,
            CAST((200 * sk + 100 * k) // (200 * k) AS DOUBLE) / 100
@@ -82,7 +84,14 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(wp).alias("sn"),
         F.count(F.lit(1)).over(wp).alias("n"),
     ).filter(F.col("k") < F.col("n"))
-    score = F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("sn"))
+    # operands widened BEFORE the products (not just the result cast):
+    # n*sk / k*sn are int64×int64 and overflow before any outer cast at
+    # large scale factors; decimal(38,0)×bigint promotes to decimal, so
+    # the products themselves are exact (oracle mirrors with HUGEINT)
+    score = F.abs(
+        F.col("n").cast("decimal(38,0)") * F.col("sk")
+        - F.col("k").cast("decimal(38,0)") * F.col("sn")
+    )
     scored = cum.withColumn(
         "r",
         F.row_number().over(
@@ -96,12 +105,14 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("changepoint_day"),
             # integer HALF_UP (motif convention): round2(a/b) ==
             # ((200a + b) div (2b)) / 100 — exact quotients of exact ints
-            # never round a double at a decimal boundary; the score
-            # numerator goes through decimal(38,0) so 200*|n*sk - k*sn|
-            # cannot overflow int64 at large scale factors
+            # never round a double at a decimal boundary; the PRODUCT
+            # OPERANDS are widened to decimal(38,0) before multiplying
+            # (n*sk and k*sn would overflow int64 at large scale factors
+            # if computed first and cast after)
             (
                 F.expr(
-                    "CAST((200 * CAST(abs(n * sk - k * sn) AS DECIMAL(38,0))"
+                    "CAST((200 * abs(CAST(n AS DECIMAL(38,0)) * sk"
+                    " - CAST(k AS DECIMAL(38,0)) * sn)"
                     " + n * n) div (2 * CAST(n AS DECIMAL(38,0)) * n)"
                     " AS DOUBLE)"
                 )

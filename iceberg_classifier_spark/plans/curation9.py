@@ -108,8 +108,15 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        Lee et al.'s dedup study, subsuming exact dedup; partitioned
        window keyed on the prefix — production uses xxhash64(prefix))
     4. benchmark decontamination — drop survivors sharing any verbatim
-       8-gram with the eval slice (eval gram set is benchmark-sized →
-       broadcast; the corpus side never shuffles for this stage)
+       8-gram with the eval slice. NOTE on the broadcast: in production
+       the eval side is a small FIXED benchmark suite (MMLU/GSM8K-sized,
+       a few million grams), which is what the forced broadcast assumes;
+       this demo's ``doc_id % 7`` stand-in is a 1/7 corpus SLICE whose
+       gram set grows linearly with corpus size, so at 100 TB the eval
+       frame would exceed the broadcast limit — there, drop the
+       ``F.broadcast`` hint and take the shuffled left-semi/anti join
+       (both sides explode to grams; the join keys are high-cardinality
+       and evenly distributed, so the shuffle is well-behaved)
     5. token-budget selection — greedy by quality until ``Σn div 4`` of
        the clean token mass, via the repo's two-level distributed prefix
        sum (bucket offsets broadcast + within-bucket partitioned cumsum —

@@ -224,45 +224,151 @@ def embedding_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mllib_pca", oracle=None)
-def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib PCA (k=8) over the embedding store: fit on the 64-dim
-    vectors, report per-component explained variance — the dimensionality
-    reduction step after `embedding_cov_matrix`. Rows-only check (eigen
-    decomposition sign/order is not SQL-expressible), with an in-query
-    spectrum_ok flag asserting the eigenvalue ratios form a descending
-    sub-distribution, and a variance_accounting_ok flag proving the
-    reported spectrum against the data: the variance of the PROJECTED
-    coordinates (computed distributed over the transformed frame) must
-    equal sum(explained_variance) × total variance — the Parseval-style
-    identity a correct eigenbasis satisfies and a broken/garbage
-    projection cannot. That is the strongest check available without an
-    eigen-capable oracle (sign/order of eigenvectors is engine-defined).
+def _pca_ev_exprs() -> dict[int, str]:
+    """Closed-form explained-variance ratios of the 2×2 covariance —
+    the identical expression text pca2_closed_form runs in both engines
+    (λ± = (tr ± disc)/2; ratio = λ±/tr, n-vs-n−1 scaling cancels)."""
+    from iceberg_classifier_spark.plans.closedform import (
+        _CXX,
+        _CYY,
+        _DISC,
+    )
 
-    Scale: MLlib PCA computes the covariance via the same distributed
-    outer-product aggregation and eigendecomposes the small d×d result on
-    the driver — exactly the plan shape of `embedding_cov_matrix`; the
-    accounting check is two per-dimension variance aggs (map-side
-    combined), nothing driver-side but the d- and k-length results.
+    tr = f"({_CXX} + {_CYY})"
+    return {
+        1: f"(({tr} + {_DISC}) / 2) / {tr}",
+        2: f"(({tr} - {_DISC}) / 2) / {tr}",
+    }
+
+
+def _mllib_pca_oracle() -> str:
+    ev = _pca_ev_exprs()
+    return f"""
+    WITH q AS (
+      SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS e0,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+               AS e1
+      FROM embeddings
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n1,
+             CAST(CAST(sum(e0) AS BIGINT) AS DOUBLE) AS s0,
+             CAST(CAST(sum(e1) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(sum(e0 * e0) AS BIGINT) AS DOUBLE) AS s00,
+             CAST(CAST(sum(e0 * e1) AS BIGINT) AS DOUBLE) AS s01,
+             CAST(CAST(sum(e1 * e1) AS BIGINT) AS DOUBLE) AS s11
+      FROM q
+    )
+    SELECT 1 AS component, round({ev[1]}, 6) AS explained_ratio,
+           TRUE AS mllib_match_2d, TRUE AS spectrum_ok_k8,
+           TRUE AS accounting_ok_k8
+    FROM stats
+    UNION ALL
+    SELECT 2, round({ev[2]}, 6), TRUE, TRUE, TRUE FROM stats
+    ORDER BY component
     """
+
+
+@query("mllib_pca", oracle=_mllib_pca_oracle())
+def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding store, FULLY value-oracled (upgraded from
+    the r2–r5 rows-only registration per the r5 verdict): the reported
+    spectrum is the closed-form 2×2 eigendecomposition of the first two
+    embedding dimensions' GLOBAL covariance from exact micro-quantized
+    integer sums — the pca2_closed_form construction
+    (iceberg_classifier_spark/plans/closedform.py:140) without the label
+    grouping — so both explained-variance ratios are the identical IEEE
+    expression text in both engines. MLlib's eigensolver stays exercised
+    through three oracle-pinned TRUE flags a broken fit flips:
+
+    - ``mllib_match_2d`` — MLlib PCA(k=2) on the same two raw dims must
+      reproduce the closed-form ratios to 1e-4 (the quantization noise
+      bound; LAPACK vs closed form agree to ~1e-12 on top);
+    - ``spectrum_ok_k8`` — the full k=8/64-dim fit's ratios must form a
+      descending sub-distribution (each in (0,1], sum ≤ 1);
+    - ``accounting_ok_k8`` — Parseval accounting: the distributed variance
+      of the PROJECTED coordinates must equal sum(explainedVariance) ×
+      total variance, the identity a correct eigenbasis satisfies and a
+      garbage projection cannot.
+
+    Scale: one map-side-combined agg builds the 6 exact int64 sufficient
+    stats; MLlib PCA computes the d×d covariance via the same distributed
+    outer-product aggregation (embedding_cov_matrix's shape) and
+    eigendecomposes on the driver; the accounting check is two
+    per-dimension variance aggs, nothing driver-side but d- and k-length
+    results.
+    """
+    import math
+
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     raw = load(spark, sf_dir, "embeddings")
-    e = raw.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    q = raw.select(
+        F.round(F.col("embedding")[0].cast("double") * 1000000)
+        .cast("bigint")
+        .alias("e0"),
+        F.round(F.col("embedding")[1].cast("double") * 1000000)
+        .cast("bigint")
+        .alias("e1"),
     )
-    model = PCA(k=8, inputCol="features", outputCol="pc").fit(e)
-    ev = [float(v) for v in model.explainedVariance]
-    # value-checked spectrum sanity for a rows-only entry: eigenvalue
-    # ratios must be a descending sub-distribution (each in (0, 1], sum
-    # <= 1) — violated only by a broken decomposition
-    spectrum_ok = (
-        all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
-        and all(0.0 < v <= 1.0 + 1e-12 for v in ev)
-        and sum(ev) <= 1.0 + 1e-9
+    stats = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n1"),
+        F.sum("e0").cast("bigint").cast("double").alias("s0"),
+        F.sum("e1").cast("bigint").cast("double").alias("s1"),
+        F.sum(F.col("e0") * F.col("e0")).cast("bigint").cast("double").alias("s00"),
+        F.sum(F.col("e0") * F.col("e1")).cast("bigint").cast("double").alias("s01"),
+        F.sum(F.col("e1") * F.col("e1")).cast("bigint").cast("double").alias("s11"),
+    ).cache()
+    ev = _pca_ev_exprs()
+    stats.createOrReplaceTempView("mllib_pca_stats_v")
+    ratios = spark.sql(
+        " UNION ALL ".join(
+            f"SELECT {i} AS component, round({ev[i]}, 6) AS explained_ratio"
+            " FROM mllib_pca_stats_v"
+            for i in (1, 2)
+        )
     )
-    # variance accounting: var of projected coords / total var == sum(ev)
+
+    # closed-form ratios in driver floats for the MLlib agreement flag
+    r = stats.first()
+    cxx = (r.s00 - r.s0 * r.s0 / r.n1) / r.n1
+    cyy = (r.s11 - r.s1 * r.s1 / r.n1) / r.n1
+    cxy = (r.s01 - r.s0 * r.s1 / r.n1) / r.n1
+    disc = math.sqrt((cxx - cyy) * (cxx - cyy) + 4 * cxy * cxy)
+    closed = [((cxx + cyy + s * disc) / 2) / (cxx + cyy) for s in (1, -1)]
+    e2 = raw.select(
+        array_to_vector(
+            F.array(
+                F.col("embedding")[0].cast("double"),
+                F.col("embedding")[1].cast("double"),
+            )
+        ).alias("features")
+    )
+    ev2 = [
+        float(v)
+        for v in PCA(k=2, inputCol="features", outputCol="pc")
+        .fit(e2)
+        .explainedVariance
+    ]
+    mllib_match_2d = max(
+        abs(a - b) for a, b in zip(ev2, closed, strict=True)
+    ) < 1e-4
+
+    # k=8 full-width fit: spectrum + Parseval accounting flags
+    e8 = raw.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(e8)
+    ev8 = [float(v) for v in model.explainedVariance]
+    spectrum_ok_k8 = (
+        all(ev8[i] >= ev8[i + 1] - 1e-12 for i in range(len(ev8) - 1))
+        and all(0.0 < v <= 1.0 + 1e-12 for v in ev8)
+        and sum(ev8) <= 1.0 + 1e-9
+    )
+
     def _dimvar_sum(df, arr_col):
         return (
             df.select(F.posexplode(arr_col).alias("pos", "x"))
@@ -273,27 +379,14 @@ def mllib_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     total_var = _dimvar_sum(raw, F.col("embedding").cast("array<double>"))
-    proj_var = _dimvar_sum(
-        model.transform(e), vector_to_array(F.col("pc"))
-    )
-    variance_accounting_ok = (
-        total_var > 0 and abs(proj_var / total_var - sum(ev)) < 1e-6
+    proj_var = _dimvar_sum(model.transform(e8), vector_to_array(F.col("pc")))
+    accounting_ok_k8 = (
+        total_var > 0 and abs(proj_var / total_var - sum(ev8)) < 1e-6
     )
     return (
-        raw.sparkSession.createDataFrame(
-            [
-                (i + 1, v, spectrum_ok, bool(variance_accounting_ok))
-                for i, v in enumerate(ev)
-            ],
-            "component int, explained_variance double, spectrum_ok boolean,"
-            " variance_accounting_ok boolean",
-        )
-        .select(
-            "component",
-            F.round("explained_variance", 6).alias("explained_variance"),
-            "spectrum_ok",
-            "variance_accounting_ok",
-        )
+        ratios.withColumn("mllib_match_2d", F.lit(bool(mllib_match_2d)))
+        .withColumn("spectrum_ok_k8", F.lit(bool(spectrum_ok_k8)))
+        .withColumn("accounting_ok_k8", F.lit(bool(accounting_ok_k8)))
         .orderBy("component")
     )
 

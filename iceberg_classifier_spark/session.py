@@ -47,4 +47,26 @@ def get_spark(app_name: str = "iceberg-classifier-spark") -> SparkSession:
             "jdbc:derby:;databaseName=/tmp/spark_graft_metastore;create=true",
         )
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_audited_window_warnings(spark)
+    return spark
+
+
+def _quiet_audited_window_warnings(spark: SparkSession) -> None:
+    """Raise org.apache.spark.sql.execution.window to ERROR.
+
+    Every ``WindowExec: No Partition Defined`` warning in this repo comes
+    from the 124 bounded-frame windows audited in
+    tests/test_plan_guards.py's UNPARTITIONED_WINDOW_ALLOWLIST (the guard
+    enforces that no query OUTSIDE the allowlist introduces one), so the
+    warning carries no signal here and ~400 repetitions were burying the
+    bench's single JSON metric line.
+    """
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — logging tweak must never break startup
+        pass

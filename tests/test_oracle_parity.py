@@ -67,10 +67,8 @@ ROWS_ONLY_FLAGS = {
     "mllib_als_recs": ["sane"],
     "mllib_gbt": ["train_beats_baseline", "val_not_degenerate"],
     "mllib_grid_search_cv": ["cv_auc_sane"],
-    "mllib_kmeans": ["fit_ok"],
     "mllib_logreg_cv": ["train_beats_baseline", "oof_not_degenerate"],
     "mllib_mlp_cv": ["train_beats_baseline", "oof_not_degenerate"],
-    "mllib_pca": ["spectrum_ok", "variance_accounting_ok"],
     "mllib_word2vec": ["sane"],
     "tta_ten_crop_predict": ["sane"],
 }

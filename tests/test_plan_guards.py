@@ -184,9 +184,9 @@ def test_no_unaudited_unpartitioned_windows(name, spark, sf_dir):
         # round-5 full-suite run). The enforced invariant is one-way: a
         # query OUTSIDE the allowlist may never introduce one.
         return
-        assert n == 0, (
-            f"{name}: {n} unpartitioned Window node(s) in the optimized "
-            "plan — a single-partition global sort. De-globalize (range-"
-            "repartition + offsets, TakeOrdered, broadcast scalar agg) or "
-            "audit the frame as bounded and allowlist it."
-        )
+    assert n == 0, (
+        f"{name}: {n} unpartitioned Window node(s) in the optimized "
+        "plan — a single-partition global sort. De-globalize (range-"
+        "repartition + offsets, TakeOrdered, broadcast scalar agg) or "
+        "audit the frame as bounded and allowlist it."
+    )
