@@ -1,0 +1,361 @@
+"""Public, reusable entry points for the engine's pipeline families.
+
+The query registry (``plans/``) binds every operator to the benchmark star
+schema; these functions are the same constructions parameterized over a
+user-supplied DataFrame and column names, so running e.g. MinHash dedup on
+your own corpus does not require reading plans/dedup.py (round-6 verdict
+task 7). Each function returns a lazy DataFrame — compose, then write.
+
+Scale notes carry over from the registered twins: signatures are per-row
+array math (no shuffle), candidate generation shuffles only (id, band,
+band_hash) triples, decontamination broadcasts only a genuinely small eval
+side, and budget selection uses the two-level distributed prefix sum
+instead of a global sort.
+
+>>> from iceberg_classifier_spark import api
+>>> pairs = api.minhash_dedup_pairs(corpus, text_col="body", id_col="url")
+>>> keep = api.dedup(corpus, text_col="body", id_col="url")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark.functions import text as T
+from iceberg_classifier_spark.operators.folds import (  # noqa: F401 — re-export
+    stratified_split,
+    with_stratified_folds,
+)
+from iceberg_classifier_spark.operators.graph import (  # noqa: F401 — re-export
+    connected_components,
+)
+from iceberg_classifier_spark.operators.metrics import (  # noqa: F401 — re-export
+    accuracy_expr,
+    log_loss,
+    log_loss_expr,
+)
+from iceberg_classifier_spark.operators.stacking import (  # noqa: F401
+    stack,
+    stack_stats,
+)
+
+# Broder universal-hash family — the same literal (a, b) tables the
+# registered dedup_minhash_lsh shares with its DuckDB oracle.
+MH_P = 2305843009213693951  # 2^61 - 1
+_MH_A = [2 * ((1103515245 * (i + 1) + 12345) % 1073741823) + 1 for i in range(64)]
+_MH_B = [(1103515245 * (i + 101) + 12345) % 2147483648 for i in range(64)]
+
+
+def _base_hashes(text: Column, shingle_n: int) -> Column:
+    """One md5-prefix base hash per ``shingle_n``-token shingle — the
+    family members below reuse it, so crypto-hash work is per shingle,
+    not per (seed, shingle)."""
+    sh = T.shingles(T.tokens(text), shingle_n)
+    return F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: ``(id_col, sig array<bigint>)``.
+
+    h_i(s) = (a_i · md5_32(s) + b_i) mod p over token shingles — per-row
+    array math, no explode, no shuffle. Documents with fewer than
+    ``shingle_n`` tokens (no shingles) are dropped.
+    """
+    if n_hashes > len(_MH_A):
+        raise ValueError(f"n_hashes > {len(_MH_A)} not supported")
+    hs = df.select(
+        F.col(id_col), _base_hashes(F.col(text_col), shingle_n).alias("hv")
+    ).where(F.size("hv") > 0)
+    return hs.select(
+        id_col,
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "hv",
+                        (lambda i: lambda h: (F.lit(_MH_A[i]) * h + F.lit(_MH_B[i])) % F.lit(MH_P))(i),
+                    )
+                )
+                for i in range(n_hashes)
+            ]
+        ).alias("sig"),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs:
+    ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
+
+    Banding: docs sharing any of ``bands`` band buckets become candidates;
+    est_jaccard is the fraction of equal minhashes. Only (id, band,
+    band_hash) triples shuffle — the n_hashes-long signatures rejoin the
+    (small) deduped candidate set afterwards.
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).cache()
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda eq: eq == 1,
+            )
+        )
+        / F.lit(float(n_hashes))
+    )
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
+    if min_jaccard > 0.0:
+        out = out.where(F.col("est_jaccard") >= min_jaccard)
+    return out
+
+
+def dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near: bool = False,
+    min_jaccard: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Deduplicate a corpus, keeping the min-id representative.
+
+    ``near=False``: exact dedup — group by xxhash64 of the normalized text
+    (one shuffle of (hash, id) pairs, map-side combined).
+    ``near=True``: MinHash near-dup — connected components over candidate
+    pairs at ``min_jaccard``, keep each component's min id.
+    """
+    if not near:
+        w = Window.partitionBy(F.xxhash64(F.trim(F.col(text_col))))
+        return (
+            df.withColumn("_rep", F.min(id_col).over(w))
+            .where(F.col(id_col) == F.col("_rep"))
+            .drop("_rep")
+        )
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, min_jaccard=min_jaccard, **minhash_kwargs
+    )
+    labels, _ = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    # labels = (node, lbl = component's min id); drop every node that is
+    # not its own component representative
+    losers = labels.where(F.col("node") != F.col("lbl")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop corpus docs sharing any verbatim ``gram_n``-token gram with
+    ``eval_df`` (benchmark decontamination).
+
+    ``broadcast_eval=True`` assumes the eval side is a genuinely small
+    fixed benchmark suite; pass False for a large eval set to take the
+    shuffled left-anti join instead (high-cardinality, evenly-distributed
+    gram keys — a well-behaved shuffle).
+    """
+    def grams(df: DataFrame, *cols: str) -> DataFrame:
+        toks = T.tokens(F.col(text_col))
+        return df.where(F.size(toks) >= gram_n).select(
+            *cols, F.explode(T.shingles(toks, gram_n)).alias("gram")
+        )
+
+    evg = grams(eval_df.select(text_col)).distinct()
+    if broadcast_eval:
+        evg = F.broadcast(evg)
+    contaminated = (
+        grams(corpus, id_col).join(evg, "gram").select(id_col).distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 1,
+    max_tokens: int = 1_000_000,
+    min_unique_ratio: float = 0.0,
+) -> DataFrame:
+    """Token-bound + lexical-diversity gate. Adds ``n_tokens`` and
+    ``quality`` (unique-token ratio in exact ppm units — integer
+    arithmetic, no float boundary) and keeps passing rows."""
+    toks = T.tokens(F.col(text_col))
+    out = df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "quality",
+        F.expr(
+            f"(size(array_distinct(split(trim({text_col}), ' '))) * 1000000)"
+            f" div greatest(size(split(trim({text_col}), ' ')), 1)"
+        ),
+    )
+    return out.where(
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("quality") >= int(min_unique_ratio * 1_000_000))
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality",
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy selection by descending quality until the running token sum
+    reaches ``budget_tokens`` — via the two-level distributed prefix sum
+    (bucket offsets broadcast + within-bucket partitioned cumsum), so no
+    corpus-wide single-partition sort exists in the plan."""
+    cb = df.withColumn("_qb", F.expr(f"{quality_col} div 4096"))
+    bkt = cb.groupBy("_qb").agg(F.sum(n_tokens_col).alias("_bn"))
+    off = bkt.select(
+        "_qb",
+        (
+            F.sum("_bn").over(Window.partitionBy().orderBy(F.desc("_qb")))
+            - F.col("_bn")
+        ).alias("_off"),
+    )
+    wl = (
+        Window.partitionBy("_qb")
+        .orderBy(F.desc(quality_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cb.join(F.broadcast(off), "_qb")
+        .withColumn("_s", F.col("_off") + F.sum(n_tokens_col).over(wl))
+        .where(F.col("_s") <= F.lit(budget_tokens))
+        .drop("_qb", "_off", "_s")
+    )
+
+
+def curation_funnel(
+    corpus: DataFrame,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+    max_tokens: int = 1_000_000,
+    min_unique_ratio: float = 0.0,
+    near_dedup: bool = False,
+    budget_tokens: int | None = None,
+    decontaminate_gram_n: int = 8,
+) -> DataFrame:
+    """The full LLM-corpus curation funnel with configurable gates:
+    quality filter → dedup → (optional) decontamination → (optional)
+    token-budget selection. Each stage is the corresponding public
+    function; the fused fixed-schema version with stage observability
+    counters is the registered ``curated_corpus_pipeline``."""
+    out = quality_filter(
+        corpus, text_col, min_tokens, max_tokens, min_unique_ratio
+    )
+    out = dedup(out, text_col, id_col, near=near_dedup)
+    if eval_df is not None:
+        out = decontaminate(
+            out, eval_df, text_col, id_col, gram_n=decontaminate_gram_n
+        )
+    if budget_tokens is not None:
+        out = token_budget_select(out, budget_tokens, id_col=id_col)
+    return out
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: ``(query_id, neighbor_id, rank,
+    cos_sim)``. The small query block broadcasts to every corpus
+    partition; per-query winners merge through a partitioned window.
+    For corpus-sized query sets use an IVF/LSH bucketing first (the
+    registered ann_ivf_* family)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (nrm(F.col("qv")) * nrm(F.col("cv")))).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -1,0 +1,129 @@
+"""Behavior tests for the public library entry points (api.py) on
+user-shaped DataFrames with non-benchmark column names — proving the
+reusable families work without the registry's fixed star schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iceberg_classifier_spark import api
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (4, "completely different text about spark clusters and shuffles", "en"),
+        (5, "short", "en"),
+        (6, "le renard brun rapide saute par dessus le chien paresseux", "fr"),
+    ]
+    return spark.createDataFrame(rows, "url long, body string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(corpus):
+    kept = api.dedup(corpus, text_col="body", id_col="url").toPandas()
+    assert sorted(kept.url) == [1, 3, 4, 5, 6]  # 2 is the exact dup of 1
+
+
+def test_minhash_pairs_find_near_dup(corpus):
+    pairs = api.minhash_dedup_pairs(
+        corpus, text_col="body", id_col="url"
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1, 2) in got  # exact dup: every band collides
+    est = dict(zip(zip(pairs.id_a, pairs.id_b), pairs.est_jaccard))
+    assert est[(1, 2)] == 1.0
+    # near dup (one token differs) shares most shingles; if banding
+    # surfaces it the estimate must be high but below the exact pair
+    if (1, 3) in got:
+        assert 0.3 <= est[(1, 3)] < 1.0
+
+
+def test_near_dedup_collapses_component(corpus):
+    kept = api.dedup(
+        corpus, text_col="body", id_col="url", near=True, min_jaccard=0.5
+    ).toPandas()
+    assert 1 in set(kept.url)  # component representative (min id)
+    assert 2 not in set(kept.url)
+    assert 4 in set(kept.url) and 6 in set(kept.url)
+
+
+def test_decontaminate_drops_gram_overlap(spark, corpus):
+    eval_df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog indeed",)],
+        "body string",
+    )
+    clean = api.decontaminate(
+        corpus, eval_df, text_col="body", id_col="url", gram_n=8
+    ).toPandas()
+    # docs 1/2 share the verbatim 8-gram with the eval doc; 3 differs at
+    # token 9 but still shares 'the quick ... the lazy' 8-gram prefix
+    assert 1 not in set(clean.url) and 2 not in set(clean.url)
+    assert 4 in set(clean.url) and 5 in set(clean.url)
+
+
+def test_quality_filter_and_budget(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(10 + i))) for i in range(6)]
+        + [(99, "dup dup dup dup dup dup dup dup")],
+        "doc_id long, text string",
+    )
+    q = api.quality_filter(docs, min_tokens=8, min_unique_ratio=0.5)
+    got = q.toPandas()
+    assert 99 not in set(got.doc_id)  # diversity 1/8 < 0.5
+    assert set(got.columns) >= {"n_tokens", "quality"}
+    sel = api.token_budget_select(q, budget_tokens=30).toPandas()
+    assert 0 < sel.n_tokens.sum() <= 30
+
+
+def test_curation_funnel_composes(spark, corpus):
+    eval_df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "body string"
+    )
+    out = api.curation_funnel(
+        corpus,
+        eval_df,
+        text_col="body",
+        id_col="url",
+        min_tokens=2,
+    ).toPandas()
+    assert 5 not in set(out.url)  # below min_tokens
+    assert 1 not in set(out.url) and 2 not in set(out.url)  # contaminated
+    assert 4 in set(out.url) and 6 in set(out.url)
+
+
+def test_ann_topk_matches_registered_plan(spark, sf_dir):
+    from iceberg_classifier_spark.plans.registry import load_all_queries
+    from iceberg_classifier_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = (
+        api.ann_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    reg = load_all_queries()
+    exp = (
+        reg["ann_bruteforce_topk"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    # same neighbors in the same order (the registered plan ranks on
+    # fixed-point cosine; ranking is scale-invariant so raw cosine agrees)
+    assert got.equals(exp)
+
+
+def test_folds_metrics_reexports(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 2).cast("double").alias("y")
+    )
+    folded = api.with_stratified_folds(df, label_col="y", id_col="id", k=4)
+    assert folded.where(F.col("fold").between(0, 3)).count() == 100
+    probs = df.withColumn("p", F.lit(0.5))
+    assert abs(api.log_loss(probs, "y", "p") - 0.6931471805599453) < 1e-9
