@@ -461,6 +461,96 @@ def resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# subpixel shift with >1px overhang so reflect vs clamp differ visibly
+_SH_DY, _SH_DX = 1.5, -2.5
+_REFL = {
+    "ry0": "CASE WHEN y0f < 0 THEN -1 - y0f WHEN y0f > 7 THEN 15 - y0f"
+           " ELSE y0f END",
+    "ry1": "CASE WHEN y0f + 1 < 0 THEN -2 - y0f WHEN y0f + 1 > 7"
+           " THEN 14 - y0f ELSE y0f + 1 END",
+    "rx0": "CASE WHEN x0f < 0 THEN -1 - x0f WHEN x0f > 7 THEN 15 - x0f"
+           " ELSE x0f END",
+    "rx1": "CASE WHEN x0f + 1 < 0 THEN -2 - x0f WHEN x0f + 1 > 7"
+           " THEN 14 - x0f ELSE x0f + 1 END",
+}
+
+
+@query(
+    "shift_reflect_pad",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS b1
+      FROM embeddings
+    ), g AS (
+      SELECT vec_id, b1, unnest(range(0, 64)) AS i FROM b
+    ), c AS (
+      SELECT vec_id, b1, i,
+             (i // 8) - {_SH_DY} AS y, (i % 8) - ({_SH_DX}) AS x
+      FROM g
+    ), n AS (
+      SELECT *, CAST(floor(y) AS INT) AS y0f, CAST(floor(x) AS INT) AS x0f,
+             y - floor(y) AS wy, x - floor(x) AS wx
+      FROM c
+    ), r AS (
+      SELECT *, {_REFL['ry0']} AS ry0, {_REFL['ry1']} AS ry1,
+                {_REFL['rx0']} AS rx0, {_REFL['rx1']} AS rx1
+      FROM n
+    )
+    SELECT vec_id, CAST(i AS INTEGER) AS pos,
+           round(b1[ry0 * 8 + rx0 + 1] * (1 - wy) * (1 - wx)
+               + b1[ry0 * 8 + rx1 + 1] * (1 - wy) * wx
+               + b1[ry1 * 8 + rx0 + 1] * wy * (1 - wx)
+               + b1[ry1 * 8 + rx1 + 1] * wy * wx, 6) AS px
+    FROM r ORDER BY vec_id, pos
+    """,
+)
+def shift_reflect_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subpixel bilinear shift (dy={_SH_DY}, dx={_SH_DX}) of the 8×8 grid
+    with REFLECT boundary handling — skimage's ``mode='reflect'``
+    (= numpy 'symmetric': the edge pixel is mirrored, -1 → 0, -2 → 1),
+    the exact padding semantics of the reference's resize/augment calls
+    (main.py:105 ``resize(..., mode='reflect')``), which resize_bilinear's
+    half-pixel-aligned sampling can never exercise (its overhang is 0.25px,
+    where reflect and clamp coincide). The 1.5/2.5-pixel shift samples up
+    to 2 pixels outside the grid, so the reflected ring genuinely differs
+    from edge clamping and the oracle hash pins the reflect formula.
+
+    Scale: pure Catalyst per-row math (explode 64 positions, CASE-folded
+    reflect index, 4 element_at gathers) — no Python, no shuffle; the
+    whole op fuses into the scan's codegen stage.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _b1().alias("b1")
+    )
+    df = (
+        e.select(
+            "vec_id", "b1",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+        )
+        .withColumn("y", F.expr(f"(i div 8) - {_SH_DY}"))
+        .withColumn("x", F.expr(f"(i % 8) - ({_SH_DX})"))
+        .withColumn("y0f", F.floor("y").cast("int"))
+        .withColumn("x0f", F.floor("x").cast("int"))
+        .withColumn("wy", F.expr("y - floor(y)"))
+        .withColumn("wx", F.expr("x - floor(x)"))
+        .withColumn("ry0", F.expr(_REFL["ry0"]))
+        .withColumn("ry1", F.expr(_REFL["ry1"]))
+        .withColumn("rx0", F.expr(_REFL["rx0"]))
+        .withColumn("rx1", F.expr(_REFL["rx1"]))
+    )
+    px = F.expr(
+        "element_at(b1, ry0 * 8 + rx0 + 1) * (1 - wy) * (1 - wx)"
+        " + element_at(b1, ry0 * 8 + rx1 + 1) * (1 - wy) * wx"
+        " + element_at(b1, ry1 * 8 + rx0 + 1) * wy * (1 - wx)"
+        " + element_at(b1, ry1 * 8 + rx1 + 1) * wy * wx"
+    )
+    return df.select(
+        "vec_id",
+        F.col("i").cast("int").alias("pos"),
+        F.round(px, 6).alias("px"),
+    ).orderBy("vec_id", "pos")
+
+
 @query(
     "channel_stack",
     oracle=_ORACLE_BANDS
