@@ -124,9 +124,11 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared SSE expressions over exact integer prefix sums (cs = cumulative
-# Σy, cq = cumulative Σy², 1-indexed by rn; cs0/cq0 = prefix BEFORE the
-# segment start). SSE(a..b) = (cqb-cqa0) - (csb-csa0)²/(b-a+1), doubles
-# from exact ints, identical text in both engines.
+# Σy as int64, cq = cumulative Σy² as DECIMAL(38,0) — y² crosses int64 at
+# 10x scale, and DECIMAL(38,0) is the widening both engines spell the
+# same way; 1-indexed by rn; cs0/cq0 = prefix BEFORE the segment start).
+# SSE(a..b) = (cqb-cqa0) - (csb-csa0)²/(b-a+1): the exact-integer
+# differences are taken first, then one identical promotion to double.
 _SSE = (
     "(({cqb} - {cqa0}) - CAST({csb} - {csa0} AS DOUBLE)"
     " * CAST({csb} - {csa0} AS DOUBLE) / CAST({b} - {a0} AS DOUBLE))"
@@ -136,12 +138,13 @@ _BINSEG_BODY = """
     pre AS (
       SELECT rn, day, y,
              CAST(sum(y) OVER (ORDER BY rn) AS BIGINT) AS cs,
-             CAST(sum(y * y) OVER (ORDER BY rn) AS BIGINT) AS cq
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * y) OVER (ORDER BY rn)
+                  AS DECIMAL(38,0)) AS cq
       FROM binseg_daily
     ), tot AS (
       SELECT CAST(max(rn) AS BIGINT) AS n,
              CAST(max(cs) AS BIGINT) AS s,
-             CAST(max(cq) AS BIGINT) AS q
+             CAST(max(cq) AS DECIMAL(38,0)) AS q
       FROM pre
     ), red1 AS (
       SELECT p.rn, p.day,
@@ -159,7 +162,8 @@ _BINSEG_BODY = """
     ), bounds AS (
       SELECT g.a0, g.b, g.t1, g.day1, g.red1,
              CASE WHEN g.a0 = 0 THEN CAST(0 AS BIGINT) ELSE pa.cs END AS csa0,
-             CASE WHEN g.a0 = 0 THEN CAST(0 AS BIGINT) ELSE pa.cq END AS cqa0,
+             CASE WHEN g.a0 = 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE pa.cq END
+               AS cqa0,
              pb.cs AS csb, pb.cq AS cqb
       FROM segs g
       LEFT JOIN pre pa ON pa.rn = g.a0

@@ -51,8 +51,10 @@ _O_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
     ), core AS (
       SELECT t.n, t.m,
              CAST(sum((c.c1 + c.c2)
-                      * (c.cc1 * t.m - c.cc2 * t.n)
-                      * (c.cc1 * t.m - c.cc2 * t.n)) AS BIGINT) AS u
+                      * (CAST(c.cc1 AS HUGEINT) * t.m
+                         - CAST(c.cc2 AS HUGEINT) * t.n)
+                      * (CAST(c.cc1 AS HUGEINT) * t.m
+                         - CAST(c.cc2 AS HUGEINT) * t.n)) AS DOUBLE) AS u
       FROM cum c CROSS JOIN tots t
       GROUP BY t.n, t.m
     )
@@ -120,16 +122,21 @@ def cramer_von_mises_two_sample(
         F.max("cc1").cast("bigint").alias("n"),
         F.max("cc2").cast("bigint").alias("m"),
     )
+    # cc1*m ~ (3e5)^2 at 10x scale, so the square is ~1e21 — far past
+    # int64 (sf1 sweep crash). Widen the ECDF-gap operands to
+    # decimal(38,0) (oracle: HUGEINT), keep the weighted square-sum
+    # exact, and convert the one exact total to double identically on
+    # both engines.
+    diff = (
+        F.col("cc1").cast("decimal(38,0)") * F.col("m")
+        - F.col("cc2").cast("decimal(38,0)") * F.col("n")
+    )
     core = (
         cum.crossJoin(F.broadcast(tots))
         .groupBy("n", "m")
         .agg(
-            F.sum(
-                (F.col("c1") + F.col("c2"))
-                * (F.col("cc1") * F.col("m") - F.col("cc2") * F.col("n"))
-                * (F.col("cc1") * F.col("m") - F.col("cc2") * F.col("n"))
-            )
-            .cast("bigint")
+            F.sum((F.col("c1") + F.col("c2")) * diff * diff)
+            .cast("double")
             .alias("u")
         )
     )

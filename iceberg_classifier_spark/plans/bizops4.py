@@ -166,7 +166,8 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT rk.brand,
            round(rk.cents / 100.0, 2) AS revenue,
-           CAST(rk.cum * 1000000 // rk.tot AS BIGINT) AS cum_share_ppm,
+           CAST(CAST(rk.cum AS HUGEINT) * 1000000 // rk.tot AS BIGINT)
+             AS cum_share_ppm,
            CASE WHEN (rk.cum - rk.cents) * 1.0 / rk.tot < 0.8 THEN 'A'
                 WHEN (rk.cum - rk.cents) * 1.0 / rk.tot < 0.95 THEN 'B'
                 ELSE 'C' END AS abc_class,
@@ -259,7 +260,12 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "brand",
             F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-            F.expr("CAST(cum * 1000000 div tot AS BIGINT)").alias(
+            # operand widened before the *1e6: cum is cumulative CENTS and
+            # overflows int64*1e6 at 10x scale (sf1 sweep crash)
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div tot"
+                " AS BIGINT)"
+            ).alias(
                 "cum_share_ppm"
             ),
             F.when(prev_share < 0.8, "A")

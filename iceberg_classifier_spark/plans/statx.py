@@ -158,7 +158,7 @@ def inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mom AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
       FROM daily
     ), z AS (
       SELECT row_number() OVER (ORDER BY y, d) AS i, m.n,
@@ -220,7 +220,12 @@ def anderson_darling_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        # y is daily revenue DOLLARS; y*y overflows int64 at 10x scale
+        # (sf1 sweep crash) — widen the operand, then one exact->double
+        # conversion both engines perform on the same exact decimal
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
     )
     z = daily.crossJoin(F.broadcast(mom)).select(
         F.row_number().over(Window.orderBy("y", "d")).alias("i"),
