@@ -54,7 +54,8 @@ _DELAY_SPARK = (
                (a, v) -> a + v) AS sum_rr
       FROM grp
     ), ties AS (
-      SELECT CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie3 FROM byval
+      SELECT CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE)
+        AS tie3 FROM byval
     )
     SELECT n,
            CAST((SELECT count(*) FROM grp) AS BIGINT) AS k_groups,
@@ -122,11 +123,15 @@ def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("sum_rr"),
     )
+    # the 60-day cap concentrates ~half the fact rows on t=60, so ct^3
+    # crosses int64 at 10x scale (sf1 sweep crash) — widen the operand,
+    # then one identical exact->double conversion per engine
     ties = byval.agg(
         F.sum(
-            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+            F.col("ct").cast("decimal(38,0)") * F.col("ct") * F.col("ct")
+            - F.col("ct")
         )
-        .cast("bigint")
+        .cast("double")
         .alias("tie3")
     )
     h = 12.0 / (F.col("n") * (F.col("n") + 1.0)) * F.col("sum_rr") - 3.0 * (

@@ -465,12 +465,12 @@ _LC_FRACTIONS = [(0, 1), (2, 3), (5, 6), (8, 9)]  # (max bucket, n/10)
              CAST(sum(x1) AS BIGINT) AS s1,
              CAST(sum(x2) AS BIGINT) AS s2,
              CAST(sum(yy) AS BIGINT) AS sy,
-             CAST(sum(x1 * x1) AS BIGINT) AS s11,
-             CAST(sum(x1 * x2) AS BIGINT) AS s12,
-             CAST(sum(x2 * x2) AS BIGINT) AS s22,
-             CAST(sum(x1 * yy) AS BIGINT) AS s1y,
-             CAST(sum(x2 * yy) AS BIGINT) AS s2y,
-             CAST(sum(yy * yy) AS BIGINT) AS syy
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * yy) AS HUGEINT) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * yy) AS HUGEINT) AS s2y,
+             CAST(sum(CAST(yy AS HUGEINT) * yy) AS HUGEINT) AS syy
       FROM pts2 GROUP BY bkt
     ), cum AS (
       SELECT g.mb AS max_bucket,
@@ -478,11 +478,11 @@ _LC_FRACTIONS = [(0, 1), (2, 3), (5, 6), (8, 9)]  # (max bucket, n/10)
              CAST(sum(s1) AS BIGINT) AS s1,
              CAST(sum(s2) AS BIGINT) AS s2,
              CAST(sum(sy) AS BIGINT) AS sy,
-             CAST(sum(s11) AS BIGINT) AS s11,
-             CAST(sum(s12) AS BIGINT) AS s12,
-             CAST(sum(s22) AS BIGINT) AS s22,
-             CAST(sum(s1y) AS BIGINT) AS s1y,
-             CAST(sum(s2y) AS BIGINT) AS s2y
+             CAST(sum(s11) AS DOUBLE) AS s11,
+             CAST(sum(s12) AS DOUBLE) AS s12,
+             CAST(sum(s22) AS DOUBLE) AS s22,
+             CAST(sum(s1y) AS DOUBLE) AS s1y,
+             CAST(sum(s2y) AS DOUBLE) AS s2y
       FROM (SELECT unnest([{", ".join(str(b) for b, _ in _LC_FRACTIONS)}])
               AS mb) g
       JOIN bstats b ON b.bkt <= g.mb
@@ -508,12 +508,12 @@ _LC_FRACTIONS = [(0, 1), (2, 3), (5, 6), (8, 9)]  # (max bucket, n/10)
              CAST(sum(x1) AS BIGINT) AS v1,
              CAST(sum(x2) AS BIGINT) AS v2,
              CAST(sum(yy) AS BIGINT) AS vy,
-             CAST(sum(x1 * x1) AS BIGINT) AS v11,
-             CAST(sum(x1 * x2) AS BIGINT) AS v12,
-             CAST(sum(x2 * x2) AS BIGINT) AS v22,
-             CAST(sum(x1 * yy) AS BIGINT) AS v1y,
-             CAST(sum(x2 * yy) AS BIGINT) AS v2y,
-             CAST(sum(yy * yy) AS BIGINT) AS vyy
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS v11,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS v12,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS v22,
+             CAST(sum(CAST(x1 AS HUGEINT) * yy) AS DOUBLE) AS v1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * yy) AS DOUBLE) AS v2y,
+             CAST(sum(CAST(yy AS HUGEINT) * yy) AS DOUBLE) AS vyy
       FROM pts2 WHERE bkt = 9
     )
     SELECT s.max_bucket, s.n AS n_train, v.vn AS n_val,
@@ -587,17 +587,25 @@ def learning_curve_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("x2"),
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("yy"),
     )
+    # second-order moments (x·y products summed over the fact rows) cross
+    # int64 at 10x scale (sf1 sweep crash: yy is cents ~1e7, so Σyy² ~1e19
+    # per bucket) — widen the OPERAND to decimal(38,0) (oracle: HUGEINT),
+    # keep the per-bucket sums exact, and convert the cumulative roll-up
+    # to double identically on both engines.
+    def _wide(a: str, b: str):
+        return F.sum(F.col(a).cast("decimal(38,0)") * F.col(b))
+
     bstats = pts.groupBy("bkt").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x1").cast("bigint").alias("s1"),
         F.sum("x2").cast("bigint").alias("s2"),
         F.sum("yy").cast("bigint").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
-        F.sum(F.col("x1") * F.col("yy")).cast("bigint").alias("s1y"),
-        F.sum(F.col("x2") * F.col("yy")).cast("bigint").alias("s2y"),
-        F.sum(F.col("yy") * F.col("yy")).cast("bigint").alias("syy"),
+        _wide("x1", "x1").alias("s11"),
+        _wide("x1", "x2").alias("s12"),
+        _wide("x2", "x2").alias("s22"),
+        _wide("x1", "yy").alias("s1y"),
+        _wide("x2", "yy").alias("s2y"),
+        _wide("yy", "yy").alias("syy"),
     )
     grid = spark.createDataFrame(
         [(b,) for b, _ in _LC_FRACTIONS], "mb bigint"
@@ -608,18 +616,12 @@ def learning_curve_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             *[
                 F.sum(c).cast("bigint").alias(c)
-                for c in [
-                    "n",
-                    "s1",
-                    "s2",
-                    "sy",
-                    "s11",
-                    "s12",
-                    "s22",
-                    "s1y",
-                    "s2y",
-                ]
-            ]
+                for c in ["n", "s1", "s2", "sy"]
+            ],
+            *[
+                F.sum(c).cast("double").alias(c)
+                for c in ["s11", "s12", "s22", "s1y", "s2y"]
+            ],
         )
     )
     lam = _LC_LAMBDA
@@ -664,12 +666,12 @@ def learning_curve_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x1").cast("bigint").alias("v1"),
         F.sum("x2").cast("bigint").alias("v2"),
         F.sum("yy").cast("bigint").alias("vy"),
-        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("v11"),
-        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("v12"),
-        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("v22"),
-        F.sum(F.col("x1") * F.col("yy")).cast("bigint").alias("v1y"),
-        F.sum(F.col("x2") * F.col("yy")).cast("bigint").alias("v2y"),
-        F.sum(F.col("yy") * F.col("yy")).cast("bigint").alias("vyy"),
+        _wide("x1", "x1").cast("double").alias("v11"),
+        _wide("x1", "x2").cast("double").alias("v12"),
+        _wide("x2", "x2").cast("double").alias("v22"),
+        _wide("x1", "yy").cast("double").alias("v1y"),
+        _wide("x2", "yy").cast("double").alias("v2y"),
+        _wide("yy", "yy").cast("double").alias("vyy"),
     )
     a0 = F.col("my") - F.col("w1") * F.col("mx1") - F.col("w2") * F.col("mx2")
     sse = (
