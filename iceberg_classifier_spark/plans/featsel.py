@@ -315,7 +315,7 @@ def mrmr_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), mom AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS s1,
-             CAST(sum(y * y) AS BIGINT) AS s2
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS s2
       FROM daily
     ), zd AS (
       SELECT CAST(floor((row_number() OVER (ORDER BY d) - 1) / 4.0)
@@ -378,7 +378,11 @@ def sax_daily_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("s1"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+        # y*y crosses int64 at 10x scale (sf1 sweep crash) — widen the
+        # operand, then one identical exact->double conversion per engine
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("s2"),
     )
     z = (F.col("y") - F.col("s1") * 1.0 / F.col("n")) / F.sqrt(
         (F.col("s2") - F.col("s1") * 1.0 / F.col("n") * F.col("s1"))
