@@ -182,12 +182,13 @@ def mediation_product_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(b0, 6) AS coef_a,
            round(b1, 6) AS coef_b,
            round(b2, 8) AS coef_c,
-           round((-b1 - sqrt(b1 * b1 - 4 * b2 * b0)) / (2 * b2), 2)
-             AS market_size_m,
-           round(b0 / ((-b1 - sqrt(b1 * b1 - 4 * b2 * b0)) / (2 * b2)), 6)
-             AS p_innovation,
-           round(-b2 * ((-b1 - sqrt(b1 * b1 - 4 * b2 * b0)) / (2 * b2)), 6)
-             AS q_imitation
+           CAST(b1 * b1 - 4 * b2 * b0 >= 0 AS BOOLEAN) AS roots_real,
+           round((-b1 - sqrt(greatest(b1 * b1 - 4 * b2 * b0, 0)))
+                 / (2 * b2), 2) AS market_size_m,
+           round(b0 / ((-b1 - sqrt(greatest(b1 * b1 - 4 * b2 * b0, 0)))
+                 / (2 * b2)), 6) AS p_innovation,
+           round(-b2 * ((-b1 - sqrt(greatest(b1 * b1 - 4 * b2 * b0, 0)))
+                 / (2 * b2)), 6) AS q_imitation
     FROM coefs
     """,
 )
@@ -258,12 +259,20 @@ def bass_diffusion_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = (c1y * c22 - c2y * c12) / den
     b2 = (c2y * c11 - c1y * c12) / den
     b0 = (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / F.col("n")
-    m = (-b1 - F.sqrt(b1 * b1 - 4 * b2 * b0)) / (2 * b2)
+    # the synthetic series is not Bass-shaped at every SF: at sf0.1 the
+    # fitted c flips sign and the discriminant goes negative (found by the
+    # round-6 sf0.1 parity sweep — DuckDB raises on sqrt(negative), Spark
+    # silently yields NaN). Clamp the discriminant identically in both
+    # engines and surface the condition as an explicit roots_real flag —
+    # the clamp leaves every real-rooted SF's values bit-unchanged.
+    disc = b1 * b1 - 4 * b2 * b0
+    m = (-b1 - F.sqrt(F.greatest(disc, F.lit(0.0)))) / (2 * b2)
     return s.select(
         F.col("n").alias("n_days"),
         F.round(b0, 6).alias("coef_a"),
         F.round(b1, 6).alias("coef_b"),
         F.round(b2, 8).alias("coef_c"),
+        (disc >= 0).alias("roots_real"),
         F.round(m, 2).alias("market_size_m"),
         F.round(b0 / m, 6).alias("p_innovation"),
         F.round(-b2 * m, 6).alias("q_imitation"),

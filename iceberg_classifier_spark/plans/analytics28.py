@@ -309,26 +309,37 @@ def _gmm_oracle(iters: int) -> str:
     for k in range(1, iters + 1):
         parts.append(f""", resp{k} AS MATERIALIZED (
       SELECT h.t, h.c, p.n,
-             p.p1 * exp(-(h.t - p.mu1) * (h.t - p.mu1) / (2 * p.v1))
+             round(p.p1 * exp(-(h.t - p.mu1) * (h.t - p.mu1) / (2 * p.v1))
                / sqrt(p.v1)
              / (p.p1 * exp(-(h.t - p.mu1) * (h.t - p.mu1) / (2 * p.v1))
                   / sqrt(p.v1)
                 + (1 - p.p1) * exp(-(h.t - p.mu2) * (h.t - p.mu2)
-                    / (2 * p.v2)) / sqrt(p.v2)) AS g
+                    / (2 * p.v2)) / sqrt(p.v2)), 9) AS g
       FROM hist h CROSS JOIN par{k - 1} p
     ), par{k} AS MATERIALIZED (
-      SELECT n, w1 / n AS p1, m1 AS mu1,
-             greatest(q1 - m1 * m1, 0.25) AS v1,
-             m2 AS mu2, greatest(q2 - m2 * m2, 0.25) AS v2
+      SELECT n, w1 / n AS p1, st1 / greatest(w1, 1e-9) AS mu1,
+             greatest(sq1 / greatest(w1, 1e-9)
+                      - st1 / greatest(w1, 1e-9)
+                        * (st1 / greatest(w1, 1e-9)), 0.25) AS v1,
+             st2 / greatest(w2, 1e-9) AS mu2,
+             greatest(sq2 / greatest(w2, 1e-9)
+                      - st2 / greatest(w2, 1e-9)
+                        * (st2 / greatest(w2, 1e-9)), 0.25) AS v2
       FROM (
         SELECT max(n) AS n,
-               sum(c * g) AS w1,
-               sum(c * g * t) / greatest(sum(c * g), 1e-9) AS m1,
-               sum(c * g * t * t) / greatest(sum(c * g), 1e-9) AS q1,
-               sum(c * (1 - g) * t) / greatest(sum(c * (1 - g)), 1e-9)
-                 AS m2,
-               sum(c * (1 - g) * t * t)
-                 / greatest(sum(c * (1 - g)), 1e-9) AS q2
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(c * g ORDER BY t)), (a, v) -> a + v) AS w1,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(c * g * t ORDER BY t)), (a, v) -> a + v) AS st1,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(c * g * t * t ORDER BY t)), (a, v) -> a + v) AS sq1,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(c * (1 - g) * t ORDER BY t)), (a, v) -> a + v) AS st2,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(c * (1 - g) * t * t ORDER BY t)), (a, v) -> a + v)
+                 AS sq2,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list(c * (1 - g) ORDER BY t)), (a, v) -> a + v) AS w2
         FROM resp{k}
       )
     )""")
@@ -391,21 +402,51 @@ def gaussian_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, m, sd = int(mom["n"]), float(mom["m"]), float(mom["s"])
     p1, mu1, v1, mu2, v2 = 0.5, m - sd / 2, sd * sd, m + sd / 2, sd * sd
     for _ in range(_EM_ITERS):
-        g = (
-            f"({p1!r} * exp(-(t - {mu1!r}) * (t - {mu1!r})"
-            f" / (2 * {v1!r})) / sqrt({v1!r}))"
-            f" / ({p1!r} * exp(-(t - {mu1!r}) * (t - {mu1!r})"
-            f" / (2 * {v1!r})) / sqrt({v1!r})"
-            f" + (1 - {p1!r}) * exp(-(t - {mu2!r}) * (t - {mu2!r})"
-            f" / (2 * {v2!r})) / sqrt({v2!r}))"
+        # responsibilities quantized to 9dp each iteration: exp() is not
+        # correctly-rounded and the JVM's and DuckDB's libm differ by an
+        # ulp on some arguments; 10 feedback iterations compound that to
+        # a visible 6dp split at sf0.1 (round-6 parity sweep). Rounding
+        # the E-step to 9dp (far above ulp noise, far below fit
+        # resolution) resets the drift so the whole trajectory stays
+        # bit-identical across engines.
+        # literals must be CAST(... AS DOUBLE): Spark parses a bare
+        # 17-digit float literal as DECIMAL(17,15) and evaluates the whole
+        # kernel in decimal arithmetic, drifting ~1e-8 from the IEEE
+        # double path DuckDB/Python take (the actual root cause of the
+        # sf0.1 pi1 split; the decimal→double cast is exact since repr
+        # round-trips)
+        P1, MU1, V1, MU2, V2 = (
+            f"CAST({x!r} AS DOUBLE)" for x in (p1, mu1, v1, mu2, v2)
         )
+        g = (
+            f"round(({P1} * exp(-(t - {MU1}) * (t - {MU1})"
+            f" / (2 * {V1})) / sqrt({V1}))"
+            f" / ({P1} * exp(-(t - {MU1}) * (t - {MU1})"
+            f" / (2 * {V1})) / sqrt({V1})"
+            f" + (1 - {P1}) * exp(-(t - {MU2}) * (t - {MU2})"
+            f" / (2 * {V2})) / sqrt({V2})), 9)"
+        )
+        # fixed-order folds, not sum(): the responsibilities are doubles,
+        # and plain sum() adds them in partition order — at sf0.1 the two
+        # engines' orders diverge in the last ulp and 10 EM iterations
+        # amplify that to a 6dp boundary split (round-6 sf0.1 parity
+        # sweep). Folding in t order makes the trajectory bit-identical.
+        def fold(e: str) -> F.Column:
+            return F.expr(
+                f"""
+                aggregate(transform(array_sort(collect_list(struct(t,
+                    CAST(({e}) AS DOUBLE) AS vv))), s -> s.vv),
+                  CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+                """
+            )
+
         row = hist.agg(
-            F.expr(f"sum(c * ({g}))").alias("w1"),
-            F.expr(f"sum(c * ({g}) * t)").alias("st1"),
-            F.expr(f"sum(c * ({g}) * t * t)").alias("sq1"),
-            F.expr(f"sum(c * (1 - ({g})) * t)").alias("st2"),
-            F.expr(f"sum(c * (1 - ({g})) * t * t)").alias("sq2"),
-            F.expr(f"sum(c * (1 - ({g})))").alias("w2"),
+            fold(f"c * ({g})").alias("w1"),
+            fold(f"c * ({g}) * t").alias("st1"),
+            fold(f"c * ({g}) * t * t").alias("sq1"),
+            fold(f"c * (1 - ({g})) * t").alias("st2"),
+            fold(f"c * (1 - ({g})) * t * t").alias("sq2"),
+            fold(f"c * (1 - ({g}))").alias("w2"),
         ).collect()[0]
         w1 = max(float(row["w1"]), 1e-9)
         w2 = max(float(row["w2"]), 1e-9)

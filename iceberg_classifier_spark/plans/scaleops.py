@@ -184,19 +184,28 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "customer_window_suite",
     oracle="""
+    WITH r AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY c_nationkey) AS nn,
+             lag(c_acctbal) OVER w AS prev_bal,
+             sum(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY
+               c_acctbal, c_custkey ROWS UNBOUNDED PRECEDING) AS rb
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    )
     SELECT c_custkey,
            c_nationkey AS nation,
            round(c_acctbal, 2) AS acctbal,
-           CAST(rank() OVER w AS BIGINT) AS rnk,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
-           round(c_acctbal - lag(c_acctbal) OVER w, 2) AS step_up,
-           round(sum(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY
-                 c_acctbal, c_custkey ROWS UNBOUNDED PRECEDING), 2)
-             AS running_bal
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-    ORDER BY nation, rnk
+           CAST(rn AS BIGINT) AS rnk,
+           CASE WHEN nn = 1 THEN 0.0 ELSE
+             CAST((2 * (rn - 1) * 1000000 + (nn - 1)) // (2 * (nn - 1))
+                  AS DOUBLE) / 1000000 END AS pct_rank,
+           CAST((2 * rn * 1000000 + nn) // (2 * nn) AS DOUBLE) / 1000000
+             AS cume,
+           round(c_acctbal - prev_bal, 2) AS step_up,
+           round(rb, 2) AS running_bal
+    FROM r ORDER BY nation, rnk
     """,
 )
 def customer_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,23 +213,51 @@ def customer_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag delta / running sum) over one window spec — everything computes in
     a SINGLE shuffle on the partition key because every function shares the
     (nation, balance, custkey) sort. The unique (balance, custkey) sort key
-    makes rank-family outputs tie-free and deterministic across engines.
+    makes rank-family outputs tie-free and deterministic across engines —
+    and lets percent_rank/cume_dist be emitted as exact-integer HALF_UP
+    ratios of (row_number, partition count) instead of round(double, 6):
+    the round-6 sf0.1 parity sweep caught a cume value landing exactly on
+    a .5 six-decimal boundary, where the two engines' double rounding
+    split 1e-6 apart. rank() == row_number() here by key uniqueness.
     """
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("c_nationkey")
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("nn"),
+        F.lag("c_acctbal").over(w).alias("prev_bal"),
+        F.sum("c_acctbal").over(wsum).alias("rb"),
+    )
     return (
-        c.select(
+        base.select(
             "c_custkey",
             F.col("c_nationkey").alias("nation"),
             F.round("c_acctbal", 2).alias("acctbal"),
-            F.rank().over(w).cast("bigint").alias("rnk"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.round(F.col("c_acctbal") - F.lag("c_acctbal").over(w), 2).alias(
+            F.col("rn").cast("bigint").alias("rnk"),
+            F.when(F.col("nn") == 1, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    "CAST((2 * (rn - 1) * 1000000 + (nn - 1))"
+                    " div (2 * (nn - 1)) AS DOUBLE)"
+                )
+                / 1000000
+            )
+            .alias("pct_rank"),
+            (
+                F.expr(
+                    "CAST((2 * rn * 1000000 + nn) div (2 * nn) AS DOUBLE)"
+                )
+                / 1000000
+            ).alias("cume"),
+            F.round(F.col("c_acctbal") - F.col("prev_bal"), 2).alias(
                 "step_up"
             ),
-            F.round(F.sum("c_acctbal").over(wsum), 2).alias("running_bal"),
+            F.round("rb", 2).alias("running_bal"),
         )
         .orderBy("nation", "rnk")
     )
