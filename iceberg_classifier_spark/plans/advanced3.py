@@ -424,9 +424,13 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 _KCORE_K = 3
 _KCORE_ROUNDS = 3
 
+# MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so a_i
+# referencing a_{i-1} twice re-expands the whole chain 2^i times — at
+# sf0.1 the re-inlined star join spilled >75 GB of temp and died (found
+# by the round-6 sf0.1 parity sweep); materialized, each round runs once.
 _KCORE_ITER_SQL = "".join(
     f""",
-    a{i} AS (
+    a{i} AS MATERIALIZED (
       SELECT u.a AS node, CAST(count(*) AS BIGINT) AS deg
       FROM und u
       JOIN a{i - 1} x ON x.node = u.a
@@ -440,7 +444,7 @@ _KCORE_ITER_SQL = "".join(
 @query(
     "kcore_trade_graph",
     oracle=f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS w
@@ -448,12 +452,14 @@ _KCORE_ITER_SQL = "".join(
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
-    ), tot AS (SELECT count(*) AS n_edges, sum(w) AS total FROM e),
-    he AS (SELECT e.src, e.dst FROM e, tot
+    ), tot AS MATERIALIZED (SELECT count(*) AS n_edges, sum(w) AS total
+                            FROM e),
+    he AS MATERIALIZED (SELECT e.src, e.dst FROM e, tot
            WHERE e.w * tot.n_edges > tot.total),
-    und AS (SELECT src AS a, dst AS b FROM he
+    und AS MATERIALIZED (SELECT src AS a, dst AS b FROM he
             UNION SELECT dst, src FROM he),
-    a0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS deg FROM und)
+    a0 AS MATERIALIZED (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS deg
+                        FROM und)
     {_KCORE_ITER_SQL}
     SELECT CAST(node AS BIGINT) AS node, deg AS core_degree
     FROM a{_KCORE_ROUNDS} ORDER BY node
