@@ -322,8 +322,12 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LP_ROUNDS = 3
 
+# MATERIALIZED throughout for the same reason as _KCORE_ITER_SQL below:
+# DuckDB inlines plain CTEs, and each propagation round references the
+# previous one twice, so the star join re-expands 2^rounds times (372 s +
+# a disk-filling spill at sf0.1 in the round-6 parity sweep).
 _LP_EDGE_SQL = """
-    e AS (
+    e AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS w
@@ -331,17 +335,18 @@ _LP_EDGE_SQL = """
       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE c.c_nationkey <> s.s_nationkey GROUP BY 1, 2
-    ), tot AS (SELECT count(*) AS n_edges, sum(w) AS total FROM e),
-    he AS (SELECT e.src, e.dst FROM e, tot
+    ), tot AS MATERIALIZED (SELECT count(*) AS n_edges, sum(w) AS total
+                            FROM e),
+    he AS MATERIALIZED (SELECT e.src, e.dst FROM e, tot
            WHERE e.w * tot.n_edges > tot.total),
-    und AS (SELECT src AS a, dst AS b FROM he
+    und AS MATERIALIZED (SELECT src AS a, dst AS b FROM he
             UNION SELECT dst, src FROM he),
-    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und)
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM und)
 """
 
 _LP_ITER_SQL = "".join(
     f""",
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT n.node, least(n.lbl, coalesce(min(p.lbl), n.lbl)) AS lbl
       FROM l{i - 1} n
       LEFT JOIN und u ON u.a = n.node
