@@ -24,10 +24,9 @@ _GAP_THRESH_MIN = [5, 10, 30, 60, 120]
     oracle=f"""
     WITH gaps AS (
       SELECT user_id,
-             CAST(epoch(ts) AS BIGINT)
-               - CAST(epoch(lag(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id))
-                 AS BIGINT) AS gap_s
+             epoch_us(ts)
+               - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
       FROM events
     ), counts AS (
       SELECT CAST(count(*) AS BIGINT) AS n_events,
@@ -35,20 +34,21 @@ _GAP_THRESH_MIN = [5, 10, 30, 60, 120]
       FROM events
     ), ghist AS (
       SELECT CAST(count(*) AS BIGINT) AS n_gaps FROM gaps
-      WHERE gap_s IS NOT NULL
+      WHERE gap_us IS NOT NULL
     )
     SELECT t.thresh_min,
            c.n_events, c.n_users,
            CAST(c.n_users + (SELECT count(*) FROM gaps
-                WHERE gap_s > t.thresh_min * 60) AS BIGINT)
-             AS n_sessions,
+                WHERE gap_us > t.thresh_min * CAST(60000000 AS BIGINT))
+             AS BIGINT) AS n_sessions,
            round(c.n_events * 1.0
                  / (c.n_users + (SELECT count(*) FROM gaps
-                    WHERE gap_s > t.thresh_min * 60)), 4)
+                    WHERE gap_us > t.thresh_min
+                          * CAST(60000000 AS BIGINT))), 4)
              AS events_per_session,
            CAST((SELECT count(*) FROM gaps
-                 WHERE gap_s > t.thresh_min * 60) * 1000000
-                // g.n_gaps AS BIGINT) AS boundary_gap_ppm
+                 WHERE gap_us > t.thresh_min * CAST(60000000 AS BIGINT))
+                * 1000000 // g.n_gaps AS BIGINT) AS boundary_gap_ppm
     FROM (SELECT unnest([{", ".join(str(t) for t in _GAP_THRESH_MIN)}])
             AS thresh_min) t
     CROSS JOIN counts c CROSS JOIN ghist g
@@ -63,7 +63,7 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries — the curve whose elbow justifies (or indicts)
     `events_sessionize`'s 30-minute default instead of folklore.
 
-    Determinism: gaps are exact epoch-second differences from
+    Determinism: gaps are exact epoch-MICROSECOND differences from
     (ts, event_id)-ordered user windows; every output is exact
     integer counting per threshold.
 
@@ -74,12 +74,17 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact MICROSECOND gaps: every testdata ts carries sub-second parts,
+    # and second-level truncation is not portable — Spark's long cast
+    # truncates while DuckDB's CAST(epoch() AS BIGINT) ROUNDS the double,
+    # shifting half the gaps by ±1 s and flipping threshold counts at
+    # sf0.1 (round-6 parity sweep). unix_micros/epoch_us are both exact.
     gaps = e.select(
         (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(wu)
-        ).alias("gap_s")
-    ).filter(F.col("gap_s").isNotNull())
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(wu)
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
     counts = e.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
@@ -93,8 +98,11 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("thresh_min")
         .agg(
             F.sum(
-                F.when(F.col("gap_s") > F.col("thresh_min") * 60, 1)
-                .otherwise(0)
+                F.when(
+                    F.col("gap_us")
+                    > F.col("thresh_min").cast("bigint") * 60000000,
+                    1,
+                ).otherwise(0)
             )
             .cast("bigint")
             .alias("n_boundaries")

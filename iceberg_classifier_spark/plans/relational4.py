@@ -29,7 +29,11 @@ from iceberg_classifier_spark.sources.tables import load
     oracle="""
     WITH cost AS (
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-             round(min(l_extendedprice / l_quantity), 6) AS unit_cost
+             CAST(min((2 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * 1000000
+                       + 100 * CAST(round(l_quantity) AS BIGINT))
+                      // (200 * CAST(round(l_quantity) AS BIGINT)))
+                  AS DOUBLE) / 1000000 AS unit_cost
       FROM lineitem GROUP BY 1, 2
     )
     SELECT c.partkey, p.p_brand AS brand, s.s_name AS supp_name,
@@ -52,15 +56,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the pre-aggregated pairs — one shuffle on partkey, ranked
     on the ROUNDED cost with suppkey tiebreak so both engines agree.
     EUROPE/LARGE filters prune the broadcast dims before the join.
+
+    The 6dp cost is exact-integer HALF_UP of cents/qty per row with the
+    min taken over the rounded values — legitimate because rounding is
+    monotone, so min(round6(x)) == round6(min(x)); round(min(double), 6)
+    split the engines at a .5 boundary at sf0.1 (round-6 parity sweep).
     """
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_type") == "LARGE")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    ppm = F.expr(
+        "(2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000"
+        " + 100 * CAST(round(l_quantity) AS BIGINT))"
+        " div (200 * CAST(round(l_quantity) AS BIGINT))"
+    )
     cost = l.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("unit_cost"))
+    ).agg((F.min(ppm).cast("double") / 1000000).alias("unit_cost"))
     w = Window.partitionBy("partkey").orderBy("unit_cost", "suppkey")
     return (
         cost.join(F.broadcast(p), F.col("partkey") == p.p_partkey)
