@@ -254,7 +254,8 @@ _GRID = [(0, 50), (1, 75), (2, 100), (3, 150), (4, 200), (5, 300)]
     )
     SELECT idx AS grid_point,
            CAST(pct AS BIGINT) AS pct_of_observed,
-           round(p, 6) AS defect_rate,
+           CAST((2 * defects * pct * 1000000 + 100 * n)
+                // (200 * n) AS DOUBLE) / 1000000 AS defect_rate,
            round({" + ".join(f"{c} * power(p, {i}) * power(1 - p, {_AQL_N - i})" for i, c in enumerate(_BINOM))},
                  6) AS p_accept,
            CAST(round(p * {_AQL_N}) AS BIGINT) AS expected_defects_in_sample
@@ -288,6 +289,8 @@ def acceptance_sampling_oc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = rate.crossJoin(F.broadcast(grid)).select(
         "idx",
         "pct",
+        "defects",
+        "n",
         (
             F.col("defects") * 1.0 / F.col("n") * F.col("pct") / 100.0
         ).alias("p"),
@@ -299,7 +302,17 @@ def acceptance_sampling_oc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.col("idx").alias("grid_point"),
         F.col("pct").cast("bigint").alias("pct_of_observed"),
-        F.round("p", 6).alias("defect_rate"),
+        # defect_rate is the exact rational defects·pct/(100n) — emitted
+        # as integer HALF_UP because round(double, 6) landed exactly on a
+        # .5 boundary at sf0.1 and the engines' rounding paths split
+        # (round-6 sf0.1 parity sweep)
+        (
+            F.expr(
+                "CAST((2 * defects * pct * 1000000 + 100 * n)"
+                " div (200 * n) AS DOUBLE)"
+            )
+            / 1000000
+        ).alias("defect_rate"),
         F.round(pacc, 6).alias("p_accept"),
         F.round(F.col("p") * _AQL_N)
         .cast("bigint")

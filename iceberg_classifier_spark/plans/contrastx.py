@@ -43,7 +43,7 @@ _NCE_TAU = 0.1
     WITH base AS (
       SELECT vec_id, CAST(vec_id // {_NCE_BATCH} AS BIGINT) AS b,
              list_transform(generate_series(1, len(embedding)),
-               i -> CAST(round(embedding[i] * 10000) AS BIGINT)) AS x
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS x
       FROM embeddings
     ), scaled AS (
       SELECT vec_id, b, x,

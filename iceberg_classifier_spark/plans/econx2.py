@@ -187,7 +187,7 @@ def _pi_oracle() -> str:
       SELECT vec_id,
              unnest(list_transform(generate_series(1, {_PI_DIMS}),
                     i -> struct_pack(i := i,
-                                     x := CAST(round(embedding[i] * 10000)
+                                     x := CAST(round(CAST(embedding[i] AS DOUBLE) * 10000)
                                                AS BIGINT)))) AS p
       FROM embeddings
     ), xs AS (

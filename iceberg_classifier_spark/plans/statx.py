@@ -404,7 +404,7 @@ _ALPHA_K = 8
       SELECT vec_id,
              unnest(list_transform(generate_series(1, {_ALPHA_K}),
                     i -> struct_pack(i := i,
-                                     x := CAST(round(embedding[i] * 10000)
+                                     x := CAST(round(CAST(embedding[i] AS DOUBLE) * 10000)
                                                AS BIGINT)))) AS p
       FROM embeddings
     ), items AS (

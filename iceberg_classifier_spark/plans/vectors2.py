@@ -154,7 +154,7 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              unnest(list_transform(generate_series(1, len(embedding)),
                     i -> struct_pack(i := i,
-                                     x := CAST(round(embedding[i] * 10000)
+                                     x := CAST(round(CAST(embedding[i] AS DOUBLE) * 10000)
                                                AS BIGINT)))) AS p
       FROM embeddings
     ), flat AS (
@@ -162,16 +162,22 @@ def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n AS (SELECT count(*) AS n FROM embeddings),
     moments AS (
       SELECT a.i AS i, b.i AS j,
-             CAST(sum(a.x * b.x) AS DOUBLE) AS sxy,
-             CAST(sum(a.x) AS DOUBLE) AS sx,
-             CAST(sum(b.x) AS DOUBLE) AS sy
+             CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+             CAST(sum(a.x) AS BIGINT) AS sx,
+             CAST(sum(b.x) AS BIGINT) AS sy
       FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
+    ), covnum AS (
+      SELECT i, j,
+             CAST(n.n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n.n AS HUGEINT) * n.n * 100000000 AS den
+      FROM moments, n
     )
     SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-           round((sxy / n.n - (sx / n.n) * (sy / n.n)) / 100000000.0, 8)
-             AS cov
-    FROM moments, n ORDER BY i, j
+           CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(num) * 100000000 + den) // (2 * den))
+                AS DOUBLE) / 100000000 AS cov
+    FROM covnum ORDER BY i, j
     """,
 )
 def embedding_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,21 +209,40 @@ def embedding_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.i") <= F.col("b.i")))
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(
-            F.sum(F.col("a.x") * F.col("b.x")).cast("double").alias("sxy"),
-            F.sum("a.x").cast("double").alias("sx"),
-            F.sum("b.x").cast("double").alias("sy"),
+            F.sum(F.col("a.x") * F.col("b.x")).cast("bigint").alias("sxy"),
+            F.sum("a.x").cast("bigint").alias("sx"),
+            F.sum("b.x").cast("bigint").alias("sy"),
         )
     )
+    # 8dp emit via exact-integer HALF_UP of num/den (num = n·Σxy − Σx·Σy,
+    # den = n²·1e8; sign split because integer-div semantics differ for
+    # negatives across engines): round((sxy/n − mx·my)/1e8, 8) of a double
+    # landed exactly on a .5 eight-decimal boundary at sf0.1, where
+    # Spark's BigDecimal rounding and DuckDB's multiply-then-round split
+    # (round-6 sf0.1 parity sweep). Operands widen to decimal/HUGEINT.
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("n") * 100000000
     return (
         moments.crossJoin(F.broadcast(n))
         .select(
             F.col("i").cast("bigint").alias("i"),
             F.col("j").cast("bigint").alias("j"),
-            F.round(
-                (F.col("sxy") / F.col("n")
-                 - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
-                / 100000000.0,
-                8,
+            num.alias("num"),
+            den.alias("den"),
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.expr(
+                    "CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END"
+                    " * ((2 * abs(num) * 100000000 + den) div (2 * den))"
+                    " AS DOUBLE)"
+                )
+                / 100000000
             ).alias("cov"),
         )
         .orderBy("i", "j")
