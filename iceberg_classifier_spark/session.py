@@ -64,9 +64,15 @@ def _quiet_audited_window_warnings(spark: SparkSession) -> None:
     """
     try:
         jvm = spark._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        for logger in (
             "org.apache.spark.sql.execution.window",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+            # "Asked to cache already cached data": several plans cache a
+            # frame that multiple registered branches re-request — benign
+            # by construction and audited like the window allowlist
+            "org.apache.spark.sql.execution.CacheManager",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
     except Exception:  # noqa: BLE001 — logging tweak must never break startup
         pass
