@@ -19,6 +19,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_QUIET_LOGS", "1")
 
     from iceberg_classifier_spark.plans.registry import load_all_queries
     from iceberg_classifier_spark.session import get_spark

@@ -99,6 +99,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs:
     ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
@@ -107,11 +108,20 @@ def minhash_dedup_pairs(
     est_jaccard is the fraction of equal minhashes. Only (id, band,
     band_hash) triples shuffle — the n_hashes-long signatures rejoin the
     (small) deduped candidate set afterwards.
+
+    The signature frame feeds three plan branches (band explode + both
+    pair join-backs). By default it stays lazy — per-row md5/array math
+    recomputed per branch, nothing persisted on the caller's session.
+    Pass ``cache_signatures=True`` to persist it instead, and unpersist
+    via ``spark.catalog.clearCache()`` (or persist ``df`` yourself) when
+    you own the session's cache lifecycle.
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n).cache()
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    if cache_signatures:
+        sig = sig.cache()
     band_arr = F.array(
         *[
             F.concat_ws(
@@ -238,18 +248,25 @@ def quality_filter(
 ) -> DataFrame:
     """Token-bound + lexical-diversity gate. Adds ``n_tokens`` and
     ``quality`` (unique-token ratio in exact ppm units — integer
-    arithmetic, no float boundary) and keeps passing rows."""
+    arithmetic, no float boundary) and keeps passing rows.
+
+    ``quality`` is derived from the SAME whitespace-run tokenization as
+    ``n_tokens`` (``T.tokens`` splits on ``' +'``), so runs of spaces
+    cannot skew the ratio, and the whole expression is built as Columns —
+    no raw SQL interpolation of ``text_col``.
+    """
     toks = T.tokens(F.col(text_col))
+    n_uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    n_all = F.greatest(F.size(toks).cast("bigint"), F.lit(1))
     out = df.withColumn("n_tokens", F.size(toks)).withColumn(
+        # exact integer ppm: numerator ≤ 1e6·n_tokens ≪ 2^53, so the
+        # floor(double) spelling equals integer div for any real corpus row
         "quality",
-        F.expr(
-            f"(size(array_distinct(split(trim({text_col}), ' '))) * 1000000)"
-            f" div greatest(size(split(trim({text_col}), ' ')), 1)"
-        ),
+        F.floor(n_uniq * F.lit(1_000_000) / n_all).cast("bigint"),
     )
     return out.where(
         F.col("n_tokens").between(min_tokens, max_tokens)
-        & (F.col("quality") >= int(min_unique_ratio * 1_000_000))
+        & (F.col("quality") >= int(round(min_unique_ratio * 1_000_000)))
     )
 
 
@@ -322,34 +339,49 @@ def ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: ``(query_id, neighbor_id, rank,
     cos_sim)``. The small query block broadcasts to every corpus
     partition; per-query winners merge through a partitioned window.
     For corpus-sized query sets use an IVF/LSH bucketing first (the
-    registered ann_ivf_* family)."""
+    registered ann_ivf_* family).
+
+    Zero-norm vectors are dropped from BOTH sides before ranking —
+    their cosine is undefined and Spark sorts NaN above every real
+    double, so one null vector would otherwise rank 1 for every query.
+    ``exclude_self=True`` (the default) assumes queries are drawn from
+    the corpus id space and drops the ``query_id == neighbor_id`` hit;
+    pass False when queries and corpus are distinct datasets that may
+    coincidentally share id values.
+    """
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).where(nrm(F.col("cv")) > 0)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    )
+    ).where(nrm(F.col("qv")) > 0)
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nrm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    cond = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_self
+        else F.lit(True)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), "neighbor_id"
     )
     return (
         F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .join(c, cond)
         .select(
             "query_id",
             "neighbor_id",

@@ -233,7 +233,7 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT hour_start, event_type, n_events,
            CAST(sc AS DOUBLE) / 100 AS sum_value,
-           CAST((2 * sc * 1000000 + 100 * n_events)
+           CAST((2 * CAST(sc AS HUGEINT) * 1000000 + 100 * n_events)
                 // (200 * n_events) AS DOUBLE) / 1000000 AS avg_value
     FROM g ORDER BY hour_start, event_type
     """,
@@ -268,9 +268,13 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             (F.col("sc").cast("double") / 100).alias("sum_value"),
+            # operand-level widening (analytics3 convention): sc is a
+            # per-(hour,type) cents sum, so 2·sc·1e6 wraps int64 once a
+            # group exceeds ~4.6e12 cents — widen BEFORE multiplying
             (
                 F.expr(
-                    "CAST((2 * sc * 1000000 + 100 * n_events)"
+                    "CAST((2 * CAST(sc AS DECIMAL(38,0)) * 1000000"
+                    " + 100 * n_events)"
                     " div (200 * n_events) AS DOUBLE)"
                 )
                 / 1000000

@@ -48,7 +48,8 @@ def get_spark(app_name: str = "iceberg-classifier-spark") -> SparkSession:
         )
     )
     spark = builder.getOrCreate()
-    _quiet_audited_window_warnings(spark)
+    if os.environ.get("SPARK_GRAFT_QUIET_LOGS", "") == "1":
+        _quiet_audited_window_warnings(spark)
     return spark
 
 
@@ -61,6 +62,12 @@ def _quiet_audited_window_warnings(spark: SparkSession) -> None:
     enforces that no query OUTSIDE the allowlist introduces one), so the
     warning carries no signal here and ~400 repetitions were burying the
     bench's single JSON metric line.
+
+    Gated behind ``SPARK_GRAFT_QUIET_LOGS=1`` — the repo's own entry
+    points (bench.py, scripts/sweep_*, tests) set it; a library user
+    calling ``get_spark()`` keeps stock Spark logging, so THEIR
+    accidental single-partition windows and double-caches still warn
+    (round-6 advice).
     """
     try:
         jvm = spark._jvm

@@ -25,6 +25,7 @@ _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, sys.argv[1])
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+os.environ.setdefault("SPARK_GRAFT_QUIET_LOGS", "1")
 from iceberg_classifier_spark.plans.registry import load_all_queries
 from iceberg_classifier_spark.session import get_spark
 spark = get_spark("bench-ab")

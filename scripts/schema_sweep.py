@@ -19,6 +19,7 @@ from pyspark.sql.types import ArrayType, MapType, StructType
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from iceberg_classifier_spark.plans.registry import load_all_queries
+os.environ.setdefault("SPARK_GRAFT_QUIET_LOGS", "1")
 from iceberg_classifier_spark.session import get_spark
 
 

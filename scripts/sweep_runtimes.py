@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_QUIET_LOGS", "1")
     from iceberg_classifier_spark.plans.registry import load_all_queries
     from iceberg_classifier_spark.session import get_spark
 

@@ -10,6 +10,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    os.environ.setdefault("SPARK_GRAFT_QUIET_LOGS", "1")
     from iceberg_classifier_spark.session import get_spark
 
     s = get_spark("tests")

@@ -96,6 +96,43 @@ def test_curation_funnel_composes(spark, corpus):
     assert 4 in set(out.url) and 6 in set(out.url)
 
 
+def test_quality_filter_whitespace_runs_do_not_skew_ratio(spark):
+    # round-6 advice: 'a  a' (double space) must score the same quality
+    # as 'a a' — both tokenize to [a, a] under the shared ' +' split
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "a  a"), (3, "x   y \t z")],
+        "doc_id long, text string",
+    )
+    got = (
+        api.quality_filter(docs, min_tokens=1)
+        .select("doc_id", "n_tokens", "quality")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "quality"] == got.loc[2, "quality"] == 500000
+    assert got.loc[1, "n_tokens"] == got.loc[2, "n_tokens"] == 2
+    assert got.loc[3, "quality"] == 1000000
+
+
+def test_ann_topk_zero_norm_and_self_exclusion(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero-norm: NaN cosine would rank 1 for everyone
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = api.ann_topk(df, df.where(F.col("vec_id") == 0), k=2).toPandas()
+    assert 2 not in set(got.neighbor_id)  # zero-norm dropped, not rank 1
+    assert 0 not in set(got.neighbor_id)  # self excluded by default
+    assert list(got.sort_values("rank").neighbor_id) == [1, 3]
+    # exclude_self=False: distinct datasets sharing id values keep the hit
+    kept = api.ann_topk(
+        df, df.where(F.col("vec_id") == 0), k=2, exclude_self=False
+    ).toPandas()
+    assert list(kept.sort_values("rank").neighbor_id) == [0, 1]
+
+
 def test_ann_topk_matches_registered_plan(spark, sf_dir):
     from iceberg_classifier_spark.plans.registry import load_all_queries
     from iceberg_classifier_spark.sources.tables import load
