@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.functions import arrays as A
 from iceberg_classifier_spark.functions import text as T
-from iceberg_classifier_spark.plans.registry import REGISTRY, query
+from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load, load_parallel
 
 JACCARD_MIN = 0.05
@@ -64,7 +64,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# deterministic ~30% doc sample (md5 prefix ≤ '4c' is 77/256) — the
+# sample_stratified_det hash-sampling convention at a rate that keeps the
+# audits' truth sets non-degenerate at small SF while cutting truth-side
+# pair work to sample² ≈ 9% at scale
+_DET_SAMPLE = "substring(md5(CAST(doc_id AS STRING)), 1, 2) <= '4c'"
+_DET_SAMPLE_DUCK = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '4c'"
+
+
+def _shingle_pairs(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
     """(doc_a, doc_b, inter, na, nb) via shingle posting lists.
 
     Instead of a self-join on the exploded (doc_id, shingle) table — which
@@ -89,6 +99,10 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the posting groupBy, so whale lists are never collected at all.
     """
     d = load_parallel(spark, sf_dir, "documents")
+    if sampled:
+        # deterministic hash sample BEFORE shingling: truth-side pair work
+        # scales with sample² (the sampled-truth mode of the audit ops)
+        d = d.where(F.expr(_DET_SAMPLE))
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     shing = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
     # shuffle 8-byte shingle hashes, not ~30-char strings (≈4× fewer shuffle
@@ -125,11 +139,14 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+def _jaccard_pairs_oracle(src: str = "documents") -> str:
+    """DuckDB SQL for the df-capped 3-gram Jaccard pair kernel over
+    ``src`` — shared verbatim by dedup_ngram_jaccard (src=documents) and
+    neardup_clustering_coefficient (src=the sampled sub-corpus), so the
+    two can never drift apart."""
+    return f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM {src}
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), kept AS (
@@ -150,7 +167,12 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = p.doc_b
     WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= {JACCARD_MIN}
     ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_pairs_oracle(),
     headline=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,6 +473,9 @@ def _cos_plane_signs(n_planes: int, dim: int = 64):
     return s
 
 
+COS_CAP = 64  # bucket-size cap: bigger buckets emit star pairs via min-id rep
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -477,11 +502,24 @@ def _cos_plane_signs(n_planes: int, dim: int = 64):
     ), ev AS (
       SELECT bb.vec_id, e.label, bb.band, bb.bucket
       FROM bb JOIN e USING (vec_id)
+    ), bsz AS (
+      SELECT label, band, bucket, min(vec_id) AS lowest,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM ev GROUP BY 1, 2, 3
+    ), evs AS (
+      SELECT ev.* FROM ev JOIN bsz USING (label, band, bucket)
+      WHERE bsz.sz <= {COS_CAP}
     ), cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
-      FROM ev a JOIN ev b
-        ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
-       AND a.vec_id < b.vec_id
+      SELECT DISTINCT vec_a, vec_b, label FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+        FROM evs a JOIN evs b
+          ON a.label = b.label AND a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT s.lowest AS vec_a, v.vec_id AS vec_b, v.label AS label
+        FROM ev v JOIN bsz s USING (label, band, bucket)
+        WHERE s.sz > {COS_CAP} AND v.vec_id > s.lowest
+      )
     )
     SELECT c.vec_a, c.vec_b, c.label,
            round(list_dot_product(ea.v, eb.v)
@@ -498,11 +536,16 @@ def _cos_plane_signs(n_planes: int, dim: int = 64):
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: (label, LSH-band, bucket)-blocked equi-join
+    """Embedding near-dup pairs: (label, LSH-band, bucket)-blocked candidates
     + cosine ≥ 0.3 — banded random-hyperplane blocking (8 bands × 4 sign
-    bits, same portable ±1 LCG planes as ann_lsh_topk) so the candidate
-    join is an equi-join on a high-cardinality bucket key, never a
-    within-label all-pairs.
+    bits, same portable ±1 LCG planes as ann_lsh_topk), with HOT-BUCKET
+    CONTROL: a bucket with ≤ {COS_CAP} members enumerates all pairs; a
+    bigger bucket emits only its star — (min vec_id, member) pairs through
+    the bucket representative, the dedup_minhash_skewed bucket-min pattern
+    applied to pair OUTPUT. Keep-one dedup consumers lose nothing (every
+    member still links to its bucket's representative, so the connected
+    components are identical); what a hot bucket no longer emits is the
+    quadratic member×member clique no downstream dedup needs.
 
     Recall: a pair at cosine c collides in ≥1 of the 8 bands w.p.
     1-(1-(1-θ/π)⁴)⁸ — ≈0.998 at c=0.9, the near-dup regime this targets.
@@ -510,10 +553,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots), so the approximate result set itself is value-checked.
 
     Scale: bucketing is a per-row map (one Arrow-batched numpy GEMM
-    against the constant 64×32 sign matrix); candidate volume scales with
-    true bucket occupancy, not n²/|labels|. At 100 TB the only
-    remaining hazard is a degenerate bucket (all-identical vectors), which
-    the band hash splits across 8 independent projections.
+    against the constant 64×32 sign matrix); pair emission is bounded by
+    sz·{COS_CAP}/2 for small buckets and sz-1 for hot ones — O(n·{COS_CAP})
+    total, never O(hot_bucket²). The round-6 sf1 sweep measured the
+    uncapped plan at 574 s on a 10×-replicated corpus (every bucket 10×
+    hot); the star route makes the same corpus linear. The band frame
+    shuffles (vec_id, label, band, bucket) only — vectors rejoin the
+    deduped candidate ids at the end.
     """
     import numpy as np
     import pandas as pd
@@ -549,7 +595,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {
                             "vec_id": pdf["vec_id"],
                             "label": pdf["label"],
-                            "v": pdf["v"],
                             "band": np.full(len(pdf), b, dtype=np.int32),
                             "bucket": bucket,
                         }
@@ -557,31 +602,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.concat(out, ignore_index=True)
 
-    bands = e.mapInPandas(
-        bucketize,
-        "vec_id long, label int, v array<double>, band int, bucket long",
+    # narrow band frame (no vectors) — cached: feeds the size agg, the
+    # small-bucket pair join (twice) and the star route
+    bands = e.select("vec_id", "label", "v").mapInPandas(
+        bucketize, "vec_id long, label int, band int, bucket long"
+    ).cache()
+    keys = ["label", "band", "bucket"]
+    bsz = bands.groupBy(*keys).agg(
+        F.min("vec_id").alias("lowest"),
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    evs = bands.join(bsz.where(F.col("sz") <= COS_CAP).select(*keys), keys)
+    a, b = evs.alias("a"), evs.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+    )
+    cand_star = (
+        bands.join(bsz.where(F.col("sz") > COS_CAP), keys)
+        .where(F.col("vec_id") > F.col("lowest"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            F.col("lowest").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("label"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
     )
+    cand = cand_small.unionAll(cand_star).dropDuplicates(["vec_a", "vec_b"])
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     cos = A.cosine(F.col("va"), F.col("vb"))
     return (
-        cand.where(cos >= COSINE_MIN)
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(cos >= COSINE_MIN)
         .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
@@ -787,9 +847,11 @@ _MHQ_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:_MHQ_K]) + "]"
                     string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2])) AS s
       FROM documents
+    ), sh_s AS (
+      SELECT * FROM sh WHERE {_DET_SAMPLE_DUCK}
     ), truth AS (
       SELECT a.doc_id AS da, b.doc_id AS db
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      FROM sh_s a JOIN sh_s b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.s, b.s)) * 1.0
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
             >= {_MHQ_TAU}
@@ -815,38 +877,50 @@ _MHQ_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:_MHQ_K]) + "]"
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), cand_s AS (
+      SELECT da, db FROM cand
+      WHERE substr(md5(CAST(da AS VARCHAR)), 1, 2) <= '4c'
+        AND substr(md5(CAST(db AS VARCHAR)), 1, 2) <= '4c'
     ), j AS (
       SELECT coalesce(t.da, c.da) AS da,
              (t.da IS NOT NULL) AS is_true, (c.da IS NOT NULL) AS is_cand
-      FROM truth t FULL OUTER JOIN cand c
+      FROM truth t FULL OUTER JOIN cand_s c
         ON t.da = c.da AND t.db = c.db
     )
     SELECT CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true_pairs,
-           CAST(count(*) FILTER (WHERE is_cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(count(*) FILTER (WHERE is_cand) AS BIGINT) AS n_cand_sampled,
            CAST(count(*) FILTER (WHERE is_true AND is_cand) AS BIGINT)
              AS n_hits,
            round(count(*) FILTER (WHERE is_true AND is_cand) * 1.0
                  / count(*) FILTER (WHERE is_cand), 6) AS precision,
            round(count(*) FILTER (WHERE is_true AND is_cand) * 1.0
-                 / count(*) FILTER (WHERE is_true), 6) AS recall
+                 / count(*) FILTER (WHERE is_true), 6) AS recall,
+           true AS truth_sampled
     FROM j
     """,
 )
 def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH evaluated against exact ground truth, fully
+    """MinHash-LSH evaluated against SAMPLED exact ground truth, fully
     value-checked: {_MHQ_K} portable universal-hash minhashes per doc\n    (one md5-prefix base per shingle, multiply-add-mod family),
     {_MHQ_BANDS} bands of {_MHQ_K // _MHQ_BANDS} rows generate candidate
-    pairs; the truth set is exact 3-gram-shingle Jaccard ≥ {_MHQ_TAU};
-    the report is candidate precision and recall. Because the hash is the
-    portable fold, DuckDB rebuilds the IDENTICAL signatures and band
-    buckets — the sketch's realized quality is oracle-checked, not just
-    its row count (upgrade over the rows-only `dedup_minhash_lsh`).
+    pairs over the FULL corpus (the production path); the truth set is
+    exact 3-gram-shingle Jaccard ≥ {_MHQ_TAU} over a deterministic ~30%
+    doc sample (md5-prefix ≤ '4c', the sample_stratified_det convention
+    — flagged by the constant ``truth_sampled`` column). Precision and
+    recall are measured on the sampled universe (candidate pairs with
+    BOTH docs sampled, ``n_cand_sampled``); ``n_candidates`` still
+    reports the full LSH output size. Because the hash is the portable
+    fold, DuckDB rebuilds the IDENTICAL signatures and band buckets —
+    the sketch's realized quality is oracle-checked, not just its row
+    count (upgrade over the rows-only `dedup_minhash_lsh`).
 
     Scale: signatures are one explode + (doc, seed) min-aggregation
     (map-side combined); candidates come from the band-bucket equi-join
-    (never all pairs). The exact-truth side IS quadratic work — it exists
-    to measure the sketch and runs on posting-list intersections like
-    `dedup_ngram_jaccard`; production keeps only the LSH path.
+    (never all pairs). The exact-truth side is inherently quadratic —
+    the round-7 sampled mode caps it at sample² of the corpus (the
+    uncapped audit measured 265 s at 10× data in the round-6 sweep), and
+    a uniform pair sample estimates precision/recall unbiasedly.
     """
     from iceberg_classifier_spark.functions.text import shingles, tokens
 
@@ -854,10 +928,12 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("sg")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    # exact truth via posting-list pair counts (no cross join)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # exact-truth side: deterministic ~30% doc sample, pushed below the
+    # shingle explode so truth pair work scales with sample²
+    sh_s = sh.where(F.expr(_DET_SAMPLE))
+    sizes = sh_s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    a = sh_s.alias("a")
+    b = sh_s.alias("b")
     inter = (
         a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -923,12 +999,19 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    n_cand_full = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    samp = "substring(md5(CAST({c} AS STRING)), 1, 2) <= '4c'"
+    cand_s = cand.where(
+        F.expr(samp.format(c="da")) & F.expr(samp.format(c="db"))
+    )
     j = truth.withColumn("t", F.lit(1)).join(
-        cand.withColumn("c", F.lit(1)), ["da", "db"], "full_outer"
+        cand_s.withColumn("c", F.lit(1)), ["da", "db"], "full_outer"
     )
     return j.agg(
         F.sum(F.col("t").isNotNull().cast("bigint")).alias("n_true_pairs"),
-        F.sum(F.col("c").isNotNull().cast("bigint")).alias("n_candidates"),
+        F.sum(F.col("c").isNotNull().cast("bigint")).alias("n_cand_sampled"),
         F.sum((F.col("t").isNotNull() & F.col("c").isNotNull()).cast("bigint")).alias("n_hits"),
         F.round(
             F.sum((F.col("t").isNotNull() & F.col("c").isNotNull()).cast("bigint"))
@@ -942,6 +1025,14 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("t").isNotNull().cast("bigint")),
             6,
         ).alias("recall"),
+    ).crossJoin(F.broadcast(n_cand_full)).select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_cand_sampled",
+        "n_hits",
+        "precision",
+        "recall",
+        F.lit(True).alias("truth_sampled"),
     )
 
 
@@ -1041,13 +1132,12 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACCARD_PAIRS_ORACLE = REGISTRY["dedup_ngram_jaccard"].oracle
-
-
 @query(
     "neardup_clustering_coefficient",
     oracle=f"""
-    WITH pr AS ({_JACCARD_PAIRS_ORACLE}),
+    WITH documents_s AS (
+      SELECT * FROM documents WHERE {_DET_SAMPLE_DUCK}
+    ), pr AS ({_jaccard_pairs_oracle("documents_s")}),
     deg AS (
       SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
         SELECT doc_a AS v FROM pr UNION ALL SELECT doc_b FROM pr
@@ -1064,26 +1154,37 @@ _JACCARD_PAIRS_ORACLE = REGISTRY["dedup_ngram_jaccard"].oracle
     ), np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr)
     SELECT np.n_pairs, wed.n_nodes, wed.wedges, tri.triangles,
            CAST(3 * tri.triangles * 1000000 // nullif(wed.wedges, 0)
-                AS BIGINT) AS closure_ppm
+                AS BIGINT) AS closure_ppm,
+           true AS truth_sampled
     FROM np CROSS JOIN wed CROSS JOIN tri
     """,
 )
 def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitivity audit of the near-duplicate relation: the global
     clustering coefficient (3·triangles / wedges) of the Jaccard-pair
-    graph. Near-dup "similarity" is famously non-transitive — a LOW
-    closure means single-link clustering (dedup_clusters) is chaining
-    unrelated documents through middlemen, the classic over-merge failure;
-    this op measures exactly that risk before you trust the clusters.
+    graph over a DETERMINISTIC ~30% doc sample (md5-prefix ≤ '4c', the
+    sample_stratified_det convention — flagged by the constant
+    ``truth_sampled`` column both engines emit). Near-dup "similarity"
+    is famously non-transitive — a LOW closure means single-link
+    clustering (dedup_clusters) is chaining unrelated documents through
+    middlemen, the classic over-merge failure; this op measures exactly
+    that risk before you trust the clusters, and transitivity of a
+    uniform node sample estimates the population's (each triangle /
+    wedge survives sampling with the same p³ factor).
 
-    Scale: the pair graph is the already-blocked jaccard kernel output
-    (df-capped posting lists — never n²); wedges come from a degree
-    aggregate (no enumeration), and the triangle join runs on the
-    near-dup edge list, which is tiny relative to the corpus by
-    construction. Oracle reuses dedup_ngram_jaccard's oracle verbatim as
-    its pair CTE, so the two ops can never drift apart.
+    Scale: the exact-Jaccard pair graph is the audit's quadratic-ish
+    part — the hash sample caps it at sample² of the full kernel (the
+    round-7 sampled-truth mode; run the audit on the sample, the
+    production LSH path on everything). Wedges come from a degree
+    aggregate (no enumeration); the triangle join runs on the sampled
+    edge list. Oracle reuses the shared _jaccard_pairs_oracle template,
+    so kernel and audit can never drift apart.
     """
-    pr = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pr = _shingle_pairs(spark, sf_dir, sampled=True)
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    pr = pr.where(jac >= JACCARD_MIN).select("doc_a", "doc_b")
     deg = (
         pr.select(F.col("doc_a").alias("v"))
         .unionAll(pr.select(F.col("doc_b").alias("v")))
@@ -1116,6 +1217,7 @@ def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("3 * triangles * 1000000 div nullif(wedges, 0)")
             .cast("bigint")
             .alias("closure_ppm"),
+            F.lit(True).alias("truth_sampled"),
         )
     )
 

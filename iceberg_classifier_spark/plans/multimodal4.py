@@ -22,6 +22,7 @@ from iceberg_classifier_spark.sources.tables import load
 _AH_PIX = 62  # 62-bit hash (positive int64), as multimodal_image_ahash
 _AH_BAND = 4  # bands of ~16 bits
 _AH_HAM = 6  # near-dup verify threshold
+_AH_CAP = 64  # band-bucket cap: bigger buckets emit star pairs via min-id rep
 
 
 def _ahash_cols() -> str:
@@ -59,15 +60,29 @@ def _ahash_cols() -> str:
       SELECT doc_id, ah, g.b,
              (ah >> (g.b * 16)) & 65535 AS band_key
       FROM h, (SELECT unnest(range(0, {_AH_BAND})) AS b) g
+    ), bsz AS (
+      SELECT b, band_key, min(doc_id) AS lowest,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM bands GROUP BY 1, 2
+    ), small AS (
+      SELECT bands.* FROM bands JOIN bsz USING (b, band_key)
+      WHERE bsz.sz <= {_AH_CAP}
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.ah AS ha,
-             b.ah AS hb
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
+      SELECT DISTINCT da, db FROM (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM small a JOIN small b
+          ON a.b = b.b AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT s.lowest AS da, m.doc_id AS db
+        FROM bands m JOIN bsz s USING (b, band_key)
+        WHERE s.sz > {_AH_CAP} AND m.doc_id > s.lowest
+      )
     ), verified AS (
-      SELECT da, db, bit_count(CAST(xor(ha, hb) AS BIGINT)) AS ham
-      FROM cand
+      SELECT c.da, c.db,
+             bit_count(CAST(xor(ha.ah, hb.ah) AS BIGINT)) AS ham
+      FROM cand c JOIN h ha ON ha.doc_id = c.da
+                  JOIN h hb ON hb.doc_id = c.db
     )
     SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_images,
            CAST(count(*) AS BIGINT) AS n_candidates,
@@ -84,16 +99,23 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     column: 62-bit aHash per image (`multimodal_image_ahash`'s
     brighter-than-mean construction), hashes split into four 16-bit
     bands, candidate pairs ONLY from same-band equality (the simhash
-    banding trick ported to images), then exact hamming popcount with
-    the ≤6 near-dup verdict — the image-dedup shape every vision
-    corpus runs before training (text twin: `dedup_simhash`).
+    banding trick ported to images) with HOT-BUCKET CONTROL — a band
+    bucket with ≤ {_AH_CAP} members enumerates all pairs, a bigger one
+    emits only its star through the min-doc_id representative (the
+    dedup_minhash_skewed bucket-min pattern) — then exact hamming
+    popcount with the ≤6 near-dup verdict. Keep-one dedup loses
+    nothing (every member still links to the representative); the hot
+    bucket's member×member clique is what stops being emitted.
 
     Determinism: hashes are exact integer bit arithmetic; candidates
     and hamming distances are exact; summary is integer counts.
 
-    Scale: band posting lists make candidate volume proportional to
-    band collisions (df-cap hot bands as in the text dedups); popcount
-    verification touches only candidates. Nothing all-pairs.
+    Scale: pair emission is bounded by sz·{_AH_CAP}/2 per small bucket
+    and sz-1 per hot one — O(n·{_AH_CAP}) total, never O(bucket²). The
+    round-6 sf1 sweep measured the uncapped plan at 170 s on a
+    10×-replicated corpus (every 16-bit band bucket 10× hot); the star
+    route makes the same corpus linear. Only (doc_id, b, band_key)
+    triples shuffle; hashes rejoin the deduped candidate ids.
     """
     m = (
         load(spark, sf_dir, "documents")
@@ -104,9 +126,9 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate(transform(sequence(1, {_AH_PIX}),"
         " i -> ascii(substring(px, i, 1))), 0, (a, x) -> a + x)"
     )
-    # cached: two longs per image, consumed by both band-join sides, the
-    # count and the verify — uncached, every branch re-evaluates the
-    # 62-step hash expression (the multimodal_curation_pipeline fix)
+    # cached: two longs per image, consumed by the band explode, the
+    # count and both verify join-backs — uncached, every branch
+    # re-evaluates the 62-step hash expression
     h = m.withColumn("tot", tot).select(
         "doc_id", F.expr(_ahash_cols()).alias("ah")
     ).cache()
@@ -115,29 +137,35 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = h.crossJoin(F.broadcast(bands_dim)).select(
         "doc_id",
-        "ah",
         "b",
         F.expr("(ah >> (b * 16)) & 65535").alias("band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("b.doc_id").alias("db"),
-            F.col("a.ah").alias("ha"),
-            F.col("b.ah").alias("hb"),
-        )
-        .distinct()
+    keys = ["b", "band_key"]
+    bsz = bands.groupBy(*keys).agg(
+        F.min("doc_id").alias("lowest"),
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
     )
-    verified = cand.select(
-        F.expr("bit_count(ha ^ hb)").cast("bigint").alias("ham")
+    small = bands.join(bsz.where(F.col("sz") <= _AH_CAP).select(*keys), keys)
+    a = small.alias("a")
+    b = small.alias("b")
+    cand_small = a.join(
+        b,
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    cand_star = (
+        bands.join(bsz.where(F.col("sz") > _AH_CAP), keys)
+        .where(F.col("doc_id") > F.col("lowest"))
+        .select(F.col("lowest").alias("da"), F.col("doc_id").alias("db"))
+    )
+    cand = cand_small.unionAll(cand_star).distinct()
+    ha = h.select(F.col("doc_id").alias("da"), F.col("ah").alias("ha"))
+    hb = h.select(F.col("doc_id").alias("db"), F.col("ah").alias("hb"))
+    verified = (
+        cand.join(ha, "da")
+        .join(hb, "db")
+        .select(F.expr("bit_count(ha ^ hb)").cast("bigint").alias("ham"))
     )
     n_images = h.count()
     return verified.agg(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.plans.multimodal4 import (
     _AH_BAND,
+    _AH_CAP,
     _AH_HAM,
     _AH_PIX,
     _ahash_cols,
@@ -51,11 +52,25 @@ _BRIGHT_LO, _BRIGHT_HI = 92, 97  # integer mean-pixel bounds (exact int div)
     ), bands AS (
       SELECT doc_id, ah, g.b, (ah >> (g.b * 16)) & 65535 AS band_key
       FROM h, (SELECT unnest(range(0, {_AH_BAND})) AS b) g
+    ), bsz AS (
+      SELECT b, band_key, min(doc_id) AS lowest,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM bands GROUP BY 1, 2
+    ), small AS (
+      SELECT bands.* FROM bands JOIN bsz USING (b, band_key)
+      WHERE bsz.sz <= {_AH_CAP}
     ), rejected AS (
-      SELECT DISTINCT b.doc_id
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      WHERE bit_count(CAST(xor(a.ah, b.ah) AS BIGINT)) <= {_AH_HAM}
+      SELECT DISTINCT db AS doc_id FROM (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.ah AS ha, b.ah AS hb
+        FROM small a JOIN small b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT s.lowest, m.doc_id, r.ah, m.ah
+        FROM bands m JOIN bsz s USING (b, band_key)
+                     JOIN h r ON r.doc_id = s.lowest
+        WHERE s.sz > {_AH_CAP} AND m.doc_id > s.lowest
+      )
+      WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {_AH_HAM}
     ), kept AS (
       SELECT h.doc_id FROM h LEFT JOIN rejected r USING (doc_id)
       WHERE r.doc_id IS NULL
@@ -82,19 +97,21 @@ def multimodal_curation_pipeline(
     2. photometric quality — integer mean pixel must sit in
        [{_BRIGHT_LO}, {_BRIGHT_HI}] (over/under-exposed images drop;
        exact integer division, no float boundary)
-    3. perceptual near-dup dedup — 62-bit aHash, 16-bit band candidates,
-       hamming ≤ {_AH_HAM} verify, lowest doc_id wins (the image twin of
-       the text pipeline's dedup stage, semantics shared with
-       image_ahash_neardup)
+    3. perceptual near-dup dedup — 62-bit aHash, 16-bit band candidates
+       with the {_AH_CAP}-member bucket cap (hot buckets verify members
+       against the bucket's min-doc_id representative only — the
+       dedup_minhash_skewed star route, semantics shared with
+       image_ahash_neardup), hamming ≤ {_AH_HAM} verify, lowest doc_id
+       wins
 
     Emits the per-stage funnel counters a vision-data build reports.
 
     Scale: stages 1-2 and the hash are one codegen'd scan (per-row byte
     arithmetic); the only shuffles are the band-key equi-join for
-    candidates (volume ∝ band collisions, never |images|²) and the
-    rejected-set anti-join. The candidate join keys on 16-bit bands —
-    at pathological collision rates the bucket-min aggregation of
-    dedup_minhash_skewed applies unchanged.
+    candidates — pair emission bounded by sz·{_AH_CAP}/2 per small
+    bucket and sz-1 per hot one, never O(bucket²) (the round-6 sf1
+    sweep measured the uncapped funnel at 102 s on a 10×-replicated
+    corpus) — and the rejected-set anti-join.
     """
     corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
     decoded = corpus.where(F.length("text") >= _AH_PIX).select(
@@ -122,16 +139,34 @@ def multimodal_curation_pipeline(
         "b",
         F.expr("(ah >> (b * 16)) & 65535").alias("band_key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    keys = ["b", "band_key"]
+    bsz = bands.groupBy(*keys).agg(
+        F.min("doc_id").alias("lowest"),
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+    )
+    small = bands.join(bsz.where(F.col("sz") <= _AH_CAP).select(*keys), keys)
+    a, b = small.alias("a"), small.alias("b")
+    rej_small = a.join(
+        b,
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.ah").alias("ha"),
+        F.col("b.ah").alias("hb"),
+        F.col("b.doc_id").alias("doc_id"),
+    )
+    rep = h.select(F.col("doc_id").alias("lowest"), F.col("ah").alias("ha"))
+    rej_star = (
+        bands.join(bsz.where(F.col("sz") > _AH_CAP), keys)
+        .where(F.col("doc_id") > F.col("lowest"))
+        .join(rep, "lowest")
+        .select("ha", F.col("ah").alias("hb"), "doc_id")
+    )
     rejected = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(F.expr("bit_count(a.ah ^ b.ah)") <= _AH_HAM)
-        .select(F.col("b.doc_id").alias("doc_id"))
+        rej_small.unionAll(rej_star)
+        .where(F.expr("bit_count(ha ^ hb)") <= _AH_HAM)
+        .select("doc_id")
         .distinct()
     )
     kept = h.join(rejected, "doc_id", "left_anti")

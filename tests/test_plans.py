@@ -671,16 +671,21 @@ def test_round3_ops_have_blocked_plans(spark, sf_dir):
 
 
 def test_semdedup_pair_join_is_cell_blocked(spark, sf_dir):
-    """SemDeDup's pair join must key on the cell id (equi-join), and the
-    cascade must broadcast the tiny centroid frame."""
+    """SemDeDup's within-cell verify must be the per-cell Arrow GEMM
+    (FlatMapGroupsInPandas keyed on cell), never a row-pair join — and
+    the two-level centroid cascade must broadcast the tiny centroid
+    frames. A vec_id-keyed pair join anywhere in the plan is the
+    O(cell²)-rows regression this replaced (round-7 fix of the round-6
+    quadratic finding)."""
     plan = plan_of(spark, sf_dir, "semdedup_cells")
+    assert "FlatMapGroupsInPandas" in plan, "per-cell GEMM stage missing"
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    joins = [
+    pair_joins = [
         l for l in plan.splitlines()
-        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l) and "vec_id" in l
+        if ("SortMergeJoin" in l or "ShuffledHashJoin" in l)
+        and "vec_id" in l and "<" in l
     ]
-    for l in joins:
-        assert "cell" in l, f"pair join not cell-blocked: {l}"
+    assert not pair_joins, f"row-pair join resurfaced: {pair_joins}"
 
 
 def test_pq_adc_join_is_code_keyed(spark, sf_dir):
@@ -1794,3 +1799,58 @@ def test_round5_skewed_dedup_has_no_band_selfjoin(spark, sf_dir):
     assert band_joins >= 1, "expected a band-keyed join in the plan"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_round7_capped_pair_family_bounds_every_selfjoin(spark, sf_dir):
+    """The round-6 sf1 sweep found four pair-enumerating plans whose
+    bucket/block self-join had no population control (574/170/304/102 s
+    at 10× data). The round-7 fix caps the bucket: the pair self-join may
+    only run over the cap-filtered members, and oversized buckets route
+    through the aggregated representative (star) instead. Invariant in
+    the optimized plan: every pair self-join (a `<` between two id
+    columns in the join condition) must have an Aggregate in BOTH input
+    subtrees — the bucket-size aggregation whose cap filter gates the
+    join. The uncapped plans had pure scan→project chains on both sides.
+
+    (minhash_lsh_quality's truth join is deliberately absent here: its
+    exact-Jaccard side is bounded by the deterministic ~30% doc sample,
+    not a bucket cap.)"""
+    def has_aggregate(node) -> bool:
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n.nodeName() == "Aggregate":
+                return True
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
+    for name, idcol in [
+        ("dedup_embedding_cosine", "vec_id"),
+        ("image_ahash_neardup", "doc_id"),
+        ("multimodal_curation_pipeline", "doc_id"),
+        ("fellegi_sunter_linkage", "k"),
+    ]:
+        opt = (
+            REGISTRY[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().optimizedPlan()
+        )
+        pair_joins = 0
+        stack = [opt]
+        while stack:
+            node = stack.pop()
+            ch = node.children()
+            if node.nodeName() == "Join":
+                cond = str(node.condition())
+                if f"{idcol}#" in cond and " < " in cond:
+                    pair_joins += 1
+                    for i in range(2):
+                        assert has_aggregate(ch.apply(i)), (
+                            f"{name}: pair self-join side {i} reaches the "
+                            "raw per-row source with no bucket-size "
+                            "aggregation — the uncapped O(bucket²) plan"
+                        )
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        assert pair_joins >= 1, f"{name}: expected a capped pair self-join"
