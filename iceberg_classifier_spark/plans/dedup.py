@@ -139,11 +139,12 @@ def _shingle_pairs(
     )
 
 
-def _jaccard_pairs_oracle(src: str = "documents") -> str:
+def _jaccard_pairs_oracle(src: str = "documents", tau: float = JACCARD_MIN) -> str:
     """DuckDB SQL for the df-capped 3-gram Jaccard pair kernel over
-    ``src`` — shared verbatim by dedup_ngram_jaccard (src=documents) and
-    neardup_clustering_coefficient (src=the sampled sub-corpus), so the
-    two can never drift apart."""
+    ``src`` at threshold ``tau`` — shared verbatim by dedup_ngram_jaccard
+    (src=documents), neardup_clustering_coefficient and
+    minhash_lsh_quality (src=the sampled sub-corpus), so kernel and
+    audits can never drift apart."""
     return f"""
     WITH sh AS (
       SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM {src}
@@ -165,7 +166,7 @@ def _jaccard_pairs_oracle(src: str = "documents") -> str:
     FROM pairs p
       JOIN sizes sa ON sa.doc_id = p.doc_a
       JOIN sizes sb ON sb.doc_id = p.doc_b
-    WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= {JACCARD_MIN}
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - p.inter) >= {tau}
     ORDER BY doc_a, doc_b
     """
 
@@ -847,14 +848,11 @@ _MHQ_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:_MHQ_K]) + "]"
                     string_split(text, ' ')[i+1] || ' ' ||
                     string_split(text, ' ')[i+2])) AS s
       FROM documents
-    ), sh_s AS (
-      SELECT * FROM sh WHERE {_DET_SAMPLE_DUCK}
+    ), documents_s AS (
+      SELECT * FROM documents WHERE {_DET_SAMPLE_DUCK}
     ), truth AS (
-      SELECT a.doc_id AS da, b.doc_id AS db
-      FROM sh_s a JOIN sh_s b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s)) * 1.0
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-            >= {_MHQ_TAU}
+      SELECT doc_a AS da, doc_b AS db
+      FROM ({_jaccard_pairs_oracle("documents_s", _MHQ_TAU)})
     ), hb AS (
       SELECT doc_id,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -905,9 +903,11 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked: {_MHQ_K} portable universal-hash minhashes per doc\n    (one md5-prefix base per shingle, multiply-add-mod family),
     {_MHQ_BANDS} bands of {_MHQ_K // _MHQ_BANDS} rows generate candidate
     pairs over the FULL corpus (the production path); the truth set is
-    exact 3-gram-shingle Jaccard ≥ {_MHQ_TAU} over a deterministic ~30%
-    doc sample (md5-prefix ≤ '4c', the sample_stratified_det convention
-    — flagged by the constant ``truth_sampled`` column). Precision and
+    the repo's canonical exact-Jaccard kernel (_shingle_pairs: df-capped
+    posting lists, the dedup_ngram_jaccard construction) at ≥ {_MHQ_TAU}
+    over a deterministic ~30% doc sample (md5-prefix ≤ '4c', the
+    sample_stratified_det convention — flagged by the constant
+    ``truth_sampled`` column). Precision and
     recall are measured on the sampled universe (candidate pairs with
     BOTH docs sampled, ``n_cand_sampled``); ``n_candidates`` still
     reports the full LSH output size. Because the hash is the portable
@@ -928,27 +928,16 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(shingles(tokens(F.col("text")))).alias("sg")
     )
-    # exact-truth side: deterministic ~30% doc sample, pushed below the
-    # shingle explode so truth pair work scales with sample²
-    sh_s = sh.where(F.expr(_DET_SAMPLE))
-    sizes = sh_s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh_s.alias("a")
-    b = sh_s.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # exact-truth side: the canonical df-capped posting-list kernel over
+    # the deterministic ~30% doc sample (sample² pair work, int64 shingle
+    # hashes through the shuffle instead of raw strings)
+    p = _shingle_pairs(spark, sf_dir, sampled=True)
     truth = (
-        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("nsh", "na"), "da")
-        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("nsh", "nb"), "db")
-        .filter(
+        p.filter(
             F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
             >= _MHQ_TAU
         )
-        .select("da", "db")
+        .select(F.col("doc_a").alias("da"), F.col("doc_b").alias("db"))
     )
     # one md5-prefix base per shingle; the seed family is multiply-add-mod
     # (same universal-hash construction as dedup_minhash_lsh)
@@ -956,34 +945,45 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("sg"), 1, 8), 16, 10).cast("bigint").alias("h0"),
     )
-    a_arr = F.array(*[F.lit(a) for a in _MH_A[:_MHQ_K]])
-    b_arr = F.array(*[F.lit(b) for b in _MH_B[:_MHQ_K]])
-    hashed = (
-        hb.crossJoin(
-            F.broadcast(
-                spark.range(_MHQ_K).select(F.col("id").cast("int").alias("seed"))
-            )
-        )
-        .select(
-            "doc_id",
-            "seed",
-            (
-                (
-                    F.element_at(a_arr, F.col("seed") + 1) * F.col("h0")
-                    + F.element_at(b_arr, F.col("seed") + 1)
-                )
-                % F.lit(MH_P)
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    # all K minhashes in ONE map-side-combinable aggregation — the seed
+    # dimension lives in the agg list, not in a K-fold crossJoin row
+    # blowup of the shingle frame (which re-evaluated per plan branch:
+    # measured 10 s per evaluation at sf1)
+    mins = hb.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(_MH_A[i]) * F.col("h0") + F.lit(_MH_B[i])) % F.lit(MH_P)
+            ).alias(f"m{i}")
+            for i in range(_MHQ_K)
+        ]
     )
-    bands = hashed.groupBy(
-        "doc_id", F.expr(f"seed div {_MHQ_K // _MHQ_BANDS}").alias("band")
-    ).agg(
-        F.concat_ws(
-            ",", F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"].cast("string"))
-        ).alias("key")
+    rpb = _MHQ_K // _MHQ_BANDS
+    # cached: _MHQ_BANDS rows of (doc_id, band, key) per doc — tiny, and
+    # consumed by BOTH the full candidate count and the sampled-universe
+    # join (uncached each branch recomputes signatures over the corpus)
+    bands = (
+        mins.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("int").alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{b * rpb + i}").cast("string")
+                                    for i in range(rpb)
+                                ],
+                            ).alias("key"),
+                        )
+                        for b in range(_MHQ_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .cache()
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")

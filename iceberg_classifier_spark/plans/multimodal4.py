@@ -37,6 +37,40 @@ def _ahash_cols() -> str:
     )
 
 
+def _ahash_frame(px_df):
+    """(doc_id, ah) from a (doc_id, px) frame via one Arrow-batched numpy
+    kernel — the exact integer twin of ``_ahash_cols``.
+
+    The Catalyst spelling re-inlines the ``tot`` sub-aggregate into each
+    of the {_AH_PIX} lambda elements (CollapseProject), so every row pays
+    O({_AH_PIX}²) interpreted substring/ascii calls — measured 64 s for
+    49k rows at sf1. Here: one codepoint matrix per batch, integer-exact
+    row sums and shifts (codepoints < 2¹¹, sums < 2¹⁷, shifts < 2⁶²), so
+    the hash value is bit-identical to the expression and the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            # ord() = unicode codepoint = Spark ascii() / DuckDB ord()
+            M = np.array(
+                [[ord(c) for c in s] for s in pdf["px"]], dtype=np.int64
+            )
+            tot = M.sum(axis=1)
+            bits = (M * _AH_PIX) > tot[:, None]
+            ah = (
+                bits.astype(np.int64) << np.arange(_AH_PIX, dtype=np.int64)
+            ).sum(axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ah": ah})
+
+    return px_df.select("doc_id", "px").mapInPandas(
+        batches, "doc_id long, ah long"
+    )
+
+
 @query(
     "image_ahash_neardup",
     oracle=f"""
@@ -122,16 +156,10 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("text") >= _AH_PIX)
         .select("doc_id", F.substring("text", 1, _AH_PIX).alias("px"))
     )
-    tot = F.expr(
-        f"aggregate(transform(sequence(1, {_AH_PIX}),"
-        " i -> ascii(substring(px, i, 1))), 0, (a, x) -> a + x)"
-    )
     # cached: two longs per image, consumed by the band explode, the
     # count and both verify join-backs — uncached, every branch
-    # re-evaluates the 62-step hash expression
-    h = m.withColumn("tot", tot).select(
-        "doc_id", F.expr(_ahash_cols()).alias("ah")
-    ).cache()
+    # re-evaluates the hash kernel over the corpus
+    h = _ahash_frame(m).cache()
     bands_dim = spark.range(0, _AH_BAND).select(
         F.col("id").cast("int").alias("b")
     )

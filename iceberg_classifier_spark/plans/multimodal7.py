@@ -17,7 +17,7 @@ from iceberg_classifier_spark.plans.multimodal4 import (
     _AH_CAP,
     _AH_HAM,
     _AH_PIX,
-    _ahash_cols,
+    _ahash_frame,
 )
 from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load
@@ -126,10 +126,10 @@ def multimodal_curation_pipeline(
         F.expr(f"tot div {_AH_PIX}").between(_BRIGHT_LO, _BRIGHT_HI)
     )
     # cached: the (doc_id, ah) frame is two longs per surviving image and
-    # feeds both sides of the band self-join, the anti-join and the stage
-    # counter — without it each branch re-evaluates the 62-step hash
-    # expression over the corpus (measured 40 s → ~3 s at sf0.1)
-    h = qkept.select("doc_id", F.expr(_ahash_cols()).alias("ah")).cache()
+    # feeds the band explode, the star representative join, the anti-join
+    # and the stage counter — without it each branch re-evaluates the
+    # hash kernel over the corpus (measured 40 s → ~3 s at sf0.1)
+    h = _ahash_frame(qkept).cache()
     bands_dim = spark.range(0, _AH_BAND).select(
         F.col("id").cast("int").alias("b")
     )

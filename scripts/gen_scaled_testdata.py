@@ -1,5 +1,4 @@
 """Synthesize a larger scale-factor directory from a driver-generated one
-by union-replicating every fact table N times with per-replica key offsets
 (round-6 verdict task 1: demonstrate the 100x-scale claims above sf0.1).
 
 TESTDATA.md forbids modifying /root/testdata, not deriving from it: the
@@ -15,15 +14,29 @@ default). Replication rules:
   of the source — so each replica is a self-consistent copy of the star
   schema (joins match within a replica, never across) and key-derived
   slices (doc_id % 7, vec_id < 8, user_id % buckets) keep their density.
-- value/timestamp/text columns are unchanged: per-day volumes, per-user
-  series, token statistics and embedding geometry all scale by exactly N,
-  which is the point — a query whose runtime grows faster than N at fixed
-  parallelism has a super-linear plan, not bigger constants. Identical
-  replicated texts also make the dedup family's job 10x harder in the
-  realistic direction (replicated corpora are WHY dedup exists).
 
-Usage: python scripts/gen_scaled_testdata.py [src_sf_dir] [dst_dir] [N]
-Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+Two modes for the VALUE columns (round-7 verdict task 4):
+
+- ``replicate`` — values unchanged: per-day volumes, per-user series,
+  token statistics and embedding geometry all scale by exactly N. Every
+  document/vector becomes an exact N-plicate — pathological duplicate
+  structure that stress-tests the dedup family's hot buckets but cannot
+  separate inherent pair-output growth from plan debt.
+- ``organic`` — replica 0 stays verbatim (the source SF embeds in the
+  scaled frame); replicas r ≥ 1 keep ~10% of documents/vectors as exact
+  copies (a realistic cross-crawl duplication rate) and deterministically
+  perturb the rest: every ~7th token of a document is replaced by a
+  replica-specific token (new vocabulary, Jaccard-near-dup rather than
+  exact-dup clusters), and every embedding component gets hash-derived
+  ±0.01 noise (cosine-near-dup vectors). Dup-cluster diversity, vocab
+  and key cardinality now GROW with N, so a 10× sweep measures organic
+  10× data instead of 10-plicate data. Relational fact values stay
+  replicated in both modes — their operators key on ids/dates/amounts,
+  not content similarity, and exact N× volume is the property the scale
+  audit wants there.
+
+Usage: python scripts/gen_scaled_testdata.py [src_sf_dir] [dst_dir] [N] [mode]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10 replicate
 """
 
 from __future__ import annotations
@@ -58,10 +71,56 @@ OFFSETS: dict[str, dict[str, tuple[str, str]]] = {
 VERBATIM = ("region", "nation")
 
 
+def _organic_text(r: int) -> str:
+    """Deterministic per-replica text perturbation: ~10% of docs stay
+    exact copies; in the rest every token whose (doc, position, replica)
+    hash lands on 0 mod 7 is replaced by a replica-specific token."""
+    perturbed = (
+        "array_to_string(list_transform(string_split(text, ' '),"
+        f" (tok, i) -> CASE WHEN hash(doc_id * 1000003 + i * 31 + {r})"
+        " % 7 = 0"
+        f" THEN 'w{r}x' || CAST(hash(tok) % 997 AS VARCHAR)"
+        " ELSE tok END), ' ')"
+    )
+    return (
+        f"CASE WHEN hash(doc_id * 7 + {r}) % 10 = 0 THEN text"
+        f" ELSE {perturbed} END"
+    )
+
+
+def _organic_vec(r: int) -> str:
+    """Deterministic per-replica embedding noise: ~10% exact copies, the
+    rest get hash-derived ±0.01 per-component jitter (cosine near-dups)."""
+    noised = (
+        "list_transform(embedding, (x, j) -> CAST(x +"
+        f" (CAST(hash(vec_id * 131 + j * 17 + {r}) % 2001 AS BIGINT)"
+        " - 1000) / 100000.0 AS FLOAT))"
+    )
+    return (
+        f"CASE WHEN hash(vec_id * 7 + {r}) % 10 = 0 THEN embedding"
+        f" ELSE {noised} END"
+    )
+
+
+# mode=organic: table -> (replica -> {value_col: replacement_expr});
+# replica 0 is always verbatim, and n_chars tracks the perturbed text
+def _organic_exprs(t: str, r: int) -> dict[str, str]:
+    if r == 0:
+        return {}
+    if t == "documents":
+        txt = _organic_text(r)
+        return {"text": txt, "n_chars": f"length({txt})"}
+    if t == "embeddings":
+        return {"embedding": _organic_vec(r)}
+    return {}
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    mode = sys.argv[4] if len(sys.argv) > 4 else "replicate"
+    assert mode in ("replicate", "organic"), mode
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -92,12 +151,15 @@ def main() -> None:
         ]
         selects = []
         for r in range(n):
+            organic = _organic_exprs(t, r) if mode == "organic" else {}
             exprs = []
             for c in cols:
                 if c in spec:
                     stride = strides[spec[c]]
                     # preserve the source column type (BIGINT keys)
                     exprs.append(f"CAST({c} + {r} * {stride} AS BIGINT) AS {c}")
+                elif c in organic:
+                    exprs.append(f"{organic[c]} AS {c}")
                 else:
                     exprs.append(c)
             selects.append(
