@@ -94,8 +94,26 @@ def main() -> None:
         else:
             n_fail += 1
         print(name, status, dt, flush=True)
+        _dump(out_path, sf_dir, n_pass, n_fail, out)
+    _dump(out_path, sf_dir, n_pass, n_fail, out, final=True)
+    print("PASS:", n_pass, "FAIL/ERR:", n_fail, flush=True)
+
+
+def _dump(
+    out_path: str,
+    sf_dir: str,
+    n_pass: int,
+    n_fail: int,
+    out: dict[str, object],
+    final: bool = False,
+) -> None:
+    """Checkpoint the artifact after every query (temp file + rename), so
+    a multi-hour sweep interrupted mid-run still leaves a valid JSON with
+    everything completed so far; ``complete`` records whether the sweep
+    reached the end of the registry."""
     summary = {
         "sf_dir": sf_dir,
+        "complete": final,
         "oracle_pass": n_pass,
         "oracle_fail_or_err": n_fail,
         "rows_only": sum(
@@ -108,8 +126,9 @@ def main() -> None:
         ),
         "queries": out,
     }
-    json.dump(summary, open(out_path, "w"), indent=0)
-    print("PASS:", n_pass, "FAIL/ERR:", n_fail, flush=True)
+    tmp = out_path + ".tmp"
+    json.dump(summary, open(tmp, "w"), indent=0)
+    os.replace(tmp, out_path)
 
 
 if __name__ == "__main__":
