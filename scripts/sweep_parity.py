@@ -57,7 +57,26 @@ def main() -> None:
     registry = load_all_queries()
     out: dict[str, object] = {}
     n_pass = n_fail = 0
+    # SPARK_GRAFT_PARITY_RESUME=1: preload a checkpointed artifact and
+    # re-run only the queries it doesn't already record — lets a stuck
+    # oracle be killed, added to the skip file, and the sweep continued
+    # without redoing hours of completed comparisons
+    if os.environ.get("SPARK_GRAFT_PARITY_RESUME") == "1" and os.path.exists(
+        out_path
+    ):
+        prev = json.load(open(out_path))["queries"]
+        for k, v in prev.items():
+            st = str(v.get("status", ""))
+            if st == "pass":
+                n_pass += 1
+                out[k] = v
+            elif st == "rows_only" or st.startswith("skipped_infeasible"):
+                out[k] = v
+            # FAIL/ERR entries re-run
+        print(f"resumed: {len(out)} recorded, {n_pass} passes", flush=True)
     for name in sorted(registry):
+        if name in out:
+            continue
         qd = registry[name]
         if qd.oracle is None:
             out[name] = {"status": "rows_only"}
