@@ -502,3 +502,37 @@ def test_distributed_ntile_matches_exact_semantics(spark):
                     expected[order[pos][0]] = b
                     pos += 1
         assert got == expected, f"n={n} nb={nb}: {got} != {expected}"
+
+
+def test_ahash_kernel_matches_catalyst_expression(spark):
+    """The Arrow numpy aHash kernel (_ahash_frame) must be bit-identical
+    to the Catalyst HOF spelling it replaced (_ahash_cols) — the oracle
+    still rebuilds the hash from that integer contract."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_classifier_spark.plans.multimodal4 import (
+        _AH_PIX,
+        _ahash_cols,
+        _ahash_frame,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(chr(rng.randint(32, 2000)) for _ in range(_AH_PIX)))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, px string")
+    tot = F.expr(
+        f"aggregate(transform(sequence(1, {_AH_PIX}),"
+        " i -> ascii(substring(px, i, 1))), 0, (a, x) -> a + x)"
+    )
+    exp = {
+        r["doc_id"]: r["ah"]
+        for r in df.withColumn("tot", tot)
+        .select("doc_id", F.expr(_ahash_cols()).alias("ah"))
+        .collect()
+    }
+    got = {r["doc_id"]: r["ah"] for r in _ahash_frame(df).collect()}
+    assert got == exp
