@@ -31,7 +31,23 @@ def main() -> None:
     spark = get_spark("sweep")
     registry = load_all_queries()
     out: dict[str, object] = {}
+    # SPARK_GRAFT_SWEEP_RESUME=1: preload a checkpointed artifact and run
+    # only what it doesn't record yet (same convention as sweep_parity.py)
+    # — a multi-hour cold sweep killed mid-run resumes instead of redoing
+    # every completed query. Resumed timings stay honest: each retained
+    # entry was itself a cold first run in its own JVM.
+    if os.environ.get("SPARK_GRAFT_SWEEP_RESUME") == "1" and os.path.exists(
+        out_path
+    ):
+        out = {
+            k: v
+            for k, v in json.load(open(out_path)).items()
+            if not isinstance(v, str)  # ERR entries re-run
+        }
+        print(f"resumed: {len(out)} recorded", flush=True)
     for name in sorted(registry):
+        if name in out:
+            continue
         t0 = time.perf_counter()
         try:
             registry[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -41,6 +57,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report and continue
             out[name] = f"ERR {type(exc).__name__}"
         print(name, out[name], flush=True)
+        tmp = out_path + ".tmp"
+        json.dump(out, open(tmp, "w"))
+        os.replace(tmp, out_path)
     json.dump(out, open(out_path, "w"))
     errs = [k for k, v in out.items() if isinstance(v, str)]
     slow = sorted(
