@@ -68,8 +68,17 @@ def fit_ready(
     n = cached.count()
     sc = cached.sparkSession.sparkContext
     target = max(1, min(sc.defaultParallelism, math.ceil(n / rows_per_partition)))
-    if target < cached.rdd.getNumPartitions():
+    parts = cached.rdd.getNumPartitions()
+    if target < parts:
         return cached.coalesce(target), cached
+    if target > parts:
+        # spread BACK OUT too: stratified_split's per-label window collapses
+        # its output lineage to one partition per label value, so a big
+        # training frame otherwise reaches the optimizer 2-wide no matter
+        # the cluster size. The repartition reads the cache once; every
+        # optimizer iteration reuses the same shuffle files (skipped map
+        # stages), so the spread is a one-time cost.
+        return cached.repartition(target), cached
     return cached, cached
 
 

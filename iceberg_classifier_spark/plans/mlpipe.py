@@ -14,7 +14,7 @@ from iceberg_classifier_spark.ml.pipeline import (
 from iceberg_classifier_spark.operators import metrics
 from iceberg_classifier_spark.operators.folds import stratified_split
 from iceberg_classifier_spark.plans.registry import query
-from iceberg_classifier_spark.sources.tables import load
+from iceberg_classifier_spark.sources.tables import load, load_parallel
 
 FEATURES = ["f_mean", "f_std", "f_min", "f_max", "f_size", "f_iso_active"]
 
@@ -177,10 +177,19 @@ def tta_ten_crop_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob_of_one,
     )
 
-    e = load(spark, sf_dir, "embeddings").withColumn(
+    # the 10-crop explode + per-crop feature engineering is a 10× fan-out
+    # of CPU-heavy work — right-size the scan so it isn't pinned to the
+    # parquet row-group count (2 tasks at 10× data without this)
+    e = load_parallel(spark, sf_dir, "embeddings").withColumn(
         "y", (F.col("label") % 2).cast("double")
     )
-    split = stratified_split(e, "y", "vec_id", val_fraction=0.25)
+    # the split window collapses lineage to one partition per label value;
+    # spread the (narrow, pre-explode) rows back out so the 10× crop
+    # explode + per-crop feature math — the expensive cache-fill pass —
+    # runs cluster-wide instead of 2-wide
+    split = stratified_split(e, "y", "vec_id", val_fraction=0.25).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     crops = G.ten_crop(F.col("embedding").cast("array<double>"), 8, 8, 4, 4)
     crop_rows = split.select(
         "vec_id", "y", "split", F.posexplode(crops).alias("crop_id", "crop_vec")

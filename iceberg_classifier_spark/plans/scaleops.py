@@ -239,10 +239,14 @@ def customer_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nation"),
             F.round("c_acctbal", 2).alias("acctbal"),
             F.col("rn").cast("bigint").alias("rnk"),
+            # row_number() is IntegerType in Spark (BIGINT in DuckDB), so
+            # the ×2×1,000,000 must widen rn first: a window partition of
+            # ~1,074+ rows wraps int32 — crashed under ANSI at organic sf1
+            # (6k customers/nation), silent garbage without ANSI
             F.when(F.col("nn") == 1, F.lit(0.0))
             .otherwise(
                 F.expr(
-                    "CAST((2 * (rn - 1) * 1000000 + (nn - 1))"
+                    "CAST((2 * CAST(rn - 1 AS BIGINT) * 1000000 + (nn - 1))"
                     " div (2 * (nn - 1)) AS DOUBLE)"
                 )
                 / 1000000
@@ -250,7 +254,8 @@ def customer_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pct_rank"),
             (
                 F.expr(
-                    "CAST((2 * rn * 1000000 + nn) div (2 * nn) AS DOUBLE)"
+                    "CAST((2 * CAST(rn AS BIGINT) * 1000000 + nn)"
+                    " div (2 * nn) AS DOUBLE)"
                 )
                 / 1000000
             ).alias("cume"),

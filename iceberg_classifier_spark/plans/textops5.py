@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.plans.analytics2 import _md5_prefix_sql
 from iceberg_classifier_spark.plans.registry import query
-from iceberg_classifier_spark.sources.tables import load
+from iceberg_classifier_spark.sources.tables import load, load_parallel
 
 
 @query(
@@ -379,7 +379,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").filter(
+    # one md5 per character gram is exactly the CPU-heavy Python kernel
+    # load_parallel exists for — unsplit, the whole winnowing pass runs
+    # on the scan's row-group count (2 tasks at 10× data)
+    d = load_parallel(spark, sf_dir, "documents").filter(
         F.length("text") >= _WIN_K + _WIN_W - 1
     )
 

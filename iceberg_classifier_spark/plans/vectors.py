@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from iceberg_classifier_spark.functions import arrays as A
 from iceberg_classifier_spark.functions import grid as G
 from iceberg_classifier_spark.plans.registry import query
-from iceberg_classifier_spark.sources.tables import load
+from iceberg_classifier_spark.sources.tables import load, load_parallel
 
 H = W = 8  # grid shape of the 64-dim test vectors
 CH = CW = 4  # crop shape
@@ -300,8 +300,13 @@ def size_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def flip_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horizontal/vertical flip augmentation on the 8×8 grid (ref
-    ImageDataGenerator flips, main.py:145-153) — pure index permutation."""
-    e = load(spark, sf_dir, "embeddings")
+    ImageDataGenerator flips, main.py:145-153) — pure index permutation.
+
+    Scale: the 64× posexplode makes OUTPUT rows, not input rows, the cost
+    driver, so the scan is right-sized for the fan-out (load_parallel —
+    a single-row-group parquet file otherwise pins the whole explode to
+    one or two tasks; measured 2-of-32 cores busy at 10× data)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
     z = e.select(
         "vec_id",
         F.posexplode(
@@ -366,8 +371,15 @@ def ten_crop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Subsampled to vec_id % 5 = 0 to bound the exploded compare size; the
     operator itself is per-row and runs on every row at scale.
+
+    Scale: the 10-crop × 16-px double posexplode is a 160× fan-out —
+    load_parallel right-sizes the scan so the explode isn't pinned to the
+    parquet file's row-group count (the vec_id filter still pushes through
+    the round-robin exchange to the scan).
     """
-    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    e = load_parallel(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 5 == 0
+    )
     crops = G.ten_crop(_b1(), H, W, CH, CW)
     z = e.select("vec_id", F.posexplode(crops).alias("crop_id", "cr")).select(
         "vec_id",
