@@ -215,11 +215,17 @@ def _binseg_sql() -> str:
     )
 
 
+# Daily revenue as an exact dollar int64: sum EXACT integer cents
+# (per-row round(price*100) is deterministic; bigint summation is
+# order-free), then integer HALF_UP to dollars — round(sum(double))
+# flipped ±1 on 77/2405 days at sf1 when partition-order double sums
+# straddled a .5-cent boundary (the events_hourly convention).
 _DAILY_SQL = """
     SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn, day, y
     FROM (
       SELECT date_trunc('day', o_orderdate) AS day,
-             CAST(round(sum(o_totalprice)) AS BIGINT) AS y
+             CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50)
+                  // 100 AS BIGINT) AS y
       FROM orders GROUP BY 1
     )
 """
@@ -237,7 +243,8 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     production changepoint libraries (ruptures' BinSeg, PELT's cousin)
     use. Complements cusum_changepoint (fixed-threshold drift alarm)
     with an optimality-based segmentation. Daily totals are exact
-    dollar int64s; cumulative Σy/Σy² stay exact integers, and every
+    dollar int64s (integer-cents sum + integer HALF_UP, never
+    round(sum(double))); cumulative Σy/Σy² stay exact integers, and every
     SSE is the identical double expression over those ints in both
     engines, so the argmax splits and 6dp reductions are bit-exact.
 
@@ -251,7 +258,12 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
-        .agg(F.round(F.sum("o_totalprice")).cast("bigint").alias("y"))
+        .agg(
+            F.expr(
+                "CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 50)"
+                " DIV 100 AS BIGINT)"
+            ).alias("y")
+        )
         .select(
             F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
             "day",
