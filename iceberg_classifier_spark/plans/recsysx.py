@@ -40,18 +40,25 @@ _REC_MIN_CO = 2
 @query(
     "coverage_novelty_recs",
     oracle=f"""
-    WITH ui AS (
+    WITH ui AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ), nu AS (
       SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM ui
     ), pop AS (
       SELECT i, CAST(count(*) AS BIGINT) AS n_u FROM ui GROUP BY 1
-    ), co AS (
+    ), co_half AS MATERIALIZED (
+      -- canonical ia<ib half-pairs, mirrored AFTER the support filter:
+      -- the directed a.i<>b.i form doubled the pair stream and pushed
+      -- DuckDB's hash-agg spill past the device at sf1
       SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS co_u
-      FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
       GROUP BY 1, 2
       HAVING count(*) >= {_REC_MIN_CO}
+    ), co AS (
+      SELECT ia, ib, co_u FROM co_half
+      UNION ALL
+      SELECT ib AS ia, ia AS ib, co_u FROM co_half
     ), scored AS (
       SELECT c.ia, c.ib,
              c.co_u / sqrt(CAST(pa.n_u AS DOUBLE) * pb.n_u) AS cosine
