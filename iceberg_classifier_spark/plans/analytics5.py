@@ -23,7 +23,7 @@ _O_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 @query(
     "graph_degree_assortativity",
     oracle="""
-    WITH w AS (
+    WITH w AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
              CAST(count(*) AS BIGINT) AS n_li
       FROM customer c
@@ -35,7 +35,10 @@ _O_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
     ), wt AS (
       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
              CAST(sum(n_li) AS BIGINT) AS total FROM w
-    ), e AS (
+    ), e AS MATERIALIZED (
+      -- w and e are each referenced several times below; without
+      -- MATERIALIZED DuckDB re-inlines the 4-table star join into every
+      -- reference (431 s at sf0.1, hours at sf1 — the kcore CTE class)
       SELECT src, dst FROM w CROSS JOIN wt
       WHERE n_li * n_pairs > total
     ), outd AS (

@@ -718,7 +718,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-    ), g AS (
+    ), g AS MATERIALIZED (
+      -- referenced by both ev and tr: materialize so DuckDB doesn't
+      -- re-run the 8-gram unnest (40M rows at sf1) once per reference
       SELECT doc_id,
              unnest(list_transform(generate_series(8, len(w)),
                                    i -> array_to_string(w[i - 7:i], ' ')))
@@ -840,7 +842,10 @@ _MHQ_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:_MHQ_K]) + "]"
 @query(
     "minhash_lsh_quality",
     oracle=f"""
-    WITH sh AS (
+    WITH sh_all AS (
+      -- named sh_all, not sh: the spliced jaccard template below defines
+      -- its own sh, and shadowing breaks once the registry's
+      -- materialize_shared_ctes pins both (duplicate-alias binder error)
       SELECT doc_id,
              list_distinct(list_transform(
                generate_series(1, len(string_split(text, ' ')) - 2),
@@ -860,7 +865,7 @@ _MHQ_B_SQL = "[" + ", ".join(str(b) for b in _MH_B[:_MHQ_K]) + "]"
                  k -> CAST(strpos('0123456789abcdef',
                         substr(md5(sg), CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
                (acc, c) -> acc * 16 + c) AS h0
-      FROM (SELECT doc_id, unnest(s) AS sg FROM sh)
+      FROM (SELECT doc_id, unnest(s) AS sg FROM sh_all)
     ), hashed AS (
       SELECT doc_id, seed,
              min((({_MHQ_A_SQL})[seed + 1] * h0 + ({_MHQ_B_SQL})[seed + 1])

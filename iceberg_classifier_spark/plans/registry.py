@@ -10,6 +10,7 @@ hash identically.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -27,6 +28,58 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+_CTE_DEF = re.compile(r"\b(\w+)\s+AS\s+\(", re.IGNORECASE)
+
+
+def materialize_shared_ctes(sql: str) -> str:
+    """Rewrite ``<cte> AS (`` to ``<cte> AS MATERIALIZED (`` for every CTE
+    referenced more than once in ``sql``.
+
+    DuckDB re-inlines plain CTEs into each reference, so an oracle whose
+    expensive frame (a shingle unnest, a fact-table star join) feeds
+    several downstream CTEs recomputes it per reference — and, worse,
+    re-plans the whole subtree each time. At sf1 this turned a 3.5 s
+    oracle into a 20-minute one (decontaminate_8gram) and a 0.2 s one
+    into 431 s (graph_degree_assortativity). MATERIALIZED is purely
+    physical — values are identical — so applying it centrally at
+    registration keeps every oracle's SQL text scale-safe without
+    hand-annotating ~600 strings, and the driver (which reads oracles
+    from this registry via ``oracle_sql()``) runs the same rewritten SQL
+    the parity sweeps verify.
+
+    A match is treated as a CTE definition only when its body starts
+    with SELECT / WITH / VALUES / FROM — this excludes window-clause
+    definitions (``WINDOW w AS (PARTITION BY ...)``), which share the
+    surface syntax. Heads of ``WITH RECURSIVE`` are skipped (a recursive
+    CTE cannot be MATERIALIZED; its self-reference also inflates the
+    count). Reference counting is conservative-by-overcount: a column
+    that shares the CTE's name counts as a reference, which at worst
+    materializes a single-reference CTE — a no-op for correctness.
+    """
+    spans: list[int] = []
+    for m in _CTE_DEF.finditer(sql):
+        name = m.group(1)
+        body = sql[m.end() :].lstrip()
+        while body.startswith("--"):
+            body = body.split("\n", 1)[1].lstrip() if "\n" in body else ""
+        if not re.match(r"(SELECT|WITH|VALUES|FROM)\b", body, re.IGNORECASE):
+            continue  # window definition or other non-CTE "AS ("
+        if re.search(r"RECURSIVE\s*$", sql[: m.start()], re.IGNORECASE):
+            continue  # recursive head — cannot be materialized
+        refs = len(re.findall(r"\b" + re.escape(name) + r"\b", sql)) - 1
+        if refs >= 2:
+            spans.append(m.end(1))  # insert right after the CTE name
+    if not spans:
+        return sql
+    parts, prev = [], 0
+    for pos in spans:
+        parts.append(sql[prev:pos])
+        parts.append(" AS MATERIALIZED")
+        # skip the original " AS " up to and excluding the "("
+        prev = pos + sql[pos:].index("(")
+    parts.append(sql[prev:])
+    return "".join(parts)
+
 
 def query(name: str, oracle: str | None = None, headline: bool = False):
     """Decorator registering a query builder under ``name``."""
@@ -34,7 +87,11 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, headline=headline)
+        REGISTRY[name] = QueryDef(
+            fn=fn,
+            oracle=materialize_shared_ctes(oracle) if oracle else oracle,
+            headline=headline,
+        )
         return fn
 
     return deco

@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -47,6 +48,7 @@ def main() -> None:
     skips: dict[str, str] = (
         json.load(open(sys.argv[3])) if len(sys.argv) > 3 else {}
     )
+    oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "300"))
     spark = get_spark("parity-sweep")
     con = duckdb.connect()
     for t in TABLES:
@@ -70,7 +72,12 @@ def main() -> None:
             if st == "pass":
                 n_pass += 1
                 out[k] = v
-            elif st == "rows_only" or st.startswith("skipped_infeasible"):
+            elif st == "rows_only" or (
+                st.startswith("skipped_infeasible")
+                and not st.startswith("skipped_infeasible: oracle exceeded")
+            ):
+                # auto-timeout skips re-run (the oracle may have been
+                # fixed since); manual skip-file entries stay skipped
                 out[k] = v
             # FAIL/ERR entries re-run
         print(f"resumed: {len(out)} recorded, {n_pass} passes", flush=True)
@@ -88,7 +95,30 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             got = normalize(qd.fn(spark, sf_dir).toPandas())
-            exp = normalize(con.execute(qd.oracle).df())
+            # per-oracle watchdog: DuckDB releases the GIL during execute,
+            # so a timer thread can con.interrupt() a runaway oracle (one
+            # sf1 oracle ground 20+ min / spilled 77 GB before this). A
+            # timeout is recorded as a documented infeasible-skip, not an
+            # ERR, so resume doesn't retry it forever.
+            timer = threading.Timer(oracle_timeout, con.interrupt)
+            timer.start()
+            try:
+                exp = normalize(con.execute(qd.oracle).df())
+            except Exception as exc:  # noqa: BLE001
+                if "INTERRUPT" in str(exc).upper():
+                    out[name] = {
+                        "status": "skipped_infeasible: oracle exceeded "
+                        f"{oracle_timeout}s at this SF (engine side ran in "
+                        f"{round(time.perf_counter() - t0, 2)}s total incl. "
+                        "oracle wait)",
+                        "sec": round(time.perf_counter() - t0, 2),
+                    }
+                    print(name, out[name]["status"], flush=True)
+                    _dump(out_path, sf_dir, n_pass, n_fail, out)
+                    continue
+                raise
+            finally:
+                timer.cancel()
             errs = []
             if list(got.columns) != list(exp.columns):
                 errs.append(f"schema {list(got.columns)} != {list(exp.columns)}")
