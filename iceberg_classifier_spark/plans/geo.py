@@ -34,14 +34,27 @@ _PTS_SQL = """
     "geo_radius_pairs",
     oracle=f"""
     WITH pts AS ({_PTS_SQL}
+    ), cells AS (
+      SELECT k, lat, lon, lat // {_CELL} AS cx, lon // {_CELL} AS cy
+      FROM pts
+    ), lhs AS (
+      -- 3x3 neighborhood replication: radius ({_R}) < cell ({_CELL}) makes
+      -- the ring a complete candidate cover, so the grid equi-join finds
+      -- every qualifying pair exactly once (via b's home cell). The former
+      -- naive theta-join spec is O(n^2) with no hashable key — DuckDB
+      -- ground past 300 s on 150k points at sf1; this form hash-joins.
+      SELECT c.k, c.lat, c.lon, c.cx + dx.o AS cx, c.cy + dy.o AS cy
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) dy
     ), pairs AS (
       SELECT a.k AS ka, a.lat AS alat,
              (a.lat - b.lat) * (a.lat - b.lat)
              + (a.lon - b.lon) * (a.lon - b.lon) AS d2
-      FROM pts a JOIN pts b
-        ON a.k < b.k
-       AND (a.lat - b.lat) * (a.lat - b.lat)
-           + (a.lon - b.lon) * (a.lon - b.lon) <= {_R * _R}
+      FROM lhs a JOIN cells b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.k < b.k
+      WHERE (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) <= {_R * _R}
     )
     SELECT alat // 10000000 AS lat_band,
            count(*) AS n_pairs,
@@ -58,8 +71,11 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LEFT side replicates into its 3×3 neighborhood and the join is a
     plain equi-join on the cell key, so every qualifying pair is found
     exactly once — via the RIGHT point's home cell — and the quadratic
-    all-pairs predicate (the oracle does it the naive way) never
-    materializes. Candidate work is |pts|·9 rows hashed on cell, then the
+    all-pairs predicate never materializes. (The oracle uses the same
+    3×3-cover equi-join: its former naive theta-join form was the
+    semantic spec but had no hashable key, and DuckDB ground past 300 s
+    on sf1's 150k points; the cover property radius < cell is what makes
+    both forms exact.) Candidate work is |pts|·9 rows hashed on cell, then the
     exact distance filter; `ka < kb` dedupes the symmetric candidates.
 
     Scale: shuffle is by cell key (spatially uniform keys hash well; a
