@@ -301,16 +301,23 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(yi * yi) AS BIGINT) AS syy
       FROM pts GROUP BY ptype
     )
+    -- CAST(... AS DOUBLE), never "* 1.0": DuckDB types the bare literal
+    -- as DECIMAL(2,1), so the OLS cross-products ran in DECIMAL(38) and
+    -- overflowed at sf1 magnitudes (~1e19 * 7e18 > 1e38); the explicit
+    -- double keeps the expression tree identical to the Spark side
     SELECT ptype, n,
-           round((n * 1.0 * sxy - sx * 1.0 * sy)
-                 / (n * 1.0 * sxx - sx * 1.0 * sx), 6) AS elasticity,
-           round((sy - (n * 1.0 * sxy - sx * 1.0 * sy)
-                       / (n * 1.0 * sxx - sx * 1.0 * sx) * sx)
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS elasticity,
+           round((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       * sx)
                  / (n * 1000.0), 6) AS intercept_ln,
-           round((n * 1.0 * sxy - sx * 1.0 * sy)
-                 * (n * 1.0 * sxy - sx * 1.0 * sy)
-                 / ((n * 1.0 * sxx - sx * 1.0 * sx)
-                    * (n * 1.0 * syy - sy * 1.0 * sy)), 6) AS r2
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS r2
     FROM sums ORDER BY ptype
     """,
 )
