@@ -139,18 +139,23 @@ _ES_K = 10
              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
       FROM documents
     ), keyed AS (
+      -- quantize ln(u)/w to exact pico-units BEFORE ranking: libm-vs-JVM
+      -- ln() ulp drift reordered near-tied keys at the sf1 top-k boundary;
+      -- the 1e-12 grid is ~8 orders coarser than the drift, so both
+      -- engines compute the identical int64 and the identical sample
       SELECT doc_id, w,
-             ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             CAST(round(ln((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(generate_series(1, 13),
                      k -> CAST(strpos('{_HEX}',
                             substr(md5(CAST(doc_id AS VARCHAR)),
                                    CAST(k AS INTEGER), 1)) - 1 AS BIGINT))),
                    (acc, c) -> acc * 16 + c) AS DOUBLE) + 0.5)
-                / 4503599627370496) / w AS es_key
+                / 4503599627370496) / w * 1e12) AS BIGINT) AS es_pico
       FROM d WHERE w > 0
     )
-    SELECT doc_id, w AS weight, round(es_key, 6) AS es_key
-    FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_ES_K}
+    SELECT doc_id, w AS weight,
+           round(CAST(es_pico AS DOUBLE) / 1e12, 6) AS es_key
+    FROM keyed ORDER BY es_pico DESC, doc_id LIMIT {_ES_K}
     """,
 )
 def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,8 +164,11 @@ def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key u^(1/w) — the top-k keys are a weighted sample where longer
     documents win proportionally more often. Ordering by ln(u)/w is the
     monotone-equivalent form that avoids the pow; u=(hash52+0.5)/2^52 is
-    exactly reproducible, so the SAMPLE ITSELF is value-checked (the
-    usual sample() is engine-random and untestable).
+    exactly reproducible, and the ranking key is quantized to exact
+    pico-unit int64s before the top-k (JVM-vs-libm ln() ulp drift
+    reordered near-tied keys at the sf1 boundary), so the SAMPLE ITSELF
+    is value-checked (the usual sample() is engine-random and
+    untestable).
 
     Scale: map-only key computation + one bounded TakeOrdered — the
     standard distributed weighted-sampling plan (per-partition top-k then
@@ -181,11 +189,19 @@ def weighted_sample_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("w").alias("weight"),
-            (F.log(u) / F.col("w")).alias("es_key"),
+            F.round(F.log(u) / F.col("w") * 1e12)
+            .cast("bigint")
+            .alias("es_pico"),
         )
-        .orderBy(F.desc("es_key"), "doc_id")
+        .orderBy(F.desc("es_pico"), "doc_id")
         .limit(_ES_K)
-        .select("doc_id", "weight", F.round("es_key", 6).alias("es_key"))
+        .select(
+            "doc_id",
+            "weight",
+            F.round(F.col("es_pico").cast("double") / 1e12, 6).alias(
+                "es_key"
+            ),
+        )
     )
 
 
