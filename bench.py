@@ -16,10 +16,59 @@ import sys
 import time
 
 
+def _host_load() -> dict:
+    """Load stamp for the artifact: /proc/loadavg + concurrent worker-ish
+    process count. A concurrent pytest batch contaminated a committed
+    bench artifact in round 7 (dedup_minhash_lsh 2.5 s vs 1.2 s idle —
+    see BENCH_NOTES.md); the stamp makes that failure mode visible in
+    the artifact itself, and the guard below refuses to record numbers
+    on a busy host."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            la = f.read().split()
+        out["loadavg_1m"] = float(la[0])
+        out["loadavg_5m"] = float(la[1])
+    except OSError:
+        pass
+    procs = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    c = f.read().strip()
+            except OSError:
+                continue
+            if c.startswith(("python", "java")):
+                procs += 1
+    except OSError:
+        procs = -1
+    out["py_java_procs"] = procs  # includes this bench process itself
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_QUIET_LOGS", "1")
+
+    load_start = _host_load()
+    la1 = load_start.get("loadavg_1m", 0.0)
+    if la1 > 8.0 and os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1":
+        print(
+            f"bench.py: host busy (loadavg 1m = {la1}); numbers would be "
+            "contaminated — rerun when idle or set SPARK_GRAFT_BENCH_FORCE=1",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    if la1 > 2.0:
+        print(
+            f"bench.py: WARNING loadavg 1m = {la1} > 2.0 at start — "
+            "treat the recorded numbers as suspect (host_busy flagged)",
+            file=sys.stderr,
+        )
 
     from iceberg_classifier_spark.plans.registry import load_all_queries
     from iceberg_classifier_spark.session import get_spark
@@ -65,6 +114,9 @@ def main() -> None:
         "before any timing); medians reported to separate plan "
         "regressions from scheduler noise",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host_load_start": load_start,
+        "host_load_end": _host_load(),
+        "host_busy": la1 > 2.0,
     }
     print(json.dumps(out))
     spark.stop()

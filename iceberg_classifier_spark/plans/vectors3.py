@@ -36,6 +36,71 @@ def _sign_spark(j: str, i: str) -> str:
     )
 
 
+def _jl_project(emb_df, k: int = _JL_K):
+    """(vec_id, e, p) via one Arrow-batched numpy kernel — the exact
+    float64 twin of the ``_sign_spark`` Catalyst expression.
+
+    The Catalyst spelling evaluates the sign CASE per (row, j, i) — the
+    sign matrix is a plan constant, but the interpreted HOF recomputes
+    its md5 k·dim = {_JL_K}·64 times PER ROW — measured 51.6 s for 49k
+    rows at organic sf1, the same interpreted-HOF cost class the aHash
+    fix (multimodal4._ahash_frame) converted to numpy for 64 → 11 s.
+    Here the ±1 matrix is hashed ONCE per embedding width (hashlib md5
+    of the identical 'j_i' string), and each projection coordinate
+    accumulates strictly left-to-right over i (vectorized across rows,
+    sequential across terms) — the same IEEE add order as the oracle's
+    ascending list_reduce and the expression it replaces, so every
+    6dp-rounded ratio stays bit-identical. sign·e[i] is exact (±1
+    multiply), so order is the only float hazard.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    sign_cache: dict[int, "np.ndarray"] = {}
+
+    def signs(d: int):
+        if d not in sign_cache:
+            s = np.empty((k, d), dtype=np.float64)
+            for j in range(1, k + 1):
+                for i in range(1, d + 1):
+                    h = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+                    s[j - 1, i - 1] = 1.0 if h[0] < "8" else -1.0
+            sign_cache[d] = s
+        return sign_cache[d]
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            p_col: list = [None] * len(pdf)
+            lens = np.array([len(v) for v in pdf["e"]])
+            for d in np.unique(lens):
+                d = int(d)
+                rows = np.nonzero(lens == d)[0]
+                e_mat = np.array(
+                    [np.asarray(pdf["e"].iloc[r], dtype=np.float64) for r in rows]
+                )
+                s = signs(d)
+                proj = np.empty((len(rows), k), dtype=np.float64)
+                for j in range(k):
+                    acc = np.zeros(len(rows), dtype=np.float64)
+                    srow = s[j]
+                    for i in range(d):  # ascending i: oracle's fold order
+                        acc = acc + e_mat[:, i] * srow[i]
+                    proj[:, j] = acc
+                for m, r in enumerate(rows):
+                    p_col[r] = proj[m].tolist()
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "e": pdf["e"], "p": p_col}
+            )
+
+    return emb_df.select("vec_id", "e").mapInPandas(
+        batches, "vec_id long, e array<double>, p array<double>"
+    )
+
+
 @query(
     "jl_projection_distortion",
     oracle=f"""
@@ -81,11 +146,12 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending index order — identical left-to-right IEEE adds in both
     engines — so every ratio carries a 6dp value oracle.
 
-    Scale: projection is map-only (no shuffle, no state — the sign
-    matrix is an expression, not a table); the audit pair join is
-    equi-keyed on vec_id+1 (one bounded shuffle). At 10⁹ vectors the
-    same plan holds; the hex-char sign would swap for xxhash64 parity
-    bit with the plan unchanged.
+    Scale: projection is map-only (no shuffle, no state — one
+    Arrow-batched numpy kernel against the constant {64}×{_JL_K} sign
+    matrix, see ``_jl_project``); the audit pair join is equi-keyed on
+    vec_id+1 (one bounded shuffle). At 10⁹ vectors the same plan holds;
+    the hex-char sign would swap for xxhash64 parity bit with the plan
+    unchanged.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -93,19 +159,7 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> CAST(x AS DOUBLE))"
         ).alias("e"),
     )
-    proj = emb.select(
-        "vec_id",
-        "e",
-        F.expr(
-            f"""
-            transform(sequence(1, {_JL_K}), j ->
-              aggregate(
-                transform(sequence(1, size(e)), i ->
-                  {_sign_spark("j", "i")} * e[i - 1]),
-                CAST(0 AS DOUBLE), (a, v) -> a + v))
-            """
-        ).alias("p"),
-    )
+    proj = _jl_project(emb)
     a = proj.select(
         F.col("vec_id").alias("id_a"),
         F.col("e").alias("ea"),
