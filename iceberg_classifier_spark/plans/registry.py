@@ -31,6 +31,36 @@ REGISTRY: dict[str, QueryDef] = {}
 _CTE_DEF = re.compile(r"\b(\w+)\s+AS\s+\(", re.IGNORECASE)
 
 
+def _paren_body(sql: str, open_pos: int) -> str:
+    """Text between the paren at ``open_pos`` and its match, with
+    single-quoted string literals blanked so parens (and CTE-name
+    lookalikes) inside literals neither unbalance the count nor fake a
+    self-reference."""
+    out: list[str] = []
+    depth = 0
+    in_str = False
+    i = open_pos
+    while i < len(sql):
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                in_str = False  # '' escapes re-enter on the next quote
+            out.append(" ")
+        elif c == "'":
+            in_str = True
+            out.append(" ")
+        else:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return "".join(out[1:])
+            out.append(c)
+        i += 1
+    return "".join(out[1:])
+
+
 def materialize_shared_ctes(sql: str) -> str:
     """Rewrite ``<cte> AS (`` to ``<cte> AS MATERIALIZED (`` for every CTE
     referenced more than once in ``sql``.
@@ -47,25 +77,41 @@ def materialize_shared_ctes(sql: str) -> str:
     from this registry via ``oracle_sql()``) runs the same rewritten SQL
     the parity sweeps verify.
 
-    A match is treated as a CTE definition only when its body starts
-    with SELECT / WITH / VALUES / FROM — this excludes window-clause
-    definitions (``WINDOW w AS (PARTITION BY ...)``), which share the
-    surface syntax. Heads of ``WITH RECURSIVE`` are skipped (a recursive
-    CTE cannot be MATERIALIZED; its self-reference also inflates the
-    count). Reference counting is conservative-by-overcount: a column
-    that shares the CTE's name counts as a reference, which at worst
-    materializes a single-reference CTE — a no-op for correctness.
+    A match is treated as a CTE definition only when its body (after
+    stripping leading ``--`` and ``/* */`` comments and an optional
+    opening paren of a parenthesized set-op) starts with SELECT / WITH /
+    VALUES / FROM — this excludes window-clause definitions (``WINDOW w
+    AS (PARTITION BY ...)``), which share the surface syntax. Recursive
+    CTEs cannot be MATERIALIZED, and DuckDB treats EVERY self-referencing
+    member of a ``WITH RECURSIVE`` list as recursive, not only the one
+    adjacent to the keyword (r7 advice) — so a CTE is skipped when it
+    directly follows the RECURSIVE keyword OR when a RECURSIVE keyword
+    precedes it and its own parenthesized body (string literals blanked)
+    references its own name. Reference counting is
+    conservative-by-overcount: a column that shares the CTE's name counts
+    as a reference, which at worst materializes a single-reference CTE —
+    a no-op for correctness.
     """
     spans: list[int] = []
     for m in _CTE_DEF.finditer(sql):
         name = m.group(1)
         body = sql[m.end() :].lstrip()
-        while body.startswith("--"):
-            body = body.split("\n", 1)[1].lstrip() if "\n" in body else ""
-        if not re.match(r"(SELECT|WITH|VALUES|FROM)\b", body, re.IGNORECASE):
+        while True:
+            if body.startswith("--"):
+                body = body.split("\n", 1)[1].lstrip() if "\n" in body else ""
+            elif body.startswith("/*") and "*/" in body:
+                body = body.split("*/", 1)[1].lstrip()
+            else:
+                break
+        head = body.lstrip("(").lstrip()
+        if not re.match(r"(SELECT|WITH|VALUES|FROM)\b", head, re.IGNORECASE):
             continue  # window definition or other non-CTE "AS ("
         if re.search(r"RECURSIVE\s*$", sql[: m.start()], re.IGNORECASE):
             continue  # recursive head — cannot be materialized
+        if re.search(r"\bRECURSIVE\b", sql[: m.start()], re.IGNORECASE):
+            own_body = _paren_body(sql, sql.index("(", m.end() - 1))
+            if re.search(r"\b" + re.escape(name) + r"\b", own_body):
+                continue  # self-referencing member of a RECURSIVE list
         refs = len(re.findall(r"\b" + re.escape(name) + r"\b", sql)) - 1
         if refs >= 2:
             spans.append(m.end(1))  # insert right after the CTE name

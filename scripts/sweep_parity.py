@@ -69,12 +69,15 @@ def main() -> None:
         prev = json.load(open(out_path))["queries"]
         for k, v in prev.items():
             st = str(v.get("status", ""))
+            # structured flag (r8); prefix fallback for pre-r8 artifacts
+            is_timeout = bool(v.get("timeout", False)) or st.startswith(
+                "skipped_infeasible: oracle exceeded"
+            )
             if st == "pass":
                 n_pass += 1
                 out[k] = v
             elif st == "rows_only" or (
-                st.startswith("skipped_infeasible")
-                and not st.startswith("skipped_infeasible: oracle exceeded")
+                st.startswith("skipped_infeasible") and not is_timeout
             ):
                 # auto-timeout skips re-run (the oracle may have been
                 # fixed since); manual skip-file entries stay skipped
@@ -95,30 +98,23 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             got = normalize(qd.fn(spark, sf_dir).toPandas())
-            # per-oracle watchdog: DuckDB releases the GIL during execute,
-            # so a timer thread can con.interrupt() a runaway oracle (one
-            # sf1 oracle ground 20+ min / spilled 77 GB before this). A
-            # timeout is recorded as a documented infeasible-skip, not an
-            # ERR, so resume doesn't retry it forever.
-            timer = threading.Timer(oracle_timeout, con.interrupt)
-            timer.start()
-            try:
-                exp = normalize(con.execute(qd.oracle).df())
-            except Exception as exc:  # noqa: BLE001
-                if "INTERRUPT" in str(exc).upper():
-                    out[name] = {
-                        "status": "skipped_infeasible: oracle exceeded "
-                        f"{oracle_timeout}s at this SF (engine side ran in "
-                        f"{round(time.perf_counter() - t0, 2)}s total incl. "
-                        "oracle wait)",
-                        "sec": round(time.perf_counter() - t0, 2),
-                    }
-                    print(name, out[name]["status"], flush=True)
-                    _dump(out_path, sf_dir, n_pass, n_fail, out)
-                    continue
-                raise
-            finally:
-                timer.cancel()
+            exp_df, timed_out_after = _run_oracle(
+                con, duckdb, qd.oracle, oracle_timeout
+            )
+            if exp_df is None:
+                out[name] = {
+                    "status": "skipped_infeasible: oracle exceeded "
+                    f"{oracle_timeout}s at this SF (engine side ran in "
+                    f"{round(time.perf_counter() - t0, 2)}s total incl. "
+                    "oracle wait)",
+                    "timeout": True,
+                    "oracle_sec": round(timed_out_after, 2),
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+                print(name, out[name]["status"], flush=True)
+                _dump(out_path, sf_dir, n_pass, n_fail, out)
+                continue
+            exp = normalize(exp_df)
             errs = []
             if list(got.columns) != list(exp.columns):
                 errs.append(f"schema {list(got.columns)} != {list(exp.columns)}")
@@ -146,6 +142,46 @@ def main() -> None:
         _dump(out_path, sf_dir, n_pass, n_fail, out)
     _dump(out_path, sf_dir, n_pass, n_fail, out, final=True)
     print("PASS:", n_pass, "FAIL/ERR:", n_fail, flush=True)
+
+
+def _run_oracle(con, duckdb, sql: str, timeout: float):
+    """Execute one oracle under the watchdog. Returns ``(df, None)`` on
+    success or ``(None, elapsed)`` on a GENUINE timeout.
+
+    Per-oracle watchdog: DuckDB releases the GIL during execute, so a
+    timer thread can con.interrupt() a runaway oracle (one sf1 oracle
+    ground 20+ min / spilled 77 GB before this). A timeout is recorded
+    as a documented infeasible-skip, not an ERR, so resume doesn't retry
+    it forever.
+
+    Watchdog race (r7 advice): the previous oracle's Timer can fire in
+    the gap between its execute() returning and timer.cancel(), leaving
+    a pending interrupt on the shared connection that aborts THIS oracle
+    after milliseconds. An interrupt is therefore classified as a timeout
+    only when this oracle actually ran >= ``timeout`` seconds; a faster
+    interrupt is the stale-timer race and is retried once.
+    """
+    interrupt_exc = getattr(duckdb, "InterruptException", ())
+    for attempt in (1, 2):
+        t0 = time.perf_counter()
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).df(), None
+        except Exception as exc:  # noqa: BLE001
+            elapsed = time.perf_counter() - t0
+            is_interrupt = isinstance(exc, interrupt_exc) or (
+                "INTERRUPT" in str(exc).upper()
+            )
+            if not is_interrupt:
+                raise
+            if elapsed >= timeout:
+                return None, elapsed
+            if attempt == 2:  # two stale interrupts in a row: give up
+                raise
+        finally:
+            timer.cancel()
+    raise AssertionError("unreachable")
 
 
 def _dump(
