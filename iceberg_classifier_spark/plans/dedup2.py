@@ -78,55 +78,65 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     disparity — the quote signature. Intersections and sizes are exact
     ints; containments are exact ppm.
 
-    Scale: candidates come from df-capped shingle posting lists (the
-    dedup_ngram_jaccard machinery — pair volume scales with collision
-    density, never n²); the sizes join is a broadcast-able doc
-    dimension.
+    Scale: candidates come from df-capped shingle POSTING LISTS (the
+    dedup_ngram_jaccard nested-explode machinery — pair volume scales
+    with collision density, never n²), with each doc's shingle-set size
+    carried inside the posting struct so no sizes dimension is joined
+    at all. The earlier spelling broadcast the df-filtered shingle SET
+    back against the shingle stream — a frame that scales with corpus
+    VOCABULARY, which blew past the broadcast ceiling on the 10×-organic
+    frame (r8 sweep: Py4JJavaError at sf10, 75M distinct 5-shingles);
+    posting lists shuffle once on the shingle key instead and nothing
+    here is broadcast.
     """
     from iceberg_classifier_spark.functions import text as T
 
-    toks = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim(F.col("text")), " ").alias("ws")
-    )
-    sh = toks.select(
+    shing = load(spark, sf_dir, "documents").select(
         "doc_id",
-        F.explode(T.shingles(F.col("ws"), _CONT_N)).alias("sh"),
+        T.shingles(F.split(F.trim(F.col("text")), " "), _CONT_N).alias("sh"),
     )
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    sh = shing.select(
+        "doc_id",
+        F.size("sh").cast("bigint").alias("n_sh"),
+        F.explode("sh").alias("sh_str"),
     )
-    keep = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= _CONT_DF_CAP)
-        .select("sh")
+    posting = (
+        sh.groupBy("sh_str")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias(
+                "lst"
+            )
+        )
+        .filter(F.size("lst") <= _CONT_DF_CAP)
     )
-    pruned = sh.join(F.broadcast(keep), "sh")
-    a = pruned.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
-    b = pruned.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    # nested explode: peak row width is one posting list; sort_array
+    # guarantees doc_a < doc_b inside each list
     pairs = (
-        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
+        posting.select(F.posexplode("lst").alias("i", "a"), "lst")
+        .select(
+            "a",
+            F.explode(F.expr("slice(lst, i + 2, size(lst))")).alias("b"),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("size_a"),
+            F.col("b.n_sh").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
-    scored = (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter",
-            "size_a",
-            "size_b",
-            F.expr("CAST(inter * 1000000 div size_a AS BIGINT)").alias(
-                "cont_ab_ppm"
-            ),
-            F.expr("CAST(inter * 1000000 div size_b AS BIGINT)").alias(
-                "cont_ba_ppm"
-            ),
-        )
+    scored = pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.expr("CAST(inter * 1000000 div size_a AS BIGINT)").alias(
+            "cont_ab_ppm"
+        ),
+        F.expr("CAST(inter * 1000000 div size_b AS BIGINT)").alias(
+            "cont_ba_ppm"
+        ),
     )
     return (
         scored.where(

@@ -113,14 +113,28 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairs are blocked per user (basket-bounded, never
     catalog²) and df-capped by the support floor; rec-list windows
     partition by item; the ILD self-join touches {_REC_K} rows per
-    item. All metric frames are item-bounded.
+    item. All metric frames are item-bounded — and the item dimension
+    GROWS with the catalog, so the popularity joins are plain shuffle
+    joins (AQE may still broadcast them at small SFs): forcing the
+    broadcast OOM'd the driver on the 10×-organic frame (r8 sweep),
+    where heap was already carrying the co-occurrence cache. That
+    cache and the scored frame persist DISK_ONLY for the same reason —
+    they are pair-scaled, and heap-cached copies of them starve the
+    hash joins.
     """
+    from pyspark import StorageLevel
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # merge hint: the planner's post-pruning size estimate puts the 2-column
+    # orders projection just under the broadcast threshold, and the resulting
+    # 15M-row HashedRelation build OOM'd the sf10 sweep — orderkey:orderkey
+    # is the SMJ both sides co-partition on at any scale. ui itself feeds
+    # FOUR branches (both pair sides, pop, nu); persisted once, disk-backed.
     ui = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
+        .persist(StorageLevel.DISK_ONLY)
     )
     nu = ui.agg(F.countDistinct("u").cast("bigint").alias("n_users"))
     pop = ui.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
@@ -133,7 +147,7 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("co_u"))
         .where(F.col("co_u") >= _REC_MIN_CO)
-        .cache()  # read by both union directions
+        .persist(StorageLevel.DISK_ONLY)  # read by both union directions
     )
     co = co_half.unionByName(
         co_half.select(
@@ -143,8 +157,8 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = pop.select(F.col("i").alias("ia"), F.col("n_u").alias("na"))
     pb = pop.select(F.col("i").alias("ib"), F.col("n_u").alias("nb"))
     scored = (
-        co.join(F.broadcast(pa), "ia")
-        .join(F.broadcast(pb), "ib")
+        co.join(pa.hint("shuffle_hash"), "ia")
+        .join(pb.hint("shuffle_hash"), "ib")
         .select(
             "ia",
             "ib",
@@ -154,10 +168,10 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    # cached: scored feeds the rec ranking AND the ILD pair-similarity
+    # persisted: scored feeds the rec ranking AND the ILD pair-similarity
     # lookup; recs feeds novelty, both ILD sides and the coverage stats —
-    # uncached, every branch re-runs the user-blocked co-occurrence join
-    scored = scored.cache()
+    # unpersisted, every branch re-runs the user-blocked co-occurrence join
+    scored = scored.persist(StorageLevel.DISK_ONLY)
     recs = scored.withColumn(
         "rk",
         F.row_number().over(
@@ -166,7 +180,8 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("rk") <= _REC_K).cache()
     novelty = (
         recs.join(
-            F.broadcast(pop.select(F.col("i").alias("ib"), "n_u")), "ib"
+            pop.select(F.col("i").alias("ib"), "n_u").hint("shuffle_hash"),
+            "ib",
         )
         .crossJoin(F.broadcast(nu))
         .groupBy("ia")
@@ -185,14 +200,14 @@ def coverage_novelty_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = recs.select(F.col("ia"), F.col("ib").alias("xb"))
     z = recs.select(F.col("ia"), F.col("ib").alias("zb"))
     ild = (
-        x.join(z, "ia")
+        x.join(z.hint("shuffle_hash"), "ia")
         .where(F.col("xb") < F.col("zb"))
         .join(
             scored.select(
                 F.col("ia").alias("xb"),
                 F.col("ib").alias("zb"),
                 F.col("cosine").alias("sim"),
-            ),
+            ).hint("merge"),
             ["xb", "zb"],
             "left",
         )
