@@ -71,19 +71,56 @@ OFFSETS: dict[str, dict[str, tuple[str, str]]] = {
 VERBATIM = ("region", "nation")
 
 
+_GROUP_SIZE = 10  # replicas per "crawl group" — bounds near-dup cliques
+
+
 def _organic_text(r: int) -> str:
-    """Deterministic per-replica text perturbation: ~10% of docs stay
-    exact copies; in the rest every token whose (doc, position, replica)
-    hash lands on 0 mod 7 is replaced by a replica-specific token."""
+    """Deterministic per-replica text perturbation, v2 (r8).
+
+    v1 replaced every ~7th token per replica, which left ~63% of token
+    3-windows VERBATIM across every replica pair — so at N=100 every
+    source doc sat at the center of an ~89-member near-dup clique, and
+    any pair-enumerating dedup query had inherently quadratic-in-N
+    output (the r8 sf10 sweep measured 15B candidate pair rows / a 75 GB
+    shuffle spill on dedup_ngram_jaccard — replicate-mode pathology, not
+    organic growth). Real crawls grow mostly by NEW near-dup clusters,
+    not by inflating every cluster linearly with corpus size.
+
+    v2 bounds cliques with replica "crawl groups" of {_GROUP_SIZE}:
+
+    - exact copies: a doc's verbatim replicas all come from groups
+      designated by hash(doc*7+g) — ~10% of instances corpus-wide (the
+      realistic cross-crawl rate, unchanged), clusters ≈ group-sized
+      instead of ≈ N/10.
+    - every perturbed doc gets a GROUP MARKER token at every 3rd
+      position ('g<g>x' + token hash, deterministic per group), so every
+      token 3-window differs across groups — zero cross-group (or
+      perturbed-vs-verbatim) shingle overlap, hence near-dup cliques are
+      bounded by the group size at ANY N.
+    - within a group, ~1/3 of replicas are LIGHT near-dups (every ~7th
+      token replaced per replica, as v1); the rest are HEAVY (every ~2nd
+      token also replaced) and mutually dissimilar — so near-dup
+      detection still has real work (bounded ~3-cliques per group plus
+      the verbatim clusters), while vocabulary and cluster DIVERSITY
+      keep growing with N.
+    """
+    g = r // _GROUP_SIZE
+    heavy = f"hash(doc_id * 13 + {r}) % 3 != 0"
+    tok_case = (
+        f"CASE WHEN {heavy}"
+        f" AND hash(doc_id * 1000003 + i * 31 + {r * 7919 + 13}) % 2 = 0"
+        f" THEN 'h{r}x' || CAST(hash(tok) % 997 AS VARCHAR)"
+        f" WHEN hash(doc_id * 1000003 + i * 31 + {r}) % 7 = 0"
+        f" THEN 'w{r}x' || CAST(hash(tok) % 997 AS VARCHAR)"
+        f" WHEN i % 3 = 0 THEN 'g{g}x' || CAST(hash(tok) % 997 AS VARCHAR)"
+        " ELSE tok END"
+    )
     perturbed = (
         "array_to_string(list_transform(string_split(text, ' '),"
-        f" (tok, i) -> CASE WHEN hash(doc_id * 1000003 + i * 31 + {r})"
-        " % 7 = 0"
-        f" THEN 'w{r}x' || CAST(hash(tok) % 997 AS VARCHAR)"
-        " ELSE tok END), ' ')"
+        f" (tok, i) -> {tok_case}), ' ')"
     )
     return (
-        f"CASE WHEN hash(doc_id * 7 + {r}) % 10 = 0 THEN text"
+        f"CASE WHEN hash(doc_id * 7 + {g}) % 10 = 0 THEN text"
         f" ELSE {perturbed} END"
     )
 
