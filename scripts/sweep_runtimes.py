@@ -7,7 +7,10 @@ Round-5 finds: 4 int64/int32 overflow crashes at sf0.1 (ANSI mode) and
 a dozen 7-88 s outliers (branch-recomputed expensive frames, O(n^2)
 hot-bucket joins, interpreted-lambda CSE misses) — all fixed.
 
-Usage: python scripts/sweep_runtimes.py [sf_dir] [out_json]
+Usage: python scripts/sweep_runtimes.py [sf_dir] [out_json] [names_csv]
+names_csv (optional): only sweep these query names — for re-measuring a
+table-scoped subset (e.g. every documents-backed query after a testdata
+generator change) without paying for the full registry.
 """
 
 from __future__ import annotations
@@ -30,6 +33,11 @@ def main() -> None:
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sweep_times.json"
     spark = get_spark("sweep")
     registry = load_all_queries()
+    if len(sys.argv) > 3 and sys.argv[3]:
+        names = set(sys.argv[3].split(","))
+        unknown = names - set(registry)
+        assert not unknown, f"unknown query names: {sorted(unknown)}"
+        registry = {k: v for k, v in registry.items() if k in names}
     out: dict[str, object] = {}
     # SPARK_GRAFT_SWEEP_RESUME=1: preload a checkpointed artifact and run
     # only what it doesn't record yet (same convention as sweep_parity.py)
