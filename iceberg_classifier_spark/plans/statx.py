@@ -54,15 +54,18 @@ from iceberg_classifier_spark.sources.tables import load
     ), tot AS (
       SELECT CAST(sum(n) AS BIGINT) AS nn,
              CAST(sum(n * val) AS BIGINT) AS ss,
-             CAST(sum(2 * n * (val * cnt_lt - sum_lt)) AS BIGINT)
-               AS sumabs,
+             -- sum stays HUGEINT: |sumabs| ~ N^2 * mean|dx| passed 2^63
+             -- at the sf10-organic decade (15M orders)
+             sum(2 * n * (val * cnt_lt - sum_lt)) AS sumabs,
              sum(n * val * ln(CAST(val AS DOUBLE))) AS sum_xlnx,
              sum(n * ln(CAST(val AS DOUBLE))) AS sum_ln
       FROM pre
     )
     SELECT nn AS n_orders,
            round(ss * 1.0 / nn, 6) AS mean_dollars,
-           round(sumabs * 1.0 / (2.0 * nn * ss), 6) AS gini,
+           round(CAST(sumabs AS DOUBLE)
+                 / (2.0 * CAST(nn AS DOUBLE) * CAST(ss AS DOUBLE)), 6)
+             AS gini,
            round(sum_xlnx / ss - ln(ss * 1.0 / nn), 6) AS theil_t,
            round(1.0 - exp(sum_ln / nn) / (ss * 1.0 / nn), 6)
              AS atkinson_1
@@ -81,8 +84,10 @@ def inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     `market_concentration_hhi` (sum-of-squares).
 
     Determinism: histogram counts and both prefix sums are exact
-    int64 (max |sumabs| ~ N * maxval * N fits comfortably at bench
-    scales; production would widen to DECIMAL(38)); Theil/Atkinson
+    int64; the mean-absolute-difference total |sumabs| ~ N² * mean|dx|
+    crossed 2^63 at the sf10-organic decade (15M orders), so that one
+    sum is widened to DECIMAL(38,0), mirroring the oracle's HUGEINT —
+    still exact integer arithmetic on both engines. Theil/Atkinson
     ln-terms are smooth bounded doubles rounded 6dp.
 
     Scale: ONE fact scan with map-side combine to the dollar-cell
@@ -108,11 +113,16 @@ def inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pre.agg(
         F.sum("n").cast("bigint").alias("nn"),
         F.sum(F.col("n") * F.col("val")).cast("bigint").alias("ss"),
+        # element products stay int64-exact (~1.5e15 max) but the SUM is
+        # ~N^2 * mean|dx| ≈ 2e19 at sf10 — the r8 decade's overflow class;
+        # DECIMAL(38,0) mirrors the oracle's HUGEINT sum exactly
         F.sum(
-            2 * F.col("n") * (F.col("val") * F.col("cnt_lt") - F.col("sum_lt"))
-        )
-        .cast("bigint")
-        .alias("sumabs"),
+            (
+                2
+                * F.col("n")
+                * (F.col("val") * F.col("cnt_lt") - F.col("sum_lt"))
+            ).cast("decimal(38,0)")
+        ).alias("sumabs"),
         F.sum(F.col("n") * F.log(F.col("val").cast("double"))).alias(
             "sum_ln"
         ),
@@ -130,7 +140,9 @@ def inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_orders"),
         F.round(F.col("ss") * 1.0 / F.col("nn"), 6).alias("mean_dollars"),
         F.round(
-            F.col("sumabs") * 1.0 / (2.0 * F.col("nn") * F.col("ss")), 6
+            F.col("sumabs").cast("double")
+            / (2.0 * F.col("nn").cast("double") * F.col("ss").cast("double")),
+            6,
         ).alias("gini"),
         F.round(
             F.col("sum_xlnx") / (F.col("ss").cast("double"))

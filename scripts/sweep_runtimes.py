@@ -64,6 +64,14 @@ def main() -> None:
             out[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # noqa: BLE001 — report and continue
             out[name] = f"ERR {type(exc).__name__}"
+        # drop every cached/persisted block the query left behind: the
+        # shared session otherwise ACCUMULATES them (r8: 39 GB of heap
+        # junk after 243 sf10 queries → each 1 s query paid ~55 s of GC),
+        # and cross-query cache hits would flatter later queries anyway
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cleanup must not kill the sweep
+            pass
         print(name, out[name], flush=True)
         tmp = out_path + ".tmp"
         json.dump(out, open(tmp, "w"))
