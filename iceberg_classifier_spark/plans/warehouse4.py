@@ -133,9 +133,13 @@ _TE_M = 20  # smoothing pseudo-count
       SELECT CAST(sum(s) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS gn
       FROM stats
     ), enc AS (
+      -- numerator ~ s * gn * 1e6 crossed 2^63 at the sf10 decade:
+      -- widen to HUGEINT (Spark side: DECIMAL(38,0)) before multiplying
       SELECT o.k, o.seg, o.y,
-             CAST(((st.s - o.y) * prior.gn + {_TE_M} * prior.gs) * 1000000
-                  // ((st.n - 1 + {_TE_M}) * prior.gn) AS BIGINT) AS enc_ppm
+             CAST((CAST(st.s - o.y AS HUGEINT) * prior.gn
+                   + {_TE_M} * prior.gs) * 1000000
+                  // (CAST(st.n - 1 + {_TE_M} AS HUGEINT) * prior.gn)
+                  AS BIGINT) AS enc_ppm
       FROM o JOIN stats st ON st.seg = o.seg CROSS JOIN prior
     )
     SELECT seg, CAST(count(*) AS BIGINT) AS n,
@@ -184,8 +188,10 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "seg",
             F.expr(
-                f"CAST(((s - y) * gn + {_TE_M} * gs) * 1000000"
-                f" div ((n - 1 + {_TE_M}) * gn) AS BIGINT)"
+                f"CAST((CAST(s - y AS DECIMAL(38,0)) * gn"
+                f" + {_TE_M} * gs) * 1000000"
+                f" div (CAST(n - 1 + {_TE_M} AS DECIMAL(38,0)) * gn)"
+                " AS BIGINT)"
             ).alias("enc_ppm"),
         )
     )
