@@ -233,7 +233,10 @@ _NS_WINDOW = 2  # skip-gram context window
       WHERE t.i + o.o >= 1 AND t.i + o.o <= len(t.w)
     ), neg AS (
       SELECT p.center, p.context,
-             ((p.pair_id * 2654435761 + g.g * 40503) % 2147483648)
+             -- pair_id * 2654435761 crossed 2^63 at the sf10 decade;
+             -- reduce both factors mod 2^31 first (same value, exact)
+             (((p.pair_id % 2147483648) * 506952113 + g.g * 40503)
+               % 2147483648)
                % (SELECT vn FROM vn) AS nvid
       FROM pos p, generate_series(1, {_NS_K}) AS g(g)
     ), negw AS (
@@ -308,7 +311,8 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(1, {_NS_K}), g -> "
-                f"CAST((pair_id * 2654435761 + g * 40503) % 2147483648 % vn AS BIGINT))"
+                f"CAST(((pair_id % 2147483648) * 506952113 + g * 40503)"
+                f" % 2147483648 % vn AS BIGINT))"
             )
         ).alias("nvid"),
     )
