@@ -186,24 +186,27 @@ def _daily_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sharpe_sortino_daily",
     oracle=f"""
     WITH {_daily_changes_sql()}, mom AS (
+      -- squared-daily-dollar sums crossed 2^63 at the sf10 decade:
+      -- s2/sneg stay HUGEINT (Spark: DECIMAL(38,0)) and convert to
+      -- DOUBLE exactly once, identically on both engines
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(dy) AS BIGINT) AS s1,
-             CAST(sum(dy * dy) AS BIGINT) AS s2,
-             CAST(sum(CASE WHEN dy < 0 THEN dy * dy ELSE 0 END)
-               AS BIGINT) AS sneg
+             sum(dy * dy) AS s2,
+             sum(CASE WHEN dy < 0 THEN dy * dy ELSE 0 END) AS sneg
       FROM chg
     )
     SELECT n AS n_days,
            round(s1 * 1.0 / n, 6) AS mean_chg,
-           round(sqrt((s2 - s1 * 1.0 / n * s1) / (n - 1)), 6) AS sd_chg,
-           round(sqrt(sneg * 1.0 / n), 6) AS downside_dev,
+           round(sqrt((CAST(s2 AS DOUBLE) - s1 * 1.0 / n * s1) / (n - 1)), 6)
+             AS sd_chg,
+           round(sqrt(CAST(sneg AS DOUBLE) / n), 6) AS downside_dev,
            round((s1 * 1.0 / n)
-                 / sqrt((s2 - s1 * 1.0 / n * s1) / (n - 1)), 6)
+                 / sqrt((CAST(s2 AS DOUBLE) - s1 * 1.0 / n * s1) / (n - 1)), 6)
              AS sharpe_daily,
-           round((s1 * 1.0 / n) / sqrt(sneg * 1.0 / n), 6)
+           round((s1 * 1.0 / n) / sqrt(CAST(sneg AS DOUBLE) / n), 6)
              AS sortino_daily,
            round((s1 * 1.0 / n)
-                 / sqrt((s2 - s1 * 1.0 / n * s1) / (n - 1))
+                 / sqrt((CAST(s2 AS DOUBLE) - s1 * 1.0 / n * s1) / (n - 1))
                  * sqrt(252.0), 6) AS sharpe_annualized
     FROM mom
     """,
@@ -227,19 +230,19 @@ def sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = chg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dy").cast("bigint").alias("s1"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("s2"),
+        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("s2"),
         F.sum(
-            F.when(F.col("dy") < 0, F.col("dy") * F.col("dy")).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("sneg"),
+            F.when(F.col("dy") < 0, F.col("dy") * F.col("dy"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("sneg"),
     )
     mean = F.col("s1") * 1.0 / F.col("n")
     sd = F.sqrt(
-        (F.col("s2") - F.col("s1") * 1.0 / F.col("n") * F.col("s1"))
+        (F.col("s2").cast("double") - F.col("s1") * 1.0 / F.col("n") * F.col("s1"))
         / (F.col("n") - 1)
     )
-    dd = F.sqrt(F.col("sneg") * 1.0 / F.col("n"))
+    dd = F.sqrt(F.col("sneg").cast("double") / F.col("n"))
     return mom.select(
         F.col("n").alias("n_days"),
         F.round(mean, 6).alias("mean_chg"),
