@@ -530,10 +530,12 @@ _V2_SQL = """
              AS n_updated,
            CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_same,
+           -- exact wide sum (HUGEINT / DECIMAL(38,0)) then mod 2^63-1:
+           -- the raw additive sum crossed 2^63 at the sf10 decade
            CAST(sum(CASE WHEN c1 IS NOT NULL THEN k * 1000003 + c1 END)
-                AS BIGINT) AS checksum_v1,
+                % 9223372036854775807 AS BIGINT) AS checksum_v1,
            CAST(sum(CASE WHEN c2 IS NOT NULL THEN k * 1000003 + c2 END)
-                AS BIGINT) AS checksum_v2
+                % 9223372036854775807 AS BIGINT) AS checksum_v2
     FROM d GROUP BY 1 ORDER BY bucket
     """,
 )
@@ -546,8 +548,10 @@ def snapshot_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     real reconciliation uses at scale: compare per-bucket checksums first
     (one tiny exchange), row-diff only the buckets that disagree.
 
-    The checksum is an exact int64 sum, order-insensitive and mergeable,
-    so it is computable map-side under any partitioning.
+    The checksum is an exact wide-integer sum reduced mod 2^63-1
+    (DECIMAL(38,0) on Spark, HUGEINT in the oracle — the raw sum crossed
+    int64 at the sf10 decade), order-insensitive and mergeable, so it is
+    computable map-side under any partitioning.
 
     Scale: the diff is one equi-join on the key; bucket checksums need no
     join at all (each side aggregates independently) — the join here also
@@ -593,16 +597,28 @@ def snapshot_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("n_updated"),
             F.sum((F.col("c1") == F.col("c2")).cast("bigint")).alias("n_same"),
-            F.sum(
-                F.when(
-                    F.col("c1").isNotNull(), F.col("k") * 1000003 + F.col("c1")
+            (
+                F.sum(
+                    F.when(
+                        F.col("c1").isNotNull(),
+                        F.col("k") * 1000003 + F.col("c1"),
+                    ).cast("decimal(38,0)")
                 )
-            ).alias("checksum_v1"),
-            F.sum(
-                F.when(
-                    F.col("c2").isNotNull(), F.col("k") * 1000003 + F.col("c2")
+                % F.lit(9223372036854775807)
+            )
+            .cast("bigint")
+            .alias("checksum_v1"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("c2").isNotNull(),
+                        F.col("k") * 1000003 + F.col("c2"),
+                    ).cast("decimal(38,0)")
                 )
-            ).alias("checksum_v2"),
+                % F.lit(9223372036854775807)
+            )
+            .cast("bigint")
+            .alias("checksum_v2"),
         )
         .orderBy("bucket")
     )
