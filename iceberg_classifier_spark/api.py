@@ -119,12 +119,21 @@ def minhash_dedup_pairs(
     10×-replicated corpus — while the star keeps pair output O(n·cap)
     and costs one extra associative (band, band_hash) aggregation, which
     map-side combines. Keep-one dedup consumers (``dedup(near=True)``,
-    connected components) lose NOTHING: every hot-bucket member still
-    links to its representative, so the components are identical; what a
-    hot bucket no longer emits is the member×member clique no dedup
-    needs. Pair-level recall for *reporting* consumers is affected only
-    inside oversized buckets; pass ``bucket_cap=None`` to restore full
-    enumeration if you can afford the quadratic blowup.
+    connected components) keep every hot-bucket member linked to its
+    representative, so at ``min_jaccard=0`` (the default here) the
+    components are IDENTICAL to full enumeration — what a hot bucket no
+    longer emits is the member×member clique no dedup needs. With a
+    positive ``min_jaccard`` the identity weakens to a recall caveat:
+    star pairs are threshold-filtered on the REPRESENTATIVE's estimated
+    jaccard, so a member whose link to the rep estimates below the
+    threshold drops out of the pair list even if its member×member links
+    inside the bucket would have cleared it — components can then split
+    vs ``bucket_cap=None`` (test_api.py exercises exactly this case).
+    Callers filtering at high thresholds over skewed corpora should
+    either pass ``bucket_cap=None`` (quadratic inside hot buckets) or
+    filter downstream of the connected components, not on the pairs.
+    Pair-level recall for *reporting* consumers is likewise affected
+    only inside oversized buckets.
 
     The signature frame feeds three plan branches (band explode + both
     pair join-backs). By default it stays lazy — per-row md5/array math

@@ -188,11 +188,14 @@ def _daily_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_daily_changes_sql()}, mom AS (
       -- squared-daily-dollar sums crossed 2^63 at the sf10 decade:
       -- s2/sneg stay HUGEINT (Spark: DECIMAL(38,0)) and convert to
-      -- DOUBLE exactly once, identically on both engines
+      -- DOUBLE exactly once, identically on both engines; the inner
+      -- factor is widened FIRST so dy*dy itself never computes in
+      -- BIGINT (dy^2 crosses 2^63 around two decades further out)
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(dy) AS BIGINT) AS s1,
-             sum(dy * dy) AS s2,
-             sum(CASE WHEN dy < 0 THEN dy * dy ELSE 0 END) AS sneg
+             sum(CAST(dy AS HUGEINT) * dy) AS s2,
+             sum(CASE WHEN dy < 0 THEN CAST(dy AS HUGEINT) * dy
+                      ELSE 0 END) AS sneg
       FROM chg
     )
     SELECT n AS n_days,
@@ -230,11 +233,12 @@ def sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = chg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("dy").cast("bigint").alias("s1"),
-        F.sum((F.col("dy") * F.col("dy")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.col("dy").cast("decimal(38,0)") * F.col("dy")).alias("s2"),
         F.sum(
-            F.when(F.col("dy") < 0, F.col("dy") * F.col("dy"))
-            .otherwise(0)
-            .cast("decimal(38,0)")
+            F.when(
+                F.col("dy") < 0,
+                F.col("dy").cast("decimal(38,0)") * F.col("dy"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
         ).alias("sneg"),
     )
     mean = F.col("s1") * 1.0 / F.col("n")

@@ -55,8 +55,10 @@ from iceberg_classifier_spark.sources.tables import load
       SELECT CAST(sum(n) AS BIGINT) AS nn,
              CAST(sum(n * val) AS BIGINT) AS ss,
              -- sum stays HUGEINT: |sumabs| ~ N^2 * mean|dx| passed 2^63
-             -- at the sf10-organic decade (15M orders)
-             sum(2 * n * (val * cnt_lt - sum_lt)) AS sumabs,
+             -- at the sf10-organic decade (15M orders); the INNER factor
+             -- is widened first so the per-cell product never computes
+             -- in BIGINT (val*cnt_lt alone nears 2^63 a decade later)
+             sum(2 * n * (CAST(val AS HUGEINT) * cnt_lt - sum_lt)) AS sumabs,
              sum(n * val * ln(CAST(val AS DOUBLE))) AS sum_xlnx,
              sum(n * ln(CAST(val AS DOUBLE))) AS sum_ln
       FROM pre
@@ -113,15 +115,18 @@ def inequality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pre.agg(
         F.sum("n").cast("bigint").alias("nn"),
         F.sum(F.col("n") * F.col("val")).cast("bigint").alias("ss"),
-        # element products stay int64-exact (~1.5e15 max) but the SUM is
-        # ~N^2 * mean|dx| ≈ 2e19 at sf10 — the r8 decade's overflow class;
-        # DECIMAL(38,0) mirrors the oracle's HUGEINT sum exactly
+        # the SUM is ~N^2 * mean|dx| ≈ 2e19 at sf10 — the r8 decade's
+        # overflow class — and the per-cell product val*cnt_lt itself
+        # nears 2^63 another decade out, so the INNER factor is widened
+        # to DECIMAL(38,0) before any multiply (mirrors the oracle's
+        # CAST(val AS HUGEINT)); still exact integer arithmetic
         F.sum(
-            (
-                2
-                * F.col("n")
-                * (F.col("val") * F.col("cnt_lt") - F.col("sum_lt"))
-            ).cast("decimal(38,0)")
+            2
+            * F.col("n")
+            * (
+                F.col("val").cast("decimal(38,0)") * F.col("cnt_lt")
+                - F.col("sum_lt")
+            )
         ).alias("sumabs"),
         F.sum(F.col("n") * F.log(F.col("val").cast("double"))).alias(
             "sum_ln"

@@ -74,8 +74,8 @@ VERBATIM = ("region", "nation")
 _GROUP_SIZE = 10  # replicas per "crawl group" — bounds near-dup cliques
 
 
-def _organic_text(r: int) -> str:
-    """Deterministic per-replica text perturbation, v2 (r8).
+def _organic_text(r: int, n_groups: int) -> str:
+    """Deterministic per-replica text perturbation, v3 (r9).
 
     v1 replaced every ~7th token per replica, which left ~63% of token
     3-windows VERBATIM across every replica pair — so at N=100 every
@@ -86,17 +86,24 @@ def _organic_text(r: int) -> str:
     organic growth). Real crawls grow mostly by NEW near-dup clusters,
     not by inflating every cluster linearly with corpus size.
 
-    v2 bounds cliques with replica "crawl groups" of {_GROUP_SIZE}:
+    v2 bounded cliques with replica "crawl groups" of {_GROUP_SIZE} but
+    designated each doc's verbatim groups independently per group
+    (hash(doc*7+g) % 10 = 0), so verbatim cliques were ≈ n_groups/10 ×
+    {_GROUP_SIZE} ≈ N/10 — linear in N, coinciding with the group size
+    only at N=100 (the r8 maximum). v3 (r9, advisor finding) designates
+    exactly ONE verbatim group per doc:
 
-    - exact copies: a doc's verbatim replicas all come from groups
-      designated by hash(doc*7+g) — ~10% of instances corpus-wide (the
-      realistic cross-crawl rate, unchanged), clusters ≈ group-sized
-      instead of ≈ N/10.
+    - exact copies: a doc's verbatim replicas all come from the single
+      group g == abs(hash(doc*7)) % n_groups — cliques are ≤
+      {_GROUP_SIZE}+1 (group + source replica 0) at ANY N. The
+      corpus-wide verbatim rate is ~{_GROUP_SIZE}/N (10% at N=100,
+      shrinking thereafter — real crawls grow by NEW clusters, not by
+      inflating every cluster linearly with crawl size).
     - every perturbed doc gets a GROUP MARKER token at every 3rd
       position ('g<g>x' + token hash, deterministic per group), so every
       token 3-window differs across groups — zero cross-group (or
-      perturbed-vs-verbatim) shingle overlap, hence near-dup cliques are
-      bounded by the group size at ANY N.
+      perturbed-vs-verbatim) shingle overlap, hence near-dup cliques
+      are bounded by the group size at ANY N.
     - within a group, ~1/3 of replicas are LIGHT near-dups (every ~7th
       token replaced per replica, as v1); the rest are HEAVY (every ~2nd
       token also replaced) and mutually dissimilar — so near-dup
@@ -120,35 +127,40 @@ def _organic_text(r: int) -> str:
         f" (tok, i) -> {tok_case}), ' ')"
     )
     return (
-        f"CASE WHEN hash(doc_id * 7 + {g}) % 10 = 0 THEN text"
-        f" ELSE {perturbed} END"
+        f"CASE WHEN {g} = abs(hash(doc_id * 7)) % {max(n_groups, 1)}"
+        f" THEN text ELSE {perturbed} END"
     )
 
 
-def _organic_vec(r: int) -> str:
-    """Deterministic per-replica embedding noise: ~10% exact copies, the
-    rest get hash-derived ±0.01 per-component jitter (cosine near-dups)."""
+def _organic_vec(r: int, n_groups: int) -> str:
+    """Deterministic per-replica embedding noise: exact copies only from
+    the vec's single designated crawl group (same v3 bound as the text —
+    cos=1 cliques stay <= {_GROUP_SIZE}+1 at any N instead of ~N/10);
+    every other replica gets hash-derived ±0.01 per-component jitter
+    (cosine near-dups at ~0.999, which hyperplane bands must catch)."""
+    g = r // _GROUP_SIZE
     noised = (
         "list_transform(embedding, (x, j) -> CAST(x +"
         f" (CAST(hash(vec_id * 131 + j * 17 + {r}) % 2001 AS BIGINT)"
         " - 1000) / 100000.0 AS FLOAT))"
     )
     return (
-        f"CASE WHEN hash(vec_id * 7 + {r}) % 10 = 0 THEN embedding"
-        f" ELSE {noised} END"
+        f"CASE WHEN {g} = abs(hash(vec_id * 7)) % {max(n_groups, 1)}"
+        f" THEN embedding ELSE {noised} END"
     )
 
 
 # mode=organic: table -> (replica -> {value_col: replacement_expr});
 # replica 0 is always verbatim, and n_chars tracks the perturbed text
-def _organic_exprs(t: str, r: int) -> dict[str, str]:
+def _organic_exprs(t: str, r: int, n: int) -> dict[str, str]:
+    n_groups = -(-n // _GROUP_SIZE)  # ceil — groups actually present
     if r == 0:
         return {}
     if t == "documents":
-        txt = _organic_text(r)
+        txt = _organic_text(r, n_groups)
         return {"text": txt, "n_chars": f"length({txt})"}
     if t == "embeddings":
-        return {"embedding": _organic_vec(r)}
+        return {"embedding": _organic_vec(r, n_groups)}
     return {}
 
 
@@ -188,7 +200,7 @@ def main() -> None:
         ]
         selects = []
         for r in range(n):
-            organic = _organic_exprs(t, r) if mode == "organic" else {}
+            organic = _organic_exprs(t, r, n) if mode == "organic" else {}
             exprs = []
             for c in cols:
                 if c in spec:

@@ -47,11 +47,18 @@ def main() -> None:
         for name in names:
             fn = registry[name].fn
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # each fn() call may persist()/cache() fresh blocks (e.g.
+            # recsysx's ui/co_half/scored); without clearing between
+            # timed runs those accumulate across the 1+N executions and
+            # GC/eviction pressure contaminates the warm min/median —
+            # the same cache-contamination class sweep_runtimes.py fixed
+            spark.catalog.clearCache()
             ts = []
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 ts.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
             ts.sort()
             frame[name] = {
                 "min": round(ts[0], 3),
