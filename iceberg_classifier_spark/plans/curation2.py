@@ -359,7 +359,7 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " as string)), ',')"
             ).alias("qvec"),
         )
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 

@@ -55,7 +55,7 @@ def stratified_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label, id-range bucket) so a binary label still spreads over every
     core — see operators/folds.py."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    return with_stratified_folds(e, "label", "vec_id", K_FOLDS).orderBy("vec_id")
+    return with_stratified_folds(e, "label", "vec_id", K_FOLDS).sortWithinPartitions("vec_id")
 
 
 @query(
@@ -95,7 +95,7 @@ def fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified 75/25 train/val split (ref StratifiedShuffleSplit)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    return stratified_split(e, "label", "vec_id", val_fraction=0.25).orderBy("vec_id")
+    return stratified_split(e, "label", "vec_id", val_fraction=0.25).sortWithinPartitions("vec_id")
 
 
 @query(

@@ -198,16 +198,23 @@ def integral_image_boxsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reports the identity match count — a built-in proof the SAT
     algebra is exact (it must be: all values are fixed-point int64).
 
-    Determinism: pure integer prefix sums and differences.
+    Determinism: pure integer prefix sums and differences — the Arrow
+    kernel's np.cumsum over int64 and the oracle's masked list_sum are
+    the same exact integers.
 
-    Scale: the SAT is per-row array arithmetic (64 cells) — map-side,
-    embarrassingly parallel; the label aggregate carries integer
-    partials. At image scale the same SAT builds row-prefix then
-    column-prefix inside an Arrow kernel (`resize_bilinear`'s
-    plumbing).
+    Scale: r8 shipped this as a transform×aggregate Catalyst fold —
+    O(W⁴) interpreted HOF steps per row (4,096 at W=8), the cost class
+    the r8 verdict flagged (24.9× same-frame for 10× data, 320.9 s at
+    sf10). Now the docstring's promised plan: the two-pass O(W²) SAT
+    (row-prefix then column-prefix) as one vectorized np.cumsum pair
+    inside an Arrow kernel (the JL-projection GEMM fix is the
+    template), with per-batch LABEL PARTIALS so only (label, 4 int64)
+    rows ever shuffle — map-side combine done in the kernel itself.
     """
+    import numpy as np
+    import pandas as pd
+
     g = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
         "label",
         F.transform(
             "embedding",
@@ -215,51 +222,54 @@ def integral_image_boxsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     w = _II_W
-    sat = g.select(
-        "vec_id",
-        "label",
-        "v",
-        F.expr(
-            f"""
-            transform(sequence(0, {w * w - 1}), k ->
-              aggregate(sequence(0, {w * w - 1}), CAST(0 AS BIGINT),
-                (acc, k2) -> acc + IF(k2 div {w} <= k div {w}
-                                      AND k2 % {w} <= k % {w},
-                                      v[k2], CAST(0 AS BIGINT))))
-            """
-        ).alias("ii"),
-    )
-    boxes = sat.select(
-        "label",
-        F.expr(f"ii[{w * w - 1}]").alias("total"),
-        F.expr(
-            f"""
-            ii[{5 * w + 5}] - ii[{1 * w + 5}] - ii[{5 * w + 1}]
-              + ii[{1 * w + 1}]
-            """
-        ).alias("center_box"),
-        F.expr(
-            f"""
-            aggregate(sequence(0, {w * w - 1}), CAST(0 AS BIGINT),
-              (acc, k) -> acc + IF(k div {w} BETWEEN 2 AND 5
-                                   AND k % {w} BETWEEN 2 AND 5,
-                                   v[k], CAST(0 AS BIGINT)))
-            """
-        ).alias("center_direct"),
+
+    def sat_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = (
+                np.stack(pdf["v"].to_numpy())
+                .astype(np.int64)
+                .reshape(-1, w, w)
+            )
+            # the SAT: row-prefix then column-prefix, O(W^2) per grid
+            ii = V.cumsum(axis=1).cumsum(axis=2)
+            part = pd.DataFrame(
+                {
+                    "label": pdf["label"].to_numpy(),
+                    "total": ii[:, w - 1, w - 1],
+                    "center_box": ii[:, 5, 5]
+                    - ii[:, 1, 5]
+                    - ii[:, 5, 1]
+                    + ii[:, 1, 1],
+                    "center_direct": V[:, 2:6, 2:6].sum(axis=(1, 2)),
+                }
+            )
+            part["ok"] = (
+                part["center_box"] == part["center_direct"]
+            ).astype(np.int64)
+            agg = part.groupby("label", as_index=False).agg(
+                n=("total", "size"),
+                sum_total=("total", "sum"),
+                sum_center_box=("center_box", "sum"),
+                n_identity_ok=("ok", "sum"),
+            )
+            yield agg
+
+    # label keeps the source column's type (int32 in the parquet) so the
+    # output schema is unchanged from the pre-kernel plan
+    partials = g.mapInPandas(
+        sat_partials,
+        "label int, n long, sum_total long, sum_center_box long,"
+        " n_identity_ok long",
     )
     return (
-        boxes.groupBy("label")
+        partials.groupBy("label")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("total").cast("bigint").alias("sum_total"),
-            F.sum("center_box").cast("bigint").alias("sum_center_box"),
-            F.sum(
-                F.when(
-                    F.col("center_box") == F.col("center_direct"), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_identity_ok"),
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_total").cast("bigint").alias("sum_total"),
+            F.sum("sum_center_box").cast("bigint").alias("sum_center_box"),
+            F.sum("n_identity_ok").cast("bigint").alias("n_identity_ok"),
         )
         .orderBy("label")
     )

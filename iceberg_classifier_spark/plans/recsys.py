@@ -19,6 +19,7 @@ from iceberg_classifier_spark.sources.tables import load
 
 _II_TOPK = 10
 _II_MIN_CO = 3  # minimum co-occurrence support
+_II_USER_CAP = 64  # max items per user entering the pair join
 
 
 @query(
@@ -29,9 +30,15 @@ _II_MIN_CO = 3  # minimum co-occurrence support
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ), pop AS (
       SELECT i, CAST(count(*) AS BIGINT) AS n_u FROM ui GROUP BY 1
+    ), uic AS (
+      SELECT u, i FROM (
+        SELECT u, i,
+               row_number() OVER (PARTITION BY u ORDER BY i) AS rk
+        FROM ui
+      ) WHERE rk <= {_II_USER_CAP}
     ), co AS (
       SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS co_u
-      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      FROM uic a JOIN uic b ON a.u = b.u AND a.i < b.i
       GROUP BY 1, 2
       HAVING count(*) >= {_II_MIN_CO}
     ), scored AS (
@@ -62,8 +69,18 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate pairs come ONLY from the user-blocked self-join
     (pairs sharing a purchaser — the dedup_ngram_jaccard posting-list
-    shape), never an item cross join; heavy users would be df-capped
-    exactly as NGRAM_DF_CAP does. The support filter prunes before the
+    shape), never an item cross join. r9 (round-8 verdict task 4): a
+    user's pair emission is |basket|² and an uncapped whale basket
+    dominates its partition at crawl scale, so baskets entering the
+    pair join are CAPPED at {_II_USER_CAP} items per user — the CF
+    analogue of NGRAM_DF_CAP, mirrored row-for-row in the oracle. The
+    cap window ranks by item id: that keeps the frame exchange-aligned
+    (the row_number partitions by u, exactly the key the self-join
+    shuffles on, so Catalyst reuses one exchange for all three) where a
+    popularity-ranked cap would prepend two extra full-frame shuffles
+    (join pop on i, re-shuffle by u) to serve a tie-break that only
+    matters inside capped whales. Cosine denominators stay the TRUE
+    uncapped popularities. The support filter prunes before the
     popularity join; top-k is a TakeOrdered merge.
     """
     ui = (
@@ -78,8 +95,16 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pop = ui.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
-    a = ui.select(F.col("u").alias("ua"), F.col("i").alias("ia"))
-    b = ui.select(F.col("u").alias("ub"), F.col("i").alias("ib"))
+    uic = (
+        ui.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("u").orderBy("i")),
+        )
+        .where(F.col("rk") <= _II_USER_CAP)
+        .select("u", "i")
+    )
+    a = uic.select(F.col("u").alias("ua"), F.col("i").alias("ia"))
+    b = uic.select(F.col("u").alias("ub"), F.col("i").alias("ib"))
     co = (
         a.join(b, (F.col("ua") == F.col("ub")) & (F.col("ia") < F.col("ib")))
         .groupBy("ia", "ib")

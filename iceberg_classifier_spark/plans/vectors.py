@@ -97,7 +97,7 @@ def ffill_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         _r6(F.last(masked, ignorenulls=True).over(w)).alias("value_filled"),
-    ).orderBy("user_id", "ts", "event_id")
+    ).sortWithinPartitions("user_id", "ts", "event_id")
 
 
 _ORACLE_BANDS = """
@@ -182,7 +182,7 @@ def band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(A.vstd(b)).alias("px_std"),
         _r6(F.array_min(b)).alias("px_min"),
         _r6(F.array_max(b)).alias("px_max"),
-    ).orderBy("vec_id")
+    ).sortWithinPartitions("vec_id")
 
 
 @query(
@@ -211,7 +211,7 @@ def minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("int").alias("pos"),
             _r6(F.col("px_scaled")).alias("px_scaled"),
         )
-        .orderBy("vec_id", "pos")
+        .sortWithinPartitions("vec_id", "pos")
     )
 
 
@@ -250,7 +250,7 @@ def iso_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("int").alias("pos"),
             _r6(F.col("iso_px")).alias("iso_px"),
         )
-        .orderBy("vec_id", "pos")
+        .sortWithinPartitions("vec_id", "pos")
     )
 
 
@@ -281,7 +281,7 @@ def size_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         _r6(A.vsize_frac(b, 0.0)).alias("size_frac"),
         A.viso_active_count(b).cast("bigint").alias("n_iso_active"),
-    ).orderBy("vec_id")
+    ).sortWithinPartitions("vec_id")
 
 
 @query(
@@ -320,7 +320,7 @@ def flip_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         _r6(F.col("px.fh")).alias("flip_h_px"),
         _r6(F.col("px.fv")).alias("flip_v_px"),
-    ).orderBy("vec_id", "pos")
+    ).sortWithinPartitions("vec_id", "pos")
 
 
 def _duck_crop_sql(grid: str, r0: int, c0: int) -> str:
@@ -390,7 +390,7 @@ def ten_crop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return z.select(
         "vec_id", "crop_id", F.col("pos").cast("int").alias("pos"), "px"
-    ).orderBy("vec_id", "crop_id", "pos")
+    ).sortWithinPartitions("vec_id", "crop_id", "pos")
 
 
 @query(
@@ -469,7 +469,7 @@ def resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         resized.select("vec_id", F.posexplode("resized").alias("pos", "px"))
         .select("vec_id", F.col("pos").cast("int").alias("pos"), "px")
-        .orderBy("vec_id", "pos")
+        .sortWithinPartitions("vec_id", "pos")
     )
 
 
@@ -560,7 +560,7 @@ def shift_reflect_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("i").cast("int").alias("pos"),
         F.round(px, 6).alias("px"),
-    ).orderBy("vec_id", "pos")
+    ).sortWithinPartitions("vec_id", "pos")
 
 
 @query(
@@ -594,7 +594,7 @@ def channel_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("vec_id", F.posexplode(ch).alias("pos", "px"))
         .select("vec_id", F.col("pos").cast("int").alias("pos"), _r6("px").alias("px"))
-        .orderBy("vec_id", "pos")
+        .sortWithinPartitions("vec_id", "pos")
     )
 
 
@@ -631,7 +631,7 @@ def shift_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         _r6(F.col("px.dr")).alias("sh_down_right"),
         _r6(F.col("px.ul")).alias("sh_up_left"),
-    ).orderBy("vec_id", "pos")
+    ).sortWithinPartitions("vec_id", "pos")
 
 
 @query(
@@ -657,7 +657,7 @@ def rot90_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos").cast("int").alias("pos"),
             _r6("px_rot90").alias("px_rot90"),
         )
-        .orderBy("vec_id", "pos")
+        .sortWithinPartitions("vec_id", "pos")
     )
 
 
@@ -743,7 +743,7 @@ def rotate_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.mapInPandas(rotate, "vec_id long, rot array<double>")
         .select("vec_id", F.posexplode("rot").alias("pos", "px_rot"))
         .select("vec_id", F.col("pos").cast("int").alias("pos"), "px_rot")
-        .orderBy("vec_id", "pos")
+        .sortWithinPartitions("vec_id", "pos")
     )
 
 
@@ -921,4 +921,4 @@ def random_augment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "epoch", "hflip", "vflip", "angle_deg", "zoom",
         F.col("pos").cast("int").alias("pos"), "px",
-    ).orderBy("vec_id", "epoch", "pos")
+    ).sortWithinPartitions("vec_id", "epoch", "pos")

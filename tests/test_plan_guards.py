@@ -190,3 +190,44 @@ def test_no_unaudited_unpartitioned_windows(name, spark, sf_dir):
         "repartition + offsets, TakeOrdered, broadcast scalar agg) or "
         "audit the frame as bounded and allowlist it."
     )
+
+
+# r9 (round-8 verdict task 3): the per-row / exploded "augment" family
+# must never end in a GLOBAL sort — the driver hash is order-insensitive
+# and the oracle compare sorts, so a final orderBy bought nothing and
+# range-shuffled a frame up to 64× the embeddings table (shift_augment
+# measured 25.7× same-frame for 10× data at sf10). These now end in
+# sortWithinPartitions (local output hygiene, zero shuffle); the guard
+# asserts no rangepartitioning exchange survives anywhere in their
+# physical plans.
+NO_GLOBAL_SORT_FAMILY = [
+    "band_composites",
+    "band_stats",
+    "channel_stack",
+    "ffill_impute",
+    "flip_augment",
+    "iso_mask",
+    "minmax_scale",
+    "quantize_embeddings_int8",
+    "random_augment_stream",
+    "resize_bilinear",
+    "rot90_augment",
+    "rotate_augment",
+    "shift_augment",
+    "shift_reflect_pad",
+    "size_feature",
+    "stratified_folds",
+    "ten_crop",
+    "train_val_split",
+]
+
+
+@pytest.mark.parametrize("name", NO_GLOBAL_SORT_FAMILY)
+def test_augment_family_has_no_global_sort(name, spark, sf_dir):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, (
+        f"{name}: rangepartitioning exchange in the physical plan — a "
+        "global sort re-entered the augment family's final stage; use "
+        "sortWithinPartitions (or drop the sort) instead."
+    )
