@@ -248,3 +248,43 @@ def test_minhash_pairs_plan_bounds_the_band_selfjoin(spark):
     assert "CartesianProduct" not in (
         pairs._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_minhash_pairs_hot_bucket_star_threshold_caveat(spark):
+    """r9 advisor finding: star pairs filter on the REPRESENTATIVE's
+    est_jaccard, so with a positive min_jaccard a hot bucket whose min-id
+    member links sub-threshold emits nothing for that bucket — while the
+    min_jaccard=0 component identity (the docstring's retained claim)
+    still holds exactly. The variant text was searched offline against
+    the fixed hash family: it shares >=1 LSH band with the template
+    (candidate at threshold 0) and estimates 0.71875 — above 0, below
+    the 0.8 filter."""
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    variant = "alpha beta xi delta epsilon zeta eta theta iota kappa"
+    rows = [(0, variant)] + [(i, template) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "url long, body string")
+    # threshold 0: the variant is rep (min id) of every bucket it shares
+    # with the members; its star pairs carry the sub-1.0 estimate
+    p0 = api.minhash_dedup_pairs(
+        df, text_col="body", id_col="url", bucket_cap=8
+    ).toPandas()
+    star0 = p0[p0.id_a == 0]
+    assert len(star0) == 39  # every member linked through the rep
+    assert set(star0.est_jaccard.round(6)) == {0.71875}
+    # component identity at min_jaccard=0: capped and uncapped keep-one
+    # agree (one component, min id 0 kept)
+    for cap in (8, None):
+        kept = api.dedup(
+            df, text_col="body", id_col="url", near=True,
+            min_jaccard=0.0, bucket_cap=cap,
+        ).toPandas()
+        assert sorted(kept.url) == [0], cap
+    # threshold 0.8: every (0, m) star pair is sub-threshold -> dropped.
+    # 23/32 matching hashes means at most 5 of 8 bands fully collide, so
+    # some band's bucket excludes the variant and emits the id-1 star at
+    # est 1.0 — the members survive only through THAT rep
+    p8 = api.minhash_dedup_pairs(
+        df, text_col="body", id_col="url", bucket_cap=8, min_jaccard=0.8
+    ).toPandas()
+    assert not len(p8[p8.id_a == 0])
+    assert set(zip(p8.id_a, p8.id_b)) == {(1, m) for m in range(2, 40)}
