@@ -87,6 +87,10 @@ def main() -> None:
     for name in sorted(registry):
         if name in out:
             continue
+        # drop any persist()/cache() blocks the previous query left in
+        # the shared session — the leak class sweep_runtimes fixed in
+        # r8; at sf10 the accumulated blocks starve the 48g heap
+        spark.catalog.clearCache()
         qd = registry[name]
         if qd.oracle is None:
             out[name] = {"status": "rows_only"}
