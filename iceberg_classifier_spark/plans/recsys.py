@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load
@@ -94,6 +95,12 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # ui feeds three subtrees (pop + both self-join sides via uic) and
+    # Catalyst does not reuse the exchanges across them (alias-divergent
+    # subtrees), so without a persist the join+distinct lineage runs 3×.
+    # DISK_ONLY per the growing-frame discipline (the r8 broadcast
+    # lesson); sweeps/bench clearCache between queries.
+    ui = ui.persist(StorageLevel.DISK_ONLY)
     pop = ui.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
     uic = (
         ui.withColumn(
@@ -102,15 +109,51 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= _II_USER_CAP)
         .select("u", "i")
+        .persist(StorageLevel.DISK_ONLY)
     )
     a = uic.select(F.col("u").alias("ua"), F.col("i").alias("ia"))
     b = uic.select(F.col("u").alias("ub"), F.col("i").alias("ib"))
-    co = (
-        a.join(b, (F.col("ua") == F.col("ub")) & (F.col("ia") < F.col("ib")))
-        .groupBy("ia", "ib")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("co_u"))
-        .where(F.col("co_u") >= _II_MIN_CO)
+    pairs = a.join(
+        b, (F.col("ua") == F.col("ub")) & (F.col("ia") < F.col("ib"))
     )
+    # the pair stream is the op's bulk (1.31e9 rows at sf10 — ~40 pairs
+    # per user, linear in users). Counting it through the default
+    # 32-partition groupBy put ~750 MB/partition into the final hash
+    # agg, which spilled (measured 20× same-frame for 10× pairs). Pack
+    # the pair into ONE int64 key (max partkey fetched from the part
+    # dim's column stats — a millisecond scalar job) and repartition
+    # 256-wide on it: Catalyst then plans a single complete-mode
+    # HashAggregate per ~5M-row partition — no partial-agg sort
+    # fallback, no final-agg spill, half the shuffle bytes. Falls back
+    # to the two-column groupBy if the key space could overflow the
+    # packing (partkey² >= 2^63).
+    m = (
+        load(spark, sf_dir, "part")
+        .agg(F.max("p_partkey").cast("bigint"))
+        .collect()[0][0]
+        or 0
+    ) + 1
+    if m * m < (1 << 63):
+        co = (
+            pairs.select(
+                (F.col("ia") * m + F.col("ib")).alias("pk")
+            )
+            .repartition(256, "pk")
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("co_u"))
+            .where(F.col("co_u") >= _II_MIN_CO)
+            .select(
+                F.expr(f"pk div {m}").alias("ia"),
+                (F.col("pk") % m).alias("ib"),
+                "co_u",
+            )
+        )
+    else:
+        co = (
+            pairs.groupBy("ia", "ib")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("co_u"))
+            .where(F.col("co_u") >= _II_MIN_CO)
+        )
     pa = pop.select(F.col("i").alias("ia"), F.col("n_u").alias("na"))
     pb = pop.select(F.col("i").alias("ib"), F.col("n_u").alias("nb"))
     scored = (
