@@ -536,3 +536,38 @@ def test_ahash_kernel_matches_catalyst_expression(spark):
     }
     got = {r["doc_id"]: r["ah"] for r in _ahash_frame(df).collect()}
     assert got == exp
+
+
+def test_leak_gate_planes_not_degenerate():
+    """r9 regression guard: the similarity.py LCG plane formula was
+    degenerate — the plane index enters as a multiple of 64, so the sign
+    bit is independent of the plane and EVERY plane carries identical
+    signs (band values collapse to {0, 2^13-1}; the 'gate' passed half of
+    all pairs). The leakage gate's per-plane LCG streams must stay
+    balanced, mutually distinct, and produce spread band values."""
+    import numpy as np
+
+    from iceberg_classifier_spark.plans.evalops5 import (
+        _LEAK_BANDS,
+        _LEAK_PLANES,
+        _leak_plane,
+    )
+
+    W = np.array(
+        [_leak_plane(p) for p in range(_LEAK_BANDS * _LEAK_PLANES)]
+    )
+    # every plane balanced (neither constant nor near-constant)
+    frac_pos = (W > 0).mean(axis=1)
+    assert frac_pos.min() > 0.25 and frac_pos.max() < 0.75
+    # no two planes identical or anti-identical
+    G = W @ W.T / W.shape[1]  # pairwise sign agreement in [-1, 1]
+    off = G[~np.eye(len(G), dtype=bool)]
+    assert np.abs(off).max() < 0.9
+    # band values on a synthetic correlated corpus spread over many
+    # buckets (the degenerate formula yields exactly 2)
+    rng = np.random.default_rng(7)
+    X = rng.normal(0, 1, (512, 64)) + 0.5  # biased like real embeddings
+    bits = ((X @ W.T) > 0).astype(np.int64)
+    pows = 1 << np.arange(_LEAK_PLANES, dtype=np.int64)
+    bv = bits.reshape(len(X), _LEAK_BANDS, _LEAK_PLANES) @ pows
+    assert len(np.unique(bv)) > 100
