@@ -94,11 +94,14 @@ def _organic_text(r: int, n_groups: int) -> str:
     exactly ONE verbatim group per doc:
 
     - exact copies: a doc's verbatim replicas all come from the single
-      group g == abs(hash(doc*7)) % n_groups — cliques are ≤
-      {_GROUP_SIZE}+1 (group + source replica 0) at ANY N. The
-      corpus-wide verbatim rate is ~{_GROUP_SIZE}/N (10% at N=100,
-      shrinking thereafter — real crawls grow by NEW clusters, not by
-      inflating every cluster linearly with crawl size).
+      group g == abs(hash(doc*7)) % max(n_groups, {_GROUP_SIZE}) —
+      cliques are ≤ {_GROUP_SIZE}+1 (group + source replica 0) at ANY
+      N. Drawing from at least {_GROUP_SIZE} slots keeps small-N frames
+      non-degenerate (at N=10 there is one group; without the floor
+      every doc's every replica went verbatim). Corpus-wide verbatim
+      rate is ~min(10%, {_GROUP_SIZE}/N): 10% at N≤100, shrinking
+      thereafter — real crawls grow by NEW clusters, not by inflating
+      every cluster linearly with crawl size.
     - every perturbed doc gets a GROUP MARKER token at every 3rd
       position ('g<g>x' + token hash, deterministic per group), so every
       token 3-window differs across groups — zero cross-group (or
@@ -127,17 +130,19 @@ def _organic_text(r: int, n_groups: int) -> str:
         f" (tok, i) -> {tok_case}), ' ')"
     )
     return (
-        f"CASE WHEN {g} = abs(hash(doc_id * 7)) % {max(n_groups, 1)}"
+        f"CASE WHEN {g} ="
+        f" abs(hash(doc_id * 7)) % {max(n_groups, _GROUP_SIZE)}"
         f" THEN text ELSE {perturbed} END"
     )
 
 
 def _organic_vec(r: int, n_groups: int) -> str:
     """Deterministic per-replica embedding noise: exact copies only from
-    the vec's single designated crawl group (same v3 bound as the text —
-    cos=1 cliques stay <= {_GROUP_SIZE}+1 at any N instead of ~N/10);
-    every other replica gets hash-derived ±0.01 per-component jitter
-    (cosine near-dups at ~0.999, which hyperplane bands must catch)."""
+    the vec's single designated crawl group (same v3 bound + small-N
+    floor as the text — cos=1 cliques stay <= {_GROUP_SIZE}+1 at any N
+    instead of ~N/10); every other replica gets hash-derived ±0.01
+    per-component jitter (cosine near-dups at ~0.999, which hyperplane
+    bands must catch)."""
     g = r // _GROUP_SIZE
     noised = (
         "list_transform(embedding, (x, j) -> CAST(x +"
@@ -145,7 +150,8 @@ def _organic_vec(r: int, n_groups: int) -> str:
         " - 1000) / 100000.0 AS FLOAT))"
     )
     return (
-        f"CASE WHEN {g} = abs(hash(vec_id * 7)) % {max(n_groups, 1)}"
+        f"CASE WHEN {g} ="
+        f" abs(hash(vec_id * 7)) % {max(n_groups, _GROUP_SIZE)}"
         f" THEN embedding ELSE {noised} END"
     )
 
