@@ -11,6 +11,12 @@ at sweep SFs (0.01, 0.1) the default pytest run doesn't cover.
 Usage: python scripts/sweep_parity.py [sf_dir] [out_json] [skip_json]
 Defaults: /root/testdata/sf0.01 /tmp/parity.json (no skips)
 
+SPARK_GRAFT_PARITY_SHARD="k/n" restricts the run to every n-th registry
+name starting at k (0-based) — lets two processes split a long decade
+(each with its own out_json; merge with scripts/merge_parity.py). Each
+shard should get a reduced SPARK_GRAFT_CPUS so the host isn't
+oversubscribed and the per-oracle watchdog stays meaningful.
+
 skip_json, when given, is a {query_name: reason} map: those queries are
 recorded as "skipped_infeasible: <reason>" instead of run — for scale
 factors where a specific DuckDB oracle is genuinely infeasible (e.g. an
@@ -57,6 +63,12 @@ def main() -> None:
             f" FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     registry = load_all_queries()
+    names = sorted(registry)
+    shard = os.environ.get("SPARK_GRAFT_PARITY_SHARD")
+    if shard:
+        k, n = (int(x) for x in shard.split("/"))
+        names = names[k::n]  # alphabetical stride → similar cost mix
+        print(f"shard {k}/{n}: {len(names)} queries", flush=True)
     out: dict[str, object] = {}
     n_pass = n_fail = 0
     # SPARK_GRAFT_PARITY_RESUME=1: preload a checkpointed artifact and
@@ -84,7 +96,7 @@ def main() -> None:
                 out[k] = v
             # FAIL/ERR entries re-run
         print(f"resumed: {len(out)} recorded, {n_pass} passes", flush=True)
-    for name in sorted(registry):
+    for name in sorted(names):
         if name in out:
             continue
         # drop any persist()/cache() blocks the previous query left in
