@@ -35,6 +35,15 @@ def get_spark(app_name: str = "iceberg-classifier-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # parity sweeps collect whole query outputs for the oracle
+        # compare; at the sf10 decade the widest exploded frames
+        # (channel_stack: 320 rows/vec = 64M rows) pass 1 GiB serialized
+        # — a harness collect, not a query plan, so size the cap to the
+        # decade instead of skipping the value check
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.ts is TIMESTAMP(NANOS); Spark reads it as long ns
         # with this flag and sources/tables.py casts back to a µs timestamp.
