@@ -64,6 +64,12 @@ def main() -> None:
         )
     registry = load_all_queries()
     names = sorted(registry)
+    only = os.environ.get("SPARK_GRAFT_PARITY_NAMES")
+    if only:
+        # targeted re-check (e.g. this round's changed queries at a
+        # decade whose full sweep already exists for the prior tree)
+        names = [n for n in names if n in set(only.split(","))]
+        print(f"targeted: {len(names)} queries", flush=True)
     shard = os.environ.get("SPARK_GRAFT_PARITY_SHARD")
     if shard:
         k, n = (int(x) for x in shard.split("/"))
