@@ -57,6 +57,11 @@ def main() -> None:
     oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "300"))
     spark = get_spark("parity-sweep")
     con = duckdb.connect()
+    # sharded runs: keep the oracle engine inside this shard's CPU
+    # budget (DuckDB defaults to every core on the host)
+    duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+    if duck_threads:
+        con.execute(f"SET threads = {int(duck_threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT *"
