@@ -139,13 +139,23 @@ def kde_density_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(c * t * t * t * t) AS BIGINT) AS s4
       FROM hist
     ), cen AS (
+      -- every product is forced into DOUBLE via a CAST on its first
+      -- big factor: DuckDB types bare float literals as DECIMAL, and
+      -- 3.0*s2*s1 overflowed DECIMAL(38) at the sf10 decade (s1 ~
+      -- 1.8e9, s2 ~ 1.8e29 as a DECIMAL product). The cast placement
+      -- mirrors Spark's implicit double promotion operand-for-operand
+      -- so both engines run the identical IEEE sequence.
       SELECT n,
-             s1 * 1.0 / n AS m,
-             (s2 - s1 * 1.0 * s1 / n) / n AS m2,
-             (s3 - 3.0 * s2 * s1 / n + 2.0 * s1 * s1 * s1 / (n * 1.0 * n))
-               / n AS m3,
-             (s4 - 4.0 * s3 * s1 / n + 6.0 * s2 * s1 * s1 / (n * 1.0 * n)
-              - 3.0 * s1 * s1 * s1 * s1 / (n * 1.0 * n * n)) / n AS m4
+             CAST(s1 AS DOUBLE) / n AS m,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n AS m2,
+             (CAST(s3 AS DOUBLE) - 3.0 * CAST(s2 AS DOUBLE) * s1 / n
+              + 2.0 * CAST(s1 AS DOUBLE) * s1 * s1
+                / (CAST(n AS DOUBLE) * n)) / n AS m3,
+             (CAST(s4 AS DOUBLE) - 4.0 * CAST(s3 AS DOUBLE) * s1 / n
+              + 6.0 * CAST(s2 AS DOUBLE) * s1 * s1
+                / (CAST(n AS DOUBLE) * n)
+              - 3.0 * CAST(s1 AS DOUBLE) * s1 * s1 * s1
+                / (CAST(n AS DOUBLE) * n * n)) / n AS m4
       FROM mom
     )
     SELECT n,

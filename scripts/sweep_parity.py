@@ -62,6 +62,12 @@ def main() -> None:
     duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
     if duck_threads:
         con.execute(f"SET threads = {int(duck_threads)}")
+    # sharded runs: DuckDB's default memory_limit is 80% of RAM *per
+    # connection*, so two shards + a pytest fixture overcommit the host
+    # and heavy oracles die with bad_alloc instead of spilling
+    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if duck_mem:
+        con.execute(f"SET memory_limit = '{duck_mem}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT *"
