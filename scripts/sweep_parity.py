@@ -56,23 +56,32 @@ def main() -> None:
     )
     oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "300"))
     spark = get_spark("parity-sweep")
-    con = duckdb.connect()
-    # sharded runs: keep the oracle engine inside this shard's CPU
-    # budget (DuckDB defaults to every core on the host)
-    duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
-    if duck_threads:
-        con.execute(f"SET threads = {int(duck_threads)}")
-    # sharded runs: DuckDB's default memory_limit is 80% of RAM *per
-    # connection*, so two shards + a pytest fixture overcommit the host
-    # and heavy oracles die with bad_alloc instead of spilling
-    duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
-    if duck_mem:
-        con.execute(f"SET memory_limit = '{duck_mem}'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT *"
-            f" FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
+
+    def fresh_con():
+        """One DuckDB connection per oracle. A shared connection under a
+        memory_limit accumulates un-released buffers across heavy sf10
+        oracles until EVERY subsequent query dies instantly with a
+        small-block bad_alloc (observed: a 42 s list-heavy oracle, then
+        five in a row failing to allocate 2-512 KB within seconds).
+        Reconnecting per query costs milliseconds and guarantees the
+        limit applies to one oracle at a time."""
+        c = duckdb.connect()
+        # sharded runs: keep the oracle engine inside this shard's CPU
+        # budget (DuckDB defaults to every core on the host) and cap
+        # its memory (default is 80% of RAM *per connection*, so two
+        # shards + a test fixture overcommit the host)
+        duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+        if duck_threads:
+            c.execute(f"SET threads = {int(duck_threads)}")
+        duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+        if duck_mem:
+            c.execute(f"SET memory_limit = '{duck_mem}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        return c
     registry = load_all_queries()
     names = sorted(registry)
     only = os.environ.get("SPARK_GRAFT_PARITY_NAMES")
@@ -131,9 +140,13 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             got = normalize(qd.fn(spark, sf_dir).toPandas())
-            exp_df, timed_out_after = _run_oracle(
-                con, duckdb, qd.oracle, oracle_timeout
-            )
+            con = fresh_con()
+            try:
+                exp_df, timed_out_after = _run_oracle(
+                    con, duckdb, qd.oracle, oracle_timeout
+                )
+            finally:
+                con.close()
             if exp_df is None:
                 out[name] = {
                     "status": "skipped_infeasible: oracle exceeded "
