@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 import sys
-import threading
+
 import time
 import traceback
 
@@ -56,32 +56,6 @@ def main() -> None:
     )
     oracle_timeout = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "300"))
     spark = get_spark("parity-sweep")
-
-    def fresh_con():
-        """One DuckDB connection per oracle. A shared connection under a
-        memory_limit accumulates un-released buffers across heavy sf10
-        oracles until EVERY subsequent query dies instantly with a
-        small-block bad_alloc (observed: a 42 s list-heavy oracle, then
-        five in a row failing to allocate 2-512 KB within seconds).
-        Reconnecting per query costs milliseconds and guarantees the
-        limit applies to one oracle at a time."""
-        c = duckdb.connect()
-        # sharded runs: keep the oracle engine inside this shard's CPU
-        # budget (DuckDB defaults to every core on the host) and cap
-        # its memory (default is 80% of RAM *per connection*, so two
-        # shards + a test fixture overcommit the host)
-        duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
-        if duck_threads:
-            c.execute(f"SET threads = {int(duck_threads)}")
-        duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
-        if duck_mem:
-            c.execute(f"SET memory_limit = '{duck_mem}'")
-        for t in TABLES:
-            c.execute(
-                f"CREATE VIEW {t} AS SELECT *"
-                f" FROM read_parquet('{table_path(sf_dir, t)}')"
-            )
-        return c
     registry = load_all_queries()
     names = sorted(registry)
     only = os.environ.get("SPARK_GRAFT_PARITY_NAMES")
@@ -140,13 +114,9 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             got = normalize(qd.fn(spark, sf_dir).toPandas())
-            con = fresh_con()
-            try:
-                exp_df, timed_out_after = _run_oracle(
-                    con, duckdb, qd.oracle, oracle_timeout
-                )
-            finally:
-                con.close()
+            exp_df, timed_out_after = _run_oracle(
+                sf_dir, qd.oracle, oracle_timeout
+            )
             if exp_df is None:
                 out[name] = {
                     "status": "skipped_infeasible: oracle exceeded "
@@ -190,44 +160,94 @@ def main() -> None:
     print("PASS:", n_pass, "FAIL/ERR:", n_fail, flush=True)
 
 
-def _run_oracle(con, duckdb, sql: str, timeout: float):
-    """Execute one oracle under the watchdog. Returns ``(df, None)`` on
-    success or ``(None, elapsed)`` on a GENUINE timeout.
+def _oracle_worker(sf_dir: str, sql: str, out_base: str) -> None:
+    """Child-process body: run ONE oracle on a fresh DuckDB instance and
+    pickle the resulting pandas frame (or the exception text) to disk.
+    Runs under multiprocessing 'spawn', so it re-imports only duckdb."""
+    import pickle
+    import traceback as tb
 
-    Per-oracle watchdog: DuckDB releases the GIL during execute, so a
-    timer thread can con.interrupt() a runaway oracle (one sf1 oracle
-    ground 20+ min / spilled 77 GB before this). A timeout is recorded
-    as a documented infeasible-skip, not an ERR, so resume doesn't retry
-    it forever.
+    try:
+        import duckdb
 
-    Watchdog race (r7 advice): the previous oracle's Timer can fire in
-    the gap between its execute() returning and timer.cancel(), leaving
-    a pending interrupt on the shared connection that aborts THIS oracle
-    after milliseconds. An interrupt is therefore classified as a timeout
-    only when this oracle actually ran >= ``timeout`` seconds; a faster
-    interrupt is the stale-timer race and is retried once.
-    """
-    interrupt_exc = getattr(duckdb, "InterruptException", ())
-    for attempt in (1, 2):
-        t0 = time.perf_counter()
-        timer = threading.Timer(timeout, con.interrupt)
-        timer.start()
-        try:
-            return con.execute(sql).df(), None
-        except Exception as exc:  # noqa: BLE001
-            elapsed = time.perf_counter() - t0
-            is_interrupt = isinstance(exc, interrupt_exc) or (
-                "INTERRUPT" in str(exc).upper()
+        from iceberg_classifier_spark.sources.tables import (
+            TABLES,
+            table_path,
+        )
+
+        c = duckdb.connect()
+        duck_threads = os.environ.get("SPARK_GRAFT_DUCK_THREADS")
+        if duck_threads:
+            c.execute(f"SET threads = {int(duck_threads)}")
+        duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+        if duck_mem:
+            c.execute(f"SET memory_limit = '{duck_mem}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT *"
+                f" FROM read_parquet('{table_path(sf_dir, t)}')"
             )
-            if not is_interrupt:
-                raise
-            if elapsed >= timeout:
-                return None, elapsed
-            if attempt == 2:  # two stale interrupts in a row: give up
-                raise
-        finally:
-            timer.cancel()
-    raise AssertionError("unreachable")
+        df = c.execute(sql).df()
+        with open(out_base + ".pkl", "wb") as fh:
+            pickle.dump(df, fh)
+    except Exception:  # noqa: BLE001 — serialized for the parent
+        with open(out_base + ".err", "w") as fh:
+            fh.write(tb.format_exc())
+
+
+def _run_oracle(sf_dir: str, sql: str, timeout: float):
+    """Execute one oracle in a SUBPROCESS under the watchdog. Returns
+    ``(df, None)`` on success or ``(None, elapsed)`` on a genuine
+    timeout; raises with the child's traceback text on a child error.
+
+    History: v1 ran oracles on a shared in-process connection with a
+    Timer + con.interrupt() watchdog (and a stale-timer-race retry,
+    r7 advice). The sf10 decade killed that design twice over: heavy
+    spilling oracles leave the PROCESS's allocator so bloated that
+    every later allocation — numpy, fresh DuckDB connections, 8-byte
+    blocks — fails with bad_alloc even though the host has 100+ GB
+    free, and a per-oracle fresh connection doesn't help because the
+    memory never returns to the OS. A spawned child per oracle makes
+    the memory hand-back unconditional and turns the watchdog into a
+    plain process kill (no interrupt races by construction). Spawn +
+    import overhead is ~0.5 s per oracle — noise against sf10 oracle
+    runtimes.
+    """
+    import multiprocessing as mp
+    import pickle
+    import tempfile
+
+    ctx = mp.get_context("spawn")
+    out_base = tempfile.mktemp(prefix="oracle_", dir="/tmp")
+    t0 = time.perf_counter()
+    proc = ctx.Process(
+        target=_oracle_worker, args=(sf_dir, sql, out_base)
+    )
+    proc.start()
+    proc.join(timeout)
+    elapsed = time.perf_counter() - t0
+    try:
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
+            return None, elapsed
+        if os.path.exists(out_base + ".err"):
+            raise RuntimeError(
+                "oracle child failed:\n" + open(out_base + ".err").read()
+            )
+        if os.path.exists(out_base + ".pkl"):
+            with open(out_base + ".pkl", "rb") as fh:
+                return pickle.load(fh), None
+        raise RuntimeError(
+            f"oracle child exited {proc.exitcode} without a result "
+            "(killed by the OS?)"
+        )
+    finally:
+        for ext in (".pkl", ".err"):
+            try:
+                os.remove(out_base + ext)
+            except OSError:
+                pass
 
 
 def _dump(
