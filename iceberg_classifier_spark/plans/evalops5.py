@@ -451,9 +451,11 @@ def embedding_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pair = np.unique(tr * n_t + te)
                 tr, te = pair // n_t, pair % n_t
                 dots = np.einsum("ij,ij->i", M[tr], T[te])
-                ppm = np.round(
-                    dots / (nn[tr] * tn[te]) * 1000000
-                ).astype(np.int64)
+                # HALF-AWAY ties to match DuckDB round() (np.round is
+                # half-to-even; the .5-ppm tie class first fired in
+                # resize_bilinear at sf10)
+                y = dots / (nn[tr] * tn[te]) * 1000000
+                ppm = np.trunc(y + np.copysign(0.5, y)).astype(np.int64)
                 best = np.full(n_t, SENT, dtype=np.int64)
                 np.maximum.at(best, te, ppm)
                 hit = np.unique(te)
@@ -468,7 +470,8 @@ def embedding_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             if len(sids):
                 cos = (M @ Ts.T) / (nn[:, None] * tns[None, :])
-                ex = np.round(cos.max(axis=0) * 1000000).astype(np.int64)
+                ye = cos.max(axis=0) * 1000000
+                ex = np.trunc(ye + np.copysign(0.5, ye)).astype(np.int64)
                 out_parts.append(
                     pd.DataFrame(
                         {

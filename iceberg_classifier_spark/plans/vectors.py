@@ -458,11 +458,14 @@ def resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + grids[:, y1][:, :, x0] * wy * (1 - wx)
                 + grids[:, y1][:, :, x1] * wy * wx
             )
+            # 6dp quantization with HALF-AWAY ties (np.trunc of y±0.5),
+            # matching DuckDB round()/Spark F.round — np.round is
+            # half-to-EVEN and flipped one pixel by 1e-6 at the sf10
+            # decade (51M sampled values finally landed a .5 tie)
+            y = g.reshape(n, out_h * out_w) * 1e6
+            r6 = np.trunc(y + np.copysign(0.5, y)) / 1e6
             yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "resized": list(np.round(g.reshape(n, out_h * out_w), 6)),
-                }
+                {"vec_id": pdf["vec_id"], "resized": list(r6)}
             )
 
     resized = e.mapInPandas(do_resize, "vec_id long, resized array<double>")
@@ -735,8 +738,13 @@ def rotate_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + mats[:, y1 * 8 + x1] * wy * wx
             )
             out = np.where(valid[None, :], out, 0.0)
+            # HALF-AWAY 6dp ties (see do_resize): np.round's
+            # half-to-even diverges from the oracle's round() on exact
+            # .5e-6 boundaries, first observed at the sf10 decade
+            y6 = out * 1e6
+            r6 = np.trunc(y6 + np.copysign(0.5, y6)) / 1e6
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "rot": list(np.round(out, 6))}
+                {"vec_id": pdf["vec_id"], "rot": list(r6)}
             )
 
     return (
