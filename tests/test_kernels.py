@@ -608,3 +608,46 @@ def test_png_decoder_handles_average_and_paeth_filters():
         + _png_chunk(b"IEND", b"")
     )
     assert (decode_png(data) == pix).all()
+
+
+def test_leakage_gate_catches_planted_cross_split_leaks(spark, sf_dir, tmp_path):
+    """r9: the organic generator's replica stride is a multiple of 10, so
+    its planted near-dup cliques never cross the mod-10 test/train split
+    and the scan's recall audit is vacuously 1.0 on those frames. This
+    test plants REAL cross-split leaks — jittered copies of audit-sample
+    test vectors under train ids — and asserts the hyperplane-band gate
+    catches every one (measured recall 1.0, the >=0.99 claim with
+    teeth)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from iceberg_classifier_spark.plans.evalops5 import embedding_leakage_scan
+
+    src = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    # audit-sample ids are vec_id % 1000 == 0; plant a ~cos 0.999
+    # train-side twin for each of the first 3 sample ids
+    sample_ids = sorted(i for i in src.vec_id if i % 1000 == 0)[:3]
+    assert sample_ids, "need at least one audit-sample id"
+    rng = np.random.default_rng(42)
+    next_id = int(src.vec_id.max()) + 1
+    planted = []
+    for sid in sample_ids:
+        v = np.asarray(
+            src.loc[src.vec_id == sid, "embedding"].iloc[0], dtype=np.float64
+        )
+        twin = v + rng.uniform(-0.01, 0.01, size=len(v))
+        tid = next_id if next_id % 10 != 0 else next_id + 1  # train id
+        next_id = tid + 1
+        row = {c: src.loc[src.vec_id == sid, c].iloc[0] for c in src.columns}
+        row["vec_id"], row["embedding"] = tid, twin.astype(np.float32)
+        planted.append(row)
+    aug = pd.concat([src, pd.DataFrame(planted)], ignore_index=True)
+    d = tmp_path / "leakdir"
+    d.mkdir()
+    aug.to_parquet(d / "embeddings.parquet")
+    out = embedding_leakage_scan(spark, str(d)).toPandas()
+    assert int(out.n_leak_exact.sum()) == len(sample_ids)
+    assert int(out.n_leak_caught.sum()) == len(sample_ids)
+    leak_rows = out[out.n_leak_exact > 0]
+    assert set(leak_rows.recall_ppm) == {1000000}
