@@ -47,11 +47,11 @@ _DELAY_SPARK = (
       FROM obs
     ), c AS (
       SELECT n,
-             n * 1.0 * sxx - sx * 1.0 * sx AS cxx,
-             n * 1.0 * smm - sm * 1.0 * sm AS cmm,
-             n * 1.0 * sxm - sx * 1.0 * sm AS cxm,
-             n * 1.0 * sxy - sx * 1.0 * sy AS cxy,
-             n * 1.0 * smy - sm * 1.0 * sy AS cmy
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS cxx,
+             CAST(n AS DOUBLE) * smm - CAST(sm AS DOUBLE) * sm AS cmm,
+             CAST(n AS DOUBLE) * sxm - CAST(sx AS DOUBLE) * sm AS cxm,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+             CAST(n AS DOUBLE) * smy - CAST(sm AS DOUBLE) * sy AS cmy
       FROM s
     )
     SELECT n,

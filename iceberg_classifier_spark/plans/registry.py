@@ -127,6 +127,92 @@ def materialize_shared_ctes(sql: str) -> str:
     return "".join(parts)
 
 
+_ROUND_CALL = re.compile(r"\bround\s*\(", re.IGNORECASE)
+
+
+def _scan_round_calls(sql: str) -> list[tuple[int, int]]:
+    """Return (start, close_paren) index pairs for every ``round(...)``
+    call in ``sql`` outside single-quoted string literals, including
+    calls nested inside another round's arguments."""
+    calls: list[tuple[int, int]] = []
+    in_str = False
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                in_str = False  # '' escapes re-enter on the next quote
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            i += 1
+            continue
+        m = _ROUND_CALL.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in '_."')):
+            depth = 0
+            j = m.end() - 1  # the opening paren
+            in_s2 = False
+            while j < n:
+                cj = sql[j]
+                if in_s2:
+                    if cj == "'":
+                        in_s2 = False
+                elif cj == "'":
+                    in_s2 = True
+                elif cj == "(":
+                    depth += 1
+                elif cj == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j < n:
+                calls.append((i, j))
+        i += 1  # advance one char so nested rounds are still found
+    return calls
+
+
+def normalize_round_signed_zero(sql: str) -> str:
+    """Rewrite every DuckDB ``round(...)`` call to ``(round(...) + 0.0)``.
+
+    Spark's ``round`` runs through Java BigDecimal, which has no signed
+    zero, so a tiny negative that rounds to zero emits ``+0.0``; DuckDB's
+    ``round`` preserves the IEEE signbit and emits ``-0.0``. Both survive
+    into the driver's value hash, which distinguishes them — round 9's one
+    red driver row (``mediation_product_coeffs``: an ``identity_gap``
+    self-check whose true value is ±1e-17 depending on each engine's fold
+    order) was exactly this split. ``x + 0.0`` is the IEEE identity that
+    maps ``-0.0`` to ``+0.0`` and is a value no-op on every other input
+    (NaN/±inf/NULL included), so applying it centrally at registration
+    makes DuckDB's round match Spark's zero semantics for all ~600 oracles
+    without hand-editing them. DuckDB's typing keeps the wrap lossless:
+    ``DECIMAL(p,s) + 0.0`` stays ``DECIMAL(p,s)`` and ``DOUBLE + 0.0``
+    stays ``DOUBLE`` (verified by scripts/audit_round_rewrite.py, which
+    DESCRIBEs every oracle before/after). Intermediate (non-edge) rounds
+    are wrapped too; that is equally a no-op — any expression downstream
+    of a rounded value that could distinguish -0.0 from +0.0 (1/x, atan2)
+    would already diverge from Spark's always-+0.0 round and show red in
+    the signbit-aware parity sweep.
+    """
+    calls = _scan_round_calls(sql)
+    if not calls:
+        return sql
+    inserts: list[tuple[int, str]] = []
+    for s, e in calls:
+        inserts.append((s, "("))
+        inserts.append((e + 1, " + 0.0)"))
+    inserts.sort(key=lambda t: t[0])
+    out: list[str] = []
+    prev = 0
+    for pos, txt in inserts:
+        out.append(sql[prev:pos])
+        out.append(txt)
+        prev = pos
+    out.append(sql[prev:])
+    return "".join(out)
+
+
 def query(name: str, oracle: str | None = None, headline: bool = False):
     """Decorator registering a query builder under ``name``."""
 
@@ -135,7 +221,9 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QueryDef(
             fn=fn,
-            oracle=materialize_shared_ctes(oracle) if oracle else oracle,
+            oracle=normalize_round_signed_zero(materialize_shared_ctes(oracle))
+            if oracle
+            else oracle,
             headline=headline,
         )
         return fn

@@ -142,6 +142,21 @@ def main() -> None:
                     if pd.api.types.is_float_dtype(g) and pd.api.types.is_float_dtype(e):
                         if not np.allclose(g, e, rtol=1e-9, atol=1e-9, equal_nan=True):
                             errs.append(f"{c}: max diff {np.nanmax(np.abs(g - e))}")
+                        else:
+                            # np.allclose treats -0.0 == +0.0; the driver's
+                            # value hash does not (r9's one red row). Flag
+                            # zero cells whose signbit differs.
+                            gz = np.asarray(g, dtype=float)
+                            ez = np.asarray(e, dtype=float)
+                            sz = (
+                                (gz == 0.0)
+                                & (ez == 0.0)
+                                & (np.signbit(gz) != np.signbit(ez))
+                            )
+                            if sz.any():
+                                errs.append(
+                                    f"{c}: {int(sz.sum())} signed-zero splits"
+                                )
                     elif (g.astype(str) != e.astype(str)).any():
                         errs.append(f"{c}: value mismatch")
             status = "pass" if not errs else "FAIL " + "; ".join(errs)[:300]
@@ -218,7 +233,12 @@ def _run_oracle(sf_dir: str, sql: str, timeout: float):
     import tempfile
 
     ctx = mp.get_context("spawn")
-    out_base = tempfile.mktemp(prefix="oracle_", dir="/tmp")
+    # mkdtemp (not the race-prone mktemp): a per-call private dir keyed by
+    # this pid means concurrent shard processes can never collide on the
+    # child's result path (r9 advice).
+    out_base = os.path.join(
+        tempfile.mkdtemp(prefix=f"oracle_{os.getpid()}_", dir="/tmp"), "r"
+    )
     t0 = time.perf_counter()
     proc = ctx.Process(
         target=_oracle_worker, args=(sf_dir, sql, out_base)
@@ -248,6 +268,10 @@ def _run_oracle(sf_dir: str, sql: str, timeout: float):
                 os.remove(out_base + ext)
             except OSError:
                 pass
+        try:
+            os.rmdir(os.path.dirname(out_base))
+        except OSError:
+            pass
 
 
 def _dump(

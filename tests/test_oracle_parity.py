@@ -52,6 +52,17 @@ def test_oracle_parity(name, spark, duck, sf_dir):
             assert np.allclose(g, e, rtol=1e-9, atol=1e-9, equal_nan=True), (
                 f"{name}.{c}: max abs diff {np.nanmax(np.abs(g - e))}"
             )
+            # np.allclose treats -0.0 == +0.0, but the driver's value hash
+            # does NOT (r9's one red row was exactly this split) — flag
+            # zero cells whose IEEE signbit differs between the engines.
+            gz = np.asarray(g, dtype=float)
+            ez = np.asarray(e, dtype=float)
+            both_zero = (gz == 0.0) & (ez == 0.0)
+            sz = both_zero & (np.signbit(gz) != np.signbit(ez))
+            assert not sz.any(), (
+                f"{name}.{c}: {int(sz.sum())} signed-zero splits "
+                "(-0.0 vs +0.0 — driver hash distinguishes these)"
+            )
         else:
             mism = (g.astype(str) != e.astype(str)).sum()
             assert mism == 0, f"{name}.{c}: {mism} mismatched cells"
