@@ -462,19 +462,37 @@ COS_ROWS = 4  # sign-bit planes per band (8×4 = 32 planes total)
 
 
 def _cos_plane_signs(n_planes: int, dim: int = 64):
-    """±1 sign matrix (dim × n_planes) of the portable LCG hyperplanes —
-    the same ((1103515245·(p·64+j) + 12345) // 16) % 2 formula as
-    ann_lsh_topk's _plane_term, materialized as plan-time constants."""
+    """±1 sign matrix (dim × n_planes) of the portable hyperplanes — one
+    Knuth-MMIX LCG stream per plane (functions/planes.py), materialized
+    as plan-time constants. The r1 affine-of-(p·64+j) formula this
+    replaces was DEGENERATE (sign independent of p → all 32 "planes"
+    identical, so the 8×4 banded blocking collapsed to (label, 1 sign
+    bit) and only the COS_CAP star route prevented quadratic blowup —
+    r9 verdict). With independent planes each band populates its full
+    16-value bucket space (ATTRIB_r10_lsh_buckets.json)."""
     import numpy as np
+
+    from iceberg_classifier_spark.functions.planes import mmix_plane_signs
 
     s = np.empty((dim, n_planes), dtype=np.float64)
     for p in range(n_planes):
-        for j in range(dim):
-            s[j, p] = 1.0 if ((1103515245 * (p * 64 + j) + 12345) // 16) % 2 == 0 else -1.0
+        s[:, p] = mmix_plane_signs(p, dim)
     return s
 
 
 COS_CAP = 64  # bucket-size cap: bigger buckets emit star pairs via min-id rep
+
+
+def _cos_band_sql_list() -> str:
+    """DuckDB list literal of the 8 per-band bucket values, band b packing
+    the sign bits of planes b*COS_ROWS..b*COS_ROWS+COS_ROWS-1 — the oracle
+    mirror of _cos_plane_signs' numpy GEMM, signs embedded as literals."""
+    from iceberg_classifier_spark.functions.planes import bucket_sql
+
+    return "[" + ", ".join(
+        bucket_sql("v", [b * COS_ROWS + k for k in range(COS_ROWS)])
+        for b in range(COS_BANDS)
+    ) + "]"
 
 
 @query(
@@ -485,24 +503,11 @@ COS_CAP = 64  # bucket-size cap: bigger buckets emit star pairs via min-id rep
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
       FROM embeddings
-    ), bits AS (
-      SELECT e.vec_id, pl.p,
-             sum(e.v[j.j + 1]
-                 * (CASE WHEN ((1103515245 * (pl.p * 64 + j.j) + 12345) // 16)
-                              % 2 = 0
-                         THEN 1 ELSE -1 END)) AS dot
-      FROM e,
-           (SELECT unnest(range(0, {COS_BANDS * COS_ROWS})) AS p) pl,
-           (SELECT unnest(range(0, 64)) AS j) j
-      GROUP BY 1, 2
-    ), bb AS (
-      SELECT vec_id, p // {COS_ROWS} AS band,
-             CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % {COS_ROWS}) ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM bits GROUP BY 1, 2
+    ), nb AS (
+      SELECT vec_id, label, {_cos_band_sql_list()} AS bv FROM e
     ), ev AS (
-      SELECT bb.vec_id, e.label, bb.band, bb.bucket
-      FROM bb JOIN e USING (vec_id)
+      SELECT vec_id, label, g.b AS band, CAST(bv[g.b + 1] AS BIGINT) AS bucket
+      FROM nb, (SELECT unnest(range(0, {COS_BANDS})) AS b) g
     ), bsz AS (
       SELECT label, band, bucket, min(vec_id) AS lowest,
              CAST(count(*) AS BIGINT) AS sz

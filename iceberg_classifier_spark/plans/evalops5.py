@@ -240,20 +240,15 @@ _LEAK_LEAK_PPM = 800000  # "leak" = best cosine >= 0.8
 def _leak_plane(p: int) -> list[float]:
     """±1 hyperplane weights for gate plane ``p``: one Knuth-MMIX LCG
     stream per plane (top bit of each state — well mixed), seeded by the
-    plane index. NOT similarity.py's affine-of-(p*64+j) formula: there
-    the plane term enters as a multiple of 64, so the low state bits the
-    sign is read from are INDEPENDENT of p — every plane gets identical
-    signs and all band values collapse to {0, 2^13-1} (measured: 2
-    distinct buckets on the sf0.1 corpus — a degenerate gate). The signs
-    are embedded as LITERALS in both the numpy kernel and the oracle
-    SQL, so the engines cannot diverge on plane generation."""
-    a, c, m = 6364136223846793005, 1442695040888963407, 1 << 64
-    s = ((p + 1) * a + c) % m
-    out = []
-    for _ in range(64):
-        s = (s * a + c) % m
-        out.append(1.0 if (s >> 63) == 0 else -1.0)
-    return out
+    plane index. The signs are embedded as LITERALS in both the numpy
+    kernel and the oracle SQL, so the engines cannot diverge on plane
+    generation. Since r10 the generator lives in functions/planes.py and
+    is shared by ann_lsh_topk / ndcg_ann_eval / dedup_embedding_cosine —
+    the three ops whose original affine-of-(p*64+j) formula was
+    degenerate (every plane identical; see planes.py docstring)."""
+    from iceberg_classifier_spark.functions.planes import mmix_plane_signs
+
+    return mmix_plane_signs(p)
 
 
 def _leak_band_sql(b: int) -> str:
@@ -506,8 +501,17 @@ def embedding_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
         F.count("best6").cast("bigint").alias("n_gated"),
+        # FLOOR division to match the oracle's DuckDB `//` exactly: Spark's
+        # `div` truncates toward zero, which diverges whenever sum(best6)
+        # is negative — possible, since band-colliding pairs can still have
+        # negative cosine (r9 advice).
         F.when(F.count("best6") == 0, F.lit(-1))
-        .otherwise(F.expr("sum(best6) div count(best6)"))
+        .otherwise(
+            F.expr(
+                "sum(best6) div count(best6) - (CASE WHEN sum(best6) < 0"
+                " AND sum(best6) % count(best6) != 0 THEN 1 ELSE 0 END)"
+            )
+        )
         .cast("bigint")
         .alias("mean_best_ppm"),
         F.coalesce(F.max("best6"), F.lit(-1))

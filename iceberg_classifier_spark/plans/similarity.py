@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_classifier_spark.functions import arrays as A
+from iceberg_classifier_spark.functions.planes import bucket_sql
 from iceberg_classifier_spark.plans.registry import query
 from iceberg_classifier_spark.sources.tables import load
 
@@ -19,6 +20,10 @@ N_QUERIES = 8
 TOP_K = 5
 N_PLANES = 8
 EMB_DIM = 64  # testdata embedding dimension (TESTDATA.md)
+
+# DuckDB expression for the shared 8-plane MMIX bucket (planes.py) — the
+# oracle mirror of _lsh_bucket below, signs embedded as literals.
+_BUCKET_SQL = bucket_sql("v", list(range(N_PLANES)))
 
 
 @query(
@@ -110,31 +115,24 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _plane_term(p):
-    # ±1 hyperplane weight from an integer LCG of (plane, dim) — pure
-    # int64 arithmetic, reproducible in any engine (vs xxhash64)
-    return lambda x, j: x * F.when(
-        (
-            (
-                F.lit(1103515245).cast("bigint")
-                * (F.lit(p * 64).cast("bigint") + j)
-                + 12345
-            )
-            / 16
-        ).cast("bigint")
-        % 2
-        == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-
-
 def _lsh_bucket(vcol):
     """Random-hyperplane sign bucket shared by ann_lsh_topk and
-    ndcg_ann_eval (LCG planes — both engines rebuild identical buckets)."""
+    ndcg_ann_eval: one Knuth-MMIX LCG stream per plane (functions/planes.py),
+    materialized as plan-time ±1 literal arrays so both engines rebuild
+    identical buckets. Replaces the r1 affine-of-(p*64+j) formula, which
+    was DEGENERATE — the plane index entered as a multiple of 64, so every
+    plane produced identical signs, the 8-bit bucket space collapsed to
+    {0, 255}, and the "LSH" probe was ~n²/2 of the corpus in disguise
+    (r9 verdict). With independent planes the corpus spreads over all 2^8
+    buckets (measured: ATTRIB_r10_lsh_buckets.json) and the candidate scan
+    fraction drops to ~2^-8 per query."""
+    from iceberg_classifier_spark.functions.planes import mmix_plane_signs
+
     bits = []
     for p in range(N_PLANES):
+        w = F.array(*[F.lit(s) for s in mmix_plane_signs(p)])
         dot = F.aggregate(
-            F.zip_with(vcol, F.sequence(F.lit(0), F.size(vcol) - 1), _plane_term(p)),
+            F.zip_with(vcol, w, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -150,23 +148,8 @@ def _lsh_bucket(vcol):
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS DOUBLE)) AS v
       FROM embeddings
-    ), bits AS (
-      SELECT e.vec_id, pl.p,
-             sum(e.v[j.j + 1]
-                 * (CASE WHEN ((1103515245 * (pl.p * 64 + j.j) + 12345) // 16)
-                              % 2 = 0
-                         THEN 1 ELSE -1 END)) AS dot
-      FROM e,
-           (SELECT unnest(range(0, {N_PLANES})) AS p) pl,
-           (SELECT unnest(range(0, 64)) AS j) j
-      GROUP BY 1, 2
-    ), eb AS (
-      SELECT b.vec_id,
-             CAST(sum(CASE WHEN b.dot > 0 THEN 1 << b.p ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM bits b GROUP BY 1
     ), ev AS (
-      SELECT eb.vec_id, eb.bucket, e.v FROM eb JOIN e USING (vec_id)
+      SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket, v FROM e
     )
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -187,10 +170,12 @@ def _lsh_bucket(vcol):
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-k: 8 sign bits → bucket; queries probe
     only their own bucket, trading recall for a |corpus|/2^8 candidate
-    set. Hyperplane weights are ±1 signs drawn from an integer LCG of the
-    (plane, dim) index and vectors are 1e-4 fixed-point, so bucket bits,
-    candidate sets, ranking, and cos_sim are all exact integer math that
-    both engines reproduce bit-for-bit — a FULL value oracle on the
+    set. Hyperplane weights are ±1 signs from per-plane Knuth-MMIX LCG
+    streams (functions/planes.py — one independent stream per plane;
+    the r1 affine formula was degenerate, see _lsh_bucket) embedded as
+    literals in both engines, and vectors are 1e-4 fixed-point, so bucket
+    bits, candidate sets, ranking, and cos_sim are all exact integer math
+    that both engines reproduce bit-for-bit — a FULL value oracle on the
     actual approximate result set (previously rows-only via engine-
     specific xxhash64 hyperplanes).
 
@@ -765,23 +750,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-    ), bits AS (
-      SELECT e.vec_id, pl.p,
-             sum(e.v[j.j + 1]
-                 * (CASE WHEN ((1103515245 * (pl.p * 64 + j.j) + 12345) // 16)
-                              % 2 = 0
-                         THEN 1 ELSE -1 END)) AS dot
-      FROM e,
-           (SELECT unnest(range(0, {N_PLANES})) AS p) pl,
-           (SELECT unnest(range(0, 64)) AS j) j
-      GROUP BY 1, 2
-    ), eb AS (
-      SELECT b.vec_id,
-             CAST(sum(CASE WHEN b.dot > 0 THEN 1 << b.p ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM bits b GROUP BY 1
     ), ev AS (
-      SELECT eb.vec_id, eb.bucket, n.v, n.nrm FROM eb JOIN n USING (vec_id)
+      SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket, v, nrm FROM n
     ), lsh AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              row_number() OVER (PARTITION BY q.vec_id
