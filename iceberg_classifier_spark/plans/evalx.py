@@ -258,28 +258,62 @@ def delong_auc_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MTLD_TTR = 0.72
 
 
-def _mtld_step(ws: str, ty: str, tk: str, fac: str, p: str, pp: str) -> str:
-    """Shared MTLD fold body instantiated for both engines.
+# Packed-BIGINT MTLD fold (r10): accumulator and token are each ONE
+# int64, so list_reduce/aggregate allocates NO per-step lists and the
+# per-doc token list is LIST(BIGINT) — 8 bytes/token vs the previous
+# nested [p, pp] DOUBLE-list representation (~40+ bytes/token plus a
+# fresh 4-element accumulator list per fold step). That representation
+# is what made the sf10 oracle a non-spillable 80 GB list fold (r9's
+# documented infeasible-skip); the packed fold runs the identical
+# recurrence in exact integer arithmetic. Field layout (15 bits each,
+# docs are <= ~100 tokens so the 32767 bound has 300x headroom —
+# guarded by test_mtld_packing_bounds):
+#   acc   = window_start * 2^45 + types * 2^30 + tokens * 2^15 + factors
+#   token = p * 2^15 + prev_pos(p)
+# The TTR test (types+new)/(tokens+1) < 0.72 is evaluated in the exact
+# integer form 25*(types+new) < 18*(tokens+1), which is equivalent for
+# all ratios of ints <= 32767 (a ratio is either exactly 18/25 — both
+# forms say "not below" — or at least ~1.2e-6 away, 10 orders above
+# double rounding error).
+_MTLD_P45 = 1 << 45
+_MTLD_P30 = 1 << 30
+_MTLD_P15 = 1 << 15
+_MTLD_INIT = _MTLD_P45  # window_start=1, types=tokens=factors=0
 
-    Accumulator: [window_start, types_in_window, tokens_in_window,
-    completed_factors]. A token is a NEW type within the current
-    factor window iff its previous occurrence position (0 when none)
-    falls before the window start — so the fold needs no string set,
-    only the precomputed prev-position column.
-    """
-    new = f"CASE WHEN {pp} < {ws} THEN 1.0 ELSE 0.0 END"
-    ttr = f"(({ty} + {new}) / ({tk} + 1))"
+
+def _mtld_step_packed(a: str, b: str, div: str) -> str:
+    """Shared packed MTLD fold body instantiated for both engines
+    (``div`` is ``//`` for DuckDB, ``div`` for Spark SQL)."""
+    ws = f"({a} {div} {_MTLD_P45})"
+    ty = f"(({a} {div} {_MTLD_P30}) % {_MTLD_P15})"
+    tk = f"(({a} {div} {_MTLD_P15}) % {_MTLD_P15})"
+    fac = f"({a} % {_MTLD_P15})"
+    p = f"({b} {div} {_MTLD_P15})"
+    pp = f"({b} % {_MTLD_P15})"
+    new = f"(CASE WHEN {pp} < {ws} THEN 1 ELSE 0 END)"
     return (
-        f"CASE WHEN {ttr} < {_MTLD_TTR}"
-        f" THEN array({p} + 1, 0.0, 0.0, {fac} + 1)"
-        f" ELSE array({ws}, {ty} + {new}, {tk} + 1, {fac}) END"
+        f"CASE WHEN 25 * ({ty} + {new}) < 18 * ({tk} + 1)"
+        f" THEN ({p} + 1) * {_MTLD_P45} + ({fac} + 1)"
+        f" ELSE {ws} * {_MTLD_P45} + ({ty} + {new}) * {_MTLD_P30}"
+        f" + ({tk} + 1) * {_MTLD_P15} + {fac} END"
     )
 
 
-_MTLD_DUCK = _mtld_step("a[1]", "a[2]", "a[3]", "a[4]", "b[1]", "b[2]").replace(
-    "array(", "list_value("
-)
-_MTLD_SPARK = _mtld_step("a[0]", "a[1]", "a[2]", "a[3]", "x[0]", "x[1]")
+def _mtld_factors(acc: str, div: str) -> str:
+    """Completed factors + the partial-factor remainder, from the packed
+    accumulator — identical double arithmetic on both engines."""
+    ty = f"(({acc} {div} {_MTLD_P30}) % {_MTLD_P15})"
+    tk = f"(({acc} {div} {_MTLD_P15}) % {_MTLD_P15})"
+    fac = f"({acc} % {_MTLD_P15})"
+    return (
+        f"{fac} + CASE WHEN {tk} > 0"
+        f" THEN (1.0 - {ty} / CAST({tk} AS DOUBLE)) / (1.0 - {_MTLD_TTR})"
+        " ELSE 0.0 END"
+    )
+
+
+_MTLD_DUCK = _mtld_step_packed("a", "b", "//")
+_MTLD_SPARK = _mtld_step_packed("a", "b", "div")
 
 
 @query(
@@ -291,23 +325,20 @@ _MTLD_SPARK = _mtld_step("a[0]", "a[1]", "a[2]", "a[3]", "x[0]", "x[1]")
              generate_subscripts(string_split(trim(text), ' '), 1) AS p
       FROM documents
     ), prevpos AS (
-      SELECT doc_id, lang, CAST(p AS DOUBLE) AS p,
+      SELECT doc_id, lang, CAST(p AS BIGINT) AS p,
              CAST(COALESCE(lag(p) OVER (PARTITION BY doc_id, w
-               ORDER BY p), 0) AS DOUBLE) AS pp
+               ORDER BY p), 0) AS BIGINT) AS pp
       FROM toks
     ), folded AS (
       SELECT doc_id, any_value(lang) AS lang,
              CAST(count(*) AS BIGINT) AS n_toks,
              list_reduce(
-               list_prepend([1.0, 0.0, 0.0, 0.0],
-                            list([p, pp] ORDER BY p)),
+               list_prepend(CAST({_MTLD_INIT} AS BIGINT),
+                            list(p * {_MTLD_P15} + pp ORDER BY p)),
                (a, b) -> {_MTLD_DUCK}) AS acc
       FROM prevpos GROUP BY doc_id
     ), scored AS (
-      SELECT lang, n_toks,
-             acc[4] + CASE WHEN acc[3] > 0
-               THEN (1.0 - acc[2] / acc[3]) / (1.0 - {_MTLD_TTR})
-               ELSE 0.0 END AS factors
+      SELECT lang, n_toks, {_mtld_factors("acc", "//")} AS factors
       FROM folded
     ), micro AS (
       SELECT lang,
@@ -358,9 +389,9 @@ def mtld_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     prevpos = toks.select(
         "doc_id",
         "lang",
-        F.col("p").cast("double").alias("p"),
+        F.col("p").cast("bigint").alias("p"),
         F.coalesce(F.lag("p").over(wprev), F.lit(0))
-        .cast("double")
+        .cast("bigint")
         .alias("pp"),
     )
     folded = (
@@ -368,28 +399,23 @@ def mtld_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first("lang").alias("lang"),
             F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-            F.array_sort(F.collect_list(F.array("p", "pp"))).alias("xs"),
+            F.array_sort(
+                F.collect_list(F.col("p") * _MTLD_P15 + F.col("pp"))
+            ).alias("xs"),
         )
         .select(
             "lang",
             "n_toks",
             F.expr(
-                "aggregate(xs, array(1D, 0D, 0D, 0D),"
-                f" (a, x) -> {_MTLD_SPARK})"
+                f"aggregate(xs, CAST({_MTLD_INIT} AS BIGINT),"
+                f" (a, b) -> {_MTLD_SPARK})"
             ).alias("acc"),
         )
     )
     scored = folded.select(
         "lang",
         "n_toks",
-        (
-            F.element_at("acc", 4)
-            + F.when(
-                F.element_at("acc", 3) > 0,
-                (1.0 - F.element_at("acc", 2) / F.element_at("acc", 3))
-                / (1.0 - _MTLD_TTR),
-            ).otherwise(0.0)
-        ).alias("factors"),
+        F.expr(_mtld_factors("acc", "div")).alias("factors"),
     )
     micro = scored.select(
         "lang",

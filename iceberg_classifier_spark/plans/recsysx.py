@@ -47,27 +47,51 @@ _REC_MIN_CO = 2
       SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM ui
     ), pop AS (
       SELECT i, CAST(count(*) AS BIGINT) AS n_u FROM ui GROUP BY 1
-    ), co_half AS MATERIALIZED (
-      -- canonical ia<ib half-pairs, mirrored AFTER the support filter:
-      -- the directed a.i<>b.i form doubled the pair stream and pushed
-      -- DuckDB's hash-agg spill past the device at sf1
-      SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS co_u
+    ), co_half AS (
+      -- r10 lean rewrite: every pair-scaled frame below streams exactly
+      -- once into its consumer (the r9 sf10 run materialized the
+      -- canonical pairs AND the mirrored+scored copies on top of the
+      -- agg's own spill, and together they ate the ~70 GB device). The
+      -- one irreducible cost is this agg's distinct-pair state, packed
+      -- into a single BIGINT key (i < 2^31, so ia*2^32+ib is exact).
+      SELECT pk // 4294967296 AS ia, pk % 4294967296 AS ib, co_u
+      FROM (
+        SELECT a.i * 4294967296 + b.i AS pk,
+               CAST(count(*) AS BIGINT) AS co_u
+        FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1
+        HAVING count(*) >= {_REC_MIN_CO}
+      )
+    ), mirrored AS (
+      -- both directions in ONE pass (2-row flip join, not a self-union
+      -- that would force a second read of the pair frame)
+      SELECT CASE WHEN f.flip = 0 THEN c.ia ELSE c.ib END AS ia,
+             CASE WHEN f.flip = 0 THEN c.ib ELSE c.ia END AS ib,
+             c.co_u
+      FROM co_half c CROSS JOIN (VALUES (0), (1)) f(flip)
+    ), recs AS MATERIALIZED (
+      SELECT s.ia, s.ib,
+             s.co_u / sqrt(CAST(pa.n_u AS DOUBLE) * pb.n_u) AS cosine,
+             row_number() OVER (PARTITION BY s.ia
+               ORDER BY s.co_u / sqrt(CAST(pa.n_u AS DOUBLE) * pb.n_u)
+                 DESC, s.ib) AS rk
+      FROM mirrored s JOIN pop pa ON pa.i = s.ia
+                      JOIN pop pb ON pb.i = s.ib
+      QUALIFY rk <= {_REC_K}
+    ), cpd AS (
+      -- distinct canonical item pairs inside some rec list: the ONLY
+      -- pair similarities the diversity metric needs, so their exact
+      -- supports come from a second, FILTERED pass over the pair stream
+      -- (bounded {_REC_K}²-per-list agg state) instead of a lookup into
+      -- a retained copy of the full scored frame
+      SELECT DISTINCT x.ib AS pa, z.ib AS pb
+      FROM recs x JOIN recs z ON z.ia = x.ia AND x.ib < z.ib
+    ), co_c AS (
+      SELECT a.i AS pa, b.i AS pb, CAST(count(*) AS BIGINT) AS co_u
       FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      JOIN cpd ON cpd.pa = a.i AND cpd.pb = b.i
       GROUP BY 1, 2
       HAVING count(*) >= {_REC_MIN_CO}
-    ), co AS (
-      SELECT ia, ib, co_u FROM co_half
-      UNION ALL
-      SELECT ib AS ia, ia AS ib, co_u FROM co_half
-    ), scored AS (
-      SELECT c.ia, c.ib,
-             c.co_u / sqrt(CAST(pa.n_u AS DOUBLE) * pb.n_u) AS cosine
-      FROM co c JOIN pop pa ON pa.i = c.ia JOIN pop pb ON pb.i = c.ib
-    ), recs AS (
-      SELECT ia, ib, cosine,
-             row_number() OVER (PARTITION BY ia
-               ORDER BY cosine DESC, ib) AS rk
-      FROM scored QUALIFY rk <= {_REC_K}
     ), novelty AS (
       SELECT r.ia,
              CAST(round(avg(-ln(p.n_u * 1.0 / nu.n_users) / ln(2.0))
@@ -76,11 +100,14 @@ _REC_MIN_CO = 2
       GROUP BY r.ia
     ), ild AS (
       SELECT x.ia,
-             CAST(round(avg(1.0 - COALESCE(s.cosine, 0.0)) * 1000000)
-               AS BIGINT) AS ild_micro
+             CAST(round(avg(1.0 - COALESCE(
+               cc.co_u / sqrt(CAST(pa.n_u AS DOUBLE) * pb.n_u), 0.0))
+               * 1000000) AS BIGINT) AS ild_micro
       FROM recs x JOIN recs z
         ON z.ia = x.ia AND x.ib < z.ib
-      LEFT JOIN scored s ON s.ia = x.ib AND s.ib = z.ib
+      LEFT JOIN co_c cc ON cc.pa = x.ib AND cc.pb = z.ib
+      JOIN pop pa ON pa.i = x.ib
+      JOIN pop pb ON pb.i = z.ib
       GROUP BY x.ia
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM pop) AS n_items,

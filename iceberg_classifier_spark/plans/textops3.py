@@ -38,23 +38,38 @@ def _stops_sql() -> str:
              sum(is_stop) OVER (PARTITION BY doc_id ORDER BY i
                                 ROWS UNBOUNDED PRECEDING) AS run
       FROM pos
-    ), phr AS (
-      SELECT doc_id, run, list(tok ORDER BY i) AS ph
-      FROM runs WHERE is_stop = 0 GROUP BY 1, 2
-      HAVING count(*) BETWEEN {_RAKE_MIN} AND {_RAKE_MAX}
+    ), words AS (
+      -- r10 lean rewrite: the old `list(tok ORDER BY i) GROUP BY doc, run`
+      -- built one LIST aggregate state per stopword-free run — a
+      -- non-spillable fold that OOM'd an 80 GB DuckDB at sf10 (r9's
+      -- documented infeasible-skip). Runs are <= {_RAKE_MAX} words, so
+      -- bounded lead()s reconstruct each phrase with NO list state:
+      -- every aggregate below has fixed-size or string states, all
+      -- spillable.
+      SELECT doc_id, run, tok,
+             CAST(count(*) OVER (PARTITION BY doc_id, run) AS BIGINT)
+               AS rlen,
+             row_number() OVER (PARTITION BY doc_id, run ORDER BY i) AS k,
+             lead(tok, 1) OVER (PARTITION BY doc_id, run ORDER BY i) AS t2,
+             lead(tok, 2) OVER (PARTITION BY doc_id, run ORDER BY i) AS t3,
+             lead(tok, 3) OVER (PARTITION BY doc_id, run ORDER BY i) AS t4
+      FROM runs WHERE is_stop = 0
     ), wstat AS (
-      SELECT word, CAST(count(*) AS BIGINT) AS freq,
-             CAST(sum(plen) AS BIGINT) AS deg
-      FROM (SELECT unnest(ph) AS word, len(ph) AS plen FROM phr)
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(rlen) AS BIGINT) AS deg
+      FROM words WHERE rlen BETWEEN {_RAKE_MIN} AND {_RAKE_MAX}
       GROUP BY 1
     ), pocc AS (
-      SELECT array_to_string(ph, ' ') AS phrase, ph,
+      SELECT concat_ws(' ', tok, t2, t3, t4) AS phrase,
              CAST(count(*) AS BIGINT) AS n_occ
-      FROM phr GROUP BY 1, 2
+      FROM words
+      WHERE k = 1 AND rlen BETWEEN {_RAKE_MIN} AND {_RAKE_MAX}
+      GROUP BY 1
     ), scored AS (
       SELECT p.phrase, p.n_occ,
              CAST(sum(w.deg * 1000000 // w.freq) AS BIGINT) AS score_micro
-      FROM (SELECT phrase, n_occ, unnest(ph) AS word FROM pocc) p
+      FROM (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS word
+            FROM pocc) p
       JOIN wstat w USING (word)
       GROUP BY 1, 2
     )

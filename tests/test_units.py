@@ -571,3 +571,64 @@ def test_leak_gate_planes_not_degenerate():
     pows = 1 << np.arange(_LEAK_PLANES, dtype=np.int64)
     bv = bits.reshape(len(X), _LEAK_BANDS, _LEAK_PLANES) @ pows
     assert len(np.unique(bv)) > 100
+
+
+def test_mtld_packed_fold_bounds_and_equivalence():
+    """The packed-BIGINT MTLD fold (evalx._mtld_step_packed) assumes every
+    field fits 15 bits — positions, window counters, and factors are all
+    bounded by the doc's token count, so the real guard is max tokens per
+    doc < 32767 in the testdata (docs are ~100 tokens; 300x headroom).
+    Also re-derives the fold in plain Python on random token streams and
+    checks the packed SQL recurrence (evaluated via DuckDB) matches the
+    original float recurrence step-for-step."""
+    import os
+    import random
+
+    import duckdb
+
+    from iceberg_classifier_spark.plans.evalx import (
+        _MTLD_DUCK,
+        _MTLD_INIT,
+        _MTLD_P15,
+        _MTLD_P30,
+        _MTLD_P45,
+        _MTLD_TTR,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    max_toks = con.execute(
+        "SELECT max(len(string_split(trim(text), ' ')))"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert max_toks < _MTLD_P15, max_toks
+
+    rng = random.Random(42)
+    for _ in range(20):
+        n = rng.randint(1, 120)
+        toks = [rng.randint(0, 12) for _ in range(n)]
+        # prev-occurrence positions (1-based; 0 if none)
+        last: dict[int, int] = {}
+        pps = []
+        for i, t in enumerate(toks, 1):
+            pps.append(last.get(t, 0))
+            last[t] = i
+        # reference float fold (the pre-r10 recurrence)
+        ws, ty, tk, fac = 1.0, 0.0, 0.0, 0.0
+        for i, pp in enumerate(pps, 1):
+            new = 1.0 if pp < ws else 0.0
+            if (ty + new) / (tk + 1) < _MTLD_TTR:
+                ws, ty, tk, fac = i + 1, 0.0, 0.0, fac + 1
+            else:
+                ty, tk = ty + new, tk + 1
+        # packed fold via the actual SQL body
+        packed = [i * _MTLD_P15 + pp for i, pp in enumerate(pps, 1)]
+        acc = con.execute(
+            "SELECT list_reduce(list_prepend(CAST(? AS BIGINT), ?),"
+            f" (a, b) -> {_MTLD_DUCK})",
+            [_MTLD_INIT, packed],
+        ).fetchone()[0]
+        assert acc // _MTLD_P45 == int(ws)
+        assert (acc // _MTLD_P30) % _MTLD_P15 == int(ty)
+        assert (acc // _MTLD_P15) % _MTLD_P15 == int(tk)
+        assert acc % _MTLD_P15 == int(fac)
