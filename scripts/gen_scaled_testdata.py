@@ -189,6 +189,19 @@ def main() -> None:
                         f" '{src}/{table}.parquet'"
                     ).fetchone()[0]
                 )
+    # v3 (r9 verdict task 4): the content tables' strides must NOT be
+    # multiples of 10 — the driver frames have max(vec_id)+1 divisible by
+    # 10, so replica offsets preserved vec_id % 10 and a verbatim twin of
+    # a test vector (vec_id % 10 = 0) was ALWAYS itself a test vector:
+    # organic frames could never exercise the leakage gate's cross-split
+    # recall audit (n_leak_exact was structurally 0). A stride = 1 (mod
+    # 10) walks each replica's twins through every residue, so test
+    # vectors organically acquire train-side near-identical twins (same
+    # for the documents split slices). Relational strides stay exact —
+    # no split semantics key on their residues.
+    for tk in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        while strides[tk] % 10 == 0:
+            strides[tk] += 1
 
     for t in VERBATIM:
         con.execute(
