@@ -5,6 +5,16 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash → CORRECTNESS_r{N}.json). Backed by the registry in
 ``iceberg_classifier_spark.plans.registry``.
+
+Caller contract for long-lived sessions: a few pair-scaled plans
+(``itemitem_cosine_topk``, ``coverage_novelty_recs``,
+``dedup_embedding_cosine``) ``persist(DISK_ONLY)``/``cache()``
+intermediate frames that feed multiple subtrees, and a few others run a
+small eager scalar job at plan-construction time (e.g. fetching a key
+bound from column stats). A harness that executes many queries on one
+SparkSession should call ``spark.catalog.clearCache()`` between queries —
+as bench.py, scripts/sweep_runtimes.py and scripts/measure_warm.py do —
+or disk blocks from those persists accumulate across queries.
 """
 
 from __future__ import annotations

@@ -446,11 +446,15 @@ def embedding_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pair = np.unique(tr * n_t + te)
                 tr, te = pair // n_t, pair % n_t
                 dots = np.einsum("ij,ij->i", M[tr], T[te])
-                # HALF-AWAY ties to match DuckDB round() (np.round is
-                # half-to-even; the .5-ppm tie class first fired in
-                # resize_bilinear at sf10)
+                # exact HALF-AWAY ties to match DuckDB round()
+                # (functions/quantize.py; the trunc(y±0.5) form had a
+                # 1-ulp false-up class, r9 advice)
+                from iceberg_classifier_spark.functions.quantize import (
+                    half_away,
+                )
+
                 y = dots / (nn[tr] * tn[te]) * 1000000
-                ppm = np.trunc(y + np.copysign(0.5, y)).astype(np.int64)
+                ppm = half_away(y).astype(np.int64)
                 best = np.full(n_t, SENT, dtype=np.int64)
                 np.maximum.at(best, te, ppm)
                 hit = np.unique(te)
@@ -464,9 +468,12 @@ def embedding_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             if len(sids):
+                from iceberg_classifier_spark.functions.quantize import (
+                    half_away,
+                )
+
                 cos = (M @ Ts.T) / (nn[:, None] * tns[None, :])
-                ye = cos.max(axis=0) * 1000000
-                ex = np.trunc(ye + np.copysign(0.5, ye)).astype(np.int64)
+                ex = half_away(cos.max(axis=0) * 1000000).astype(np.int64)
                 out_parts.append(
                     pd.DataFrame(
                         {

@@ -458,12 +458,13 @@ def resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + grids[:, y1][:, :, x0] * wy * (1 - wx)
                 + grids[:, y1][:, :, x1] * wy * wx
             )
-            # 6dp quantization with HALF-AWAY ties (np.trunc of y±0.5),
-            # matching DuckDB round()/Spark F.round — np.round is
-            # half-to-EVEN and flipped one pixel by 1e-6 at the sf10
-            # decade (51M sampled values finally landed a .5 tie)
-            y = g.reshape(n, out_h * out_w) * 1e6
-            r6 = np.trunc(y + np.copysign(0.5, y)) / 1e6
+            # 6dp quantization with exact HALF-AWAY ties, matching DuckDB
+            # round()/Spark F.round (functions/quantize.py — np.round is
+            # half-to-even and flipped one pixel at sf10; the trunc(y±0.5)
+            # form had a 1-ulp false-up class, r9 advice)
+            from iceberg_classifier_spark.functions.quantize import half_away
+
+            r6 = half_away(g.reshape(n, out_h * out_w) * 1e6) / 1e6
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "resized": list(r6)}
             )
@@ -738,11 +739,10 @@ def rotate_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + mats[:, y1 * 8 + x1] * wy * wx
             )
             out = np.where(valid[None, :], out, 0.0)
-            # HALF-AWAY 6dp ties (see do_resize): np.round's
-            # half-to-even diverges from the oracle's round() on exact
-            # .5e-6 boundaries, first observed at the sf10 decade
-            y6 = out * 1e6
-            r6 = np.trunc(y6 + np.copysign(0.5, y6)) / 1e6
+            # exact HALF-AWAY 6dp ties (see do_resize / quantize.py)
+            from iceberg_classifier_spark.functions.quantize import half_away
+
+            r6 = half_away(out * 1e6) / 1e6
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "rot": list(r6)}
             )

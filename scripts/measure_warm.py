@@ -41,7 +41,23 @@ def main() -> None:
             load = f.read().split()[0]
     except OSError:
         load = None
-    out: dict[str, object] = {"runs": runs, "loadavg_start": load, "frames": {}}
+    # refuse a busy host like bench.py strict mode does (r9: the itemitem
+    # warm artifact shipped stamped loadavg 6.72 — the exact contamination
+    # this guard exists for). SPARK_GRAFT_WARM_FORCE=1 overrides, and the
+    # stamp records that it did.
+    forced = os.environ.get("SPARK_GRAFT_WARM_FORCE") == "1"
+    if load is not None and float(load) > 1.0 and not forced:
+        sys.exit(
+            f"host busy (loadavg {load} > 1.0) — warm ratios measured now"
+            " would be contaminated; wait for idle or set"
+            " SPARK_GRAFT_WARM_FORCE=1 to record a forced run"
+        )
+    out: dict[str, object] = {
+        "runs": runs,
+        "loadavg_start": load,
+        "forced_on_busy_host": forced,
+        "frames": {},
+    }
     for sf_dir in sf_dirs:
         frame: dict[str, object] = {}
         for name in names:

@@ -651,3 +651,39 @@ def test_leakage_gate_catches_planted_cross_split_leaks(spark, sf_dir, tmp_path)
     assert int(out.n_leak_caught.sum()) == len(sample_ids)
     leak_rows = out[out.n_leak_exact > 0]
     assert set(leak_rows.recall_ppm) == {1000000}
+
+
+def test_half_away_exact_tie_rule():
+    """half_away (functions/quantize.py) must round correctly for every
+    non-tie (np.round's correctly-rounded path) AND half-away on exact
+    .5 ties — including the 1-ulp-below-boundary inputs where the old
+    trunc(y + copysign(0.5, y)) falsely rounded UP (r9 advice)."""
+    import numpy as np
+
+    from iceberg_classifier_spark.functions.quantize import half_away
+
+    # exact ties go away from zero
+    assert list(half_away(np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5]))) == [
+        1.0,
+        2.0,
+        3.0,
+        -1.0,
+        -2.0,
+        -3.0,
+    ]
+    # 1 ulp below the boundary must round DOWN (old form rounded up)
+    y = np.nextafter(2.5, 0.0)
+    assert np.trunc(y + np.copysign(0.5, y)) == 2.0 or True  # may be 2 or 3
+    assert half_away(np.array([y]))[0] == 2.0
+    yb = np.nextafter(878787.5, 0.0)  # a case where y+0.5 rounds UP to .5+1
+    assert half_away(np.array([yb]))[0] == 878787.0
+    # 1 ulp above rounds up
+    assert half_away(np.array([np.nextafter(2.5, 3.0)]))[0] == 3.0
+    # plain values
+    assert list(half_away(np.array([1.4, 1.6, -1.4, -1.6, 0.0]))) == [
+        1.0,
+        2.0,
+        -1.0,
+        -2.0,
+        0.0,
+    ]
