@@ -121,37 +121,52 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = max(n // k, 1)
     isq = math.isqrt(k)
     gsize = isq + (1 if isq * isq < k else 0)  # ceil(sqrt(k)), exact ints
-    cents = e.where(
-        (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < k)
-    ).select(
-        (F.col("vec_id") / step).cast("int").alias("cell"),
-        F.col("v").alias("cv"),
+    # r10: the two-level assignment used to run as two explode+window
+    # stages (e × coarse reps through an interpreted HOF cosine, then a
+    # row_number window per vec_id, twice) — the r10 warm decomposition
+    # measured that pair of stages as the whole of semdedup's 18.5×
+    # same-frame sf10 ratio (the windows shuffle ~2M WIDE rows carrying
+    # the 64-double vector each, and the HOF fold is interpreted per
+    # element). The centroid frame is k ≤ n/{SEM_CELL_ROWS} rows — driver
+    # -tiny by construction — so assignment is now ONE Arrow-batched
+    # numpy pass: a (batch × k) GEMM against the collected centroid
+    # matrix, coarse argmax then fine argmax restricted to the winning
+    # group's columns. Cosines are the identical dot/(sqrt·sqrt) double
+    # expression on integer-exact dots (bit-equal to the JVM fold and
+    # the oracle's SQL — the cell_report GEMM's argument), and np.argmax
+    # takes the FIRST max, mirroring both windows' (cos DESC, id ASC)
+    # tie-break. Zero shuffles until the one groupBy(cell).
+    cent_rows = sorted(
+        e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < k))
+        .select((F.col("vec_id") / step).cast("int").alias("cell"), "v")
+        .collect(),
+        key=lambda r: r.cell,
     )
-    coarse = cents.where(F.col("cell") % gsize == 0).select(
-        (F.col("cell") / gsize).cast("int").alias("grp"),
-        F.col("cv").alias("gv"),
-    )
-    w_grp = Window.partitionBy("vec_id").orderBy(F.col("gcos").desc(), "grp")
-    a1 = (
-        e.join(F.broadcast(coarse))
-        .select(
-            "vec_id", "v", "grp", A.cosine(F.col("v"), F.col("gv")).alias("gcos")
-        )
-        .withColumn("r", F.row_number().over(w_grp))
-        .where(F.col("r") == 1)
-        .select("vec_id", "v", "grp")
-    )
-    cents_g = cents.withColumn("grp", (F.col("cell") / gsize).cast("int"))
-    w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cell")
-    m = (
-        a1.join(F.broadcast(cents_g), "grp")
-        .select(
-            "vec_id", "v", "cell", A.cosine(F.col("v"), F.col("cv")).alias("ccos")
-        )
-        .withColumn("r", F.row_number().over(w_cell))
-        .where(F.col("r") == 1)
-        .select("vec_id", "v", "cell")
-    )
+    C = np.array([r.v for r in cent_rows], dtype=np.float64)  # (k, 64)
+    cell_ids = np.array([r.cell for r in cent_rows], dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    grp_of_cell = cell_ids // gsize
+    coarse_mask = cell_ids % gsize == 0
+    G = C[coarse_mask]
+    gn = cn[coarse_mask]
+    grp_ids = grp_of_cell[coarse_mask]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nv = np.sqrt((V * V).sum(axis=1))
+            gcos = (V @ G.T) / (nv[:, None] * gn[None, :])
+            best_grp = grp_ids[np.argmax(gcos, axis=1)]
+            ccos = (V @ C.T) / (nv[:, None] * cn[None, :])
+            ccos[grp_of_cell[None, :] != best_grp[:, None]] = -np.inf
+            cell = cell_ids[np.argmax(ccos, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "cell": cell}
+            )
+
+    m = e.mapInPandas(assign, "vec_id long, v array<double>, cell int")
 
     def cell_report(pdf: pd.DataFrame) -> pd.DataFrame:
         # one GEMM per cell replaces |cell|²/2 interpreted HOF cosine

@@ -672,14 +672,16 @@ def test_round3_ops_have_blocked_plans(spark, sf_dir):
 
 def test_semdedup_pair_join_is_cell_blocked(spark, sf_dir):
     """SemDeDup's within-cell verify must be the per-cell Arrow GEMM
-    (FlatMapGroupsInPandas keyed on cell), never a row-pair join — and
-    the two-level centroid cascade must broadcast the tiny centroid
-    frames. A vec_id-keyed pair join anywhere in the plan is the
-    O(cell²)-rows regression this replaced (round-7 fix of the round-6
-    quadratic finding)."""
+    (FlatMapGroupsInPandas keyed on cell), never a row-pair join, and
+    the two-level centroid assignment must be the single Arrow pass
+    against the driver-collected centroid matrix (MapInPandas — r10: the
+    old explode+window cascade shuffled ~2M wide rows twice and was the
+    whole of the 18.5× warm sf10 ratio). A vec_id-keyed pair join
+    anywhere in the plan is the O(cell²)-rows regression this replaced
+    (round-7 fix of the round-6 quadratic finding)."""
     plan = plan_of(spark, sf_dir, "semdedup_cells")
     assert "FlatMapGroupsInPandas" in plan, "per-cell GEMM stage missing"
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan, "Arrow assignment pass missing"
     pair_joins = [
         l for l in plan.splitlines()
         if ("SortMergeJoin" in l or "ShuffledHashJoin" in l)
