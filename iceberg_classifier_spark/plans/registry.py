@@ -419,6 +419,7 @@ def load_all_queries() -> dict[str, QueryDef]:
         privx2,
         votx,
         cryptx,
+        cnnx,
     )
 
     # Rotate over the oracle-backed keys ONLY, and append the rows-only

@@ -687,3 +687,54 @@ def test_half_away_exact_tie_rule():
         -2.0,
         0.0,
     ]
+
+
+def test_cnn_backprop_matches_finite_differences():
+    """The CNN epoch kernel's analytic gradient (conv+pool+dense
+    backprop in plans/cnnx.py) must match central finite differences of
+    the BCE loss on a tiny batch — the standard gradient check, proving
+    the backward pass IS the derivative of the forward pass."""
+    import numpy as np
+
+    from iceberg_classifier_spark.plans import cnnx
+
+    rng = np.random.default_rng(3)
+    n = 6
+    X = rng.normal(0.0, 0.3, (n, 64))
+    y = (rng.random(n) > 0.5).astype(np.float64)
+    w0 = cnnx._init_weights()
+
+    def forward_loss(w):
+        W1, b1, W2, b2 = cnnx._unpack(w)
+        G = X.reshape(n, 8, 8)
+        P = np.empty((n, 36, 9))
+        for i in range(6):
+            for j in range(6):
+                P[:, i * 6 + j, :] = G[:, i : i + 3, j : j + 3].reshape(n, 9)
+        Z1 = P @ W1.T + b1[None, None, :]
+        A = np.maximum(Z1, 0.0).reshape(n, 6, 6, cnnx._NF)
+        Pool = (
+            A[:, 0::2, 0::2] + A[:, 1::2, 0::2] + A[:, 0::2, 1::2] + A[:, 1::2, 1::2]
+        ) / 4.0
+        Feat = Pool.reshape(n, cnnx._NP)
+        z2 = Feat @ W2 + b2
+        p = 1.0 / (1.0 + np.exp(-z2))
+        eps = 1e-12
+        return -(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).sum()
+
+    # analytic per-row grads summed over the batch, via the actual kernel
+    import pandas as pd
+
+    kern = cnnx._epoch_kernel(*cnnx._unpack(w0))
+    out = next(kern([pd.DataFrame({"x": list(X), "y": y})]))
+    g_analytic = np.array(out["g"].iloc[0], dtype=np.float64) / cnnx._GSCALE
+
+    h = 1e-6
+    idxs = list(range(0, cnnx._NPARAM, 13)) + [cnnx._NPARAM - 1]
+    for i in idxs:
+        wp = w0.copy()
+        wp[i] += h
+        wm = w0.copy()
+        wm[i] -= h
+        g_fd = (forward_loss(wp) - forward_loss(wm)) / (2 * h)
+        assert abs(g_fd - g_analytic[i]) < 1e-4, (i, g_fd, g_analytic[i])

@@ -74,6 +74,7 @@ def test_oracle_parity(name, spark, duck, sf_dir):
 # early stopping never firing) turns the row red instead of passing on
 # `count() >= 0`. A new rows-only query without an entry here fails fast.
 ROWS_ONLY_FLAGS = {
+    "cnn_sgd_grid_classifier": ["train_beats_baseline", "loss_decreased"],
     "early_stopping_head": ["stopped_early", "best_restored"],
     "mllib_als_recs": ["sane"],
     "mllib_gbt": ["train_beats_baseline", "val_not_degenerate"],
