@@ -75,6 +75,11 @@ def test_oracle_parity(name, spark, duck, sf_dir):
 # `count() >= 0`. A new rows-only query without an entry here fails fast.
 ROWS_ONLY_FLAGS = {
     "cnn_sgd_grid_classifier": ["train_beats_baseline", "loss_decreased"],
+    "cnn_sgd_val_early_stop": [
+        "stopped_early",
+        "val_improved",
+        "best_restored",
+    ],
     "early_stopping_head": ["stopped_early", "best_restored"],
     "mllib_als_recs": ["sane"],
     "mllib_gbt": ["train_beats_baseline", "val_not_degenerate"],
