@@ -77,11 +77,20 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # quality buckets for the two-level prefix sum: q is in [0, 1e6]
         .withColumn("qb", F.expr("q div 4096"))
+        # cached: t is the per-doc METADATA frame (doc_id, lang, n, q, qb —
+        # no text), consumed by the bucket agg AND the cumsum join; without
+        # the cache each consumer re-tokenizes the corpus (split +
+        # array_distinct per doc — the scan-dominant cost, measured in the
+        # before plan as two full parquet passes). Persist-the-minority
+        # (guide §5): ~40 B/doc vs the corpus text bytes
+        .cache()
     )
-    budget = t.agg(F.expr("sum(n) div 4").cast("bigint").alias("budget"))
     # bucket offsets: cumulative token mass of all STRICTLY higher-quality
     # buckets (window over the ≤245-row bucket dimension only)
     bkt = t.groupBy("qb").agg(F.sum("n").alias("bn"))
+    # the budget is the grand total of the bucket subtotals — derived from
+    # bkt (exact int64 sums are associative) instead of a third scan of t
+    budget = bkt.agg(F.expr("sum(bn) div 4").cast("bigint").alias("budget"))
     off = bkt.select(
         "qb",
         (

@@ -110,7 +110,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "slot")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    ds = cells.select("doc_id", "slot", "c")
+    # lang rides along: it is constant per doc (cells carries it already),
+    # so grouping on (doc_id, lang) makes the final documents join — a
+    # second parquet scan + broadcast build in the before plan — redundant
+    ds = cells.select("doc_id", "lang", "slot", "c")
     raw = cells.groupBy("slot").agg(
         F.sum("c").cast("bigint").alias("cr"),
         F.sum(F.when(F.col("lang") == _DSIR_LANG, F.col("c")).otherwise(0))
@@ -130,8 +133,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     perdoc = (
         ds.join(F.broadcast(lr), "slot")
-        .select("doc_id", "slot", "c", (F.col("c") * F.col("lw")).alias("contrib"))
-        .groupBy("doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "slot",
+            "c",
+            (F.col("c") * F.col("lw")).alias("contrib"),
+        )
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("c").cast("bigint").alias("n_tok"),
             F.expr(
@@ -144,9 +153,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logw"),
         )
     )
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
-        perdoc.join(d, "doc_id")
+        perdoc
         .select(
             "doc_id",
             "n_tok",

@@ -145,54 +145,64 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("u"),
         (F.col("doc_id") % 7 == 0).alias("is_eval"),
     )
-    train = (
-        corpus.where(~F.col("is_eval") & (F.col("n") > 0))
-        .withColumn("q", F.expr("(u * 1000000) div n"))
+    train_cond = ~F.col("is_eval") & (F.col("n") > 0)
+    train = corpus.where(train_cond).withColumn(
+        "q", F.expr("(u * 1000000) div n")
     )
-    # cached: the quality survivors feed the dedup window, the gram
-    # branch, the budget/offset aggs AND four stage counters — one
-    # materialization instead of per-branch lineage recompute (the frame
-    # is survivor-sized, the same persist-the-minority note in the
-    # docstring; precedent: dedup_minhash_lsh's sig.cache())
     qkept = train.where(
         F.col("n").between(_NMIN, _NMAX) & (F.col("q") >= _QMIN)
-    ).cache()
+    )
     prefix_fp = F.expr(
         f"array_join(slice(split(trim(text), ' '), 1, {_GRAM}), ' ')"
     )
-    dkept = (
-        qkept.withColumn(
-            "rep", F.min("doc_id").over(Window.partitionBy(prefix_fp))
-        )
-        .where(F.col("doc_id") == F.col("rep"))
-        .drop("rep")
-    )
-    gram_expr = F.explode(
+    # cached: the WINDOW OUTPUT (qkept + rep), not qkept — the dedup
+    # window is the pipeline's data-sized shuffle, and qkept used to be
+    # re-windowed once per consumer (stage-4 counter, gram branch, clean:
+    # 3 Sort+Exchange+Window passes in the before plan). Caching after
+    # the window runs it exactly once; every consumer is then a cheap
+    # filter over the survivor-sized cache (guide §2.4 / §5 — persist the
+    # reused minority, remove repeated shuffles)
+    wdk = qkept.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy(prefix_fp))
+    ).cache()
+    dkept = wdk.where(F.col("doc_id") == F.col("rep")).drop("rep")
+    # grams explode over a PROJECTED token array: referencing the raw
+    # split(trim(text)) expression inside the transform lambda makes
+    # Catalyst re-split the text once per gram (O(tokens²) splits/doc —
+    # the measured pathology documented in dedup._shingle_pairs); over an
+    # attribute it splits once per row (guide §1.2 step 2)
+    gram_over_tk = F.explode(
         F.expr(
-            f"transform(sequence(1, size(split(trim(text), ' ')) - {_GRAM - 1}),"
-            f" i -> array_join(slice(split(trim(text), ' '), i, {_GRAM}), ' '))"
+            f"transform(sequence(1, size(tk) - {_GRAM - 1}),"
+            f" i -> array_join(slice(tk, i, {_GRAM}), ' '))"
         )
     ).alias("gram")
     evg = (
         load(spark, sf_dir, "documents")
-        .where((F.col("doc_id") % 7 == 0) & (F.size(toks) >= _GRAM))
-        .select(gram_expr)
+        .where(F.col("doc_id") % 7 == 0)
+        .select(toks.alias("tk"))
+        .where(F.size("tk") >= _GRAM)
+        .select(gram_over_tk)
         .distinct()
     )
     contaminated = (
-        dkept.where(F.size(F.split(F.trim("text"), " ")) >= _GRAM)
-        .select("doc_id", gram_expr)
+        dkept.select("doc_id", F.split(F.trim("text"), " ").alias("tk"))
+        .where(F.size("tk") >= _GRAM)
+        .select("doc_id", gram_over_tk)
         .join(F.broadcast(evg), "gram")
         .select("doc_id")
         .distinct()
     )
     clean = dkept.join(contaminated, "doc_id", "left_anti").cache()
-    budget = clean.agg(
-        F.expr(f"sum(n) div {_BUDGET_DIV}").cast("bigint").alias("budget")
-    )
     # two-level distributed prefix sum in (q DESC, doc_id) order
     cb = clean.withColumn("qb", F.expr("q div 4096"))
     bkt = cb.groupBy("qb").agg(F.sum("n").alias("bn"))
+    # the token budget is the grand total of the bucket subtotals —
+    # derived from bkt instead of a separate clean-wide agg job (exact
+    # int64 sums are associative, so Σ bn ≡ Σ n)
+    budget = bkt.agg(
+        F.expr(f"sum(bn) div {_BUDGET_DIV}").cast("bigint").alias("budget")
+    )
     off = bkt.select(
         "qb",
         (
@@ -221,10 +231,47 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
         ).select("stage_ord", "stage", "lang", "n_docs", "n_tokens")
 
-    per_lang = sel.groupBy("lang").agg(
+    # stages 1 and 2 share ONE corpus scan via conditional aggregation
+    # (before: two separate full scans + tokenizations of documents for
+    # two counter rows — guide §2.3, aggregate before you shuffle /
+    # §1.2 step 1, don't re-read what one pass can answer)
+    s12 = corpus.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("t1"),
+        F.coalesce(F.sum(F.when(train_cond, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c2"),
+        F.coalesce(F.sum(F.when(train_cond, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("t2"),
+    )
+
+    def s12_row(ord_: int, name: str, c: str, t: str) -> DataFrame:
+        return s12.select(
+            F.lit(ord_).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.lit("*").alias("lang"),
+            F.col(c).alias("n_docs"),
+            F.col(t).alias("n_tokens"),
+        )
+
+    # stage 6 is the grand total of the per-language stage-7 rows — one
+    # rollup pass over sel instead of computing the sel window twice
+    # (grouping_id separates the total row; sel rows with NULL lang would
+    # collide with the rollup total without it)
+    sel_groups = sel.rollup("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n").cast("bigint").alias("n_tokens"),
-    ).select(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.grouping_id().alias("gid"),
+    )
+    stage6 = sel_groups.where(F.col("gid") == 1).select(
+        F.lit(6).alias("stage_ord"),
+        F.lit("budget_selected").alias("stage"),
+        F.lit("*").alias("lang"),
+        "n_docs",
+        "n_tokens",
+    )
+    per_lang = sel_groups.where(F.col("gid") == 0).select(
         F.lit(7).alias("stage_ord"),
         F.lit("budget_selected").alias("stage"),
         "lang",
@@ -232,12 +279,12 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
     )
     return (
-        stage(1, "corpus", corpus)
-        .unionByName(stage(2, "train_after_eval_holdout", train))
-        .unionByName(stage(3, "quality_kept", qkept))
+        s12_row(1, "corpus", "c1", "t1")
+        .unionByName(s12_row(2, "train_after_eval_holdout", "c2", "t2"))
+        .unionByName(stage(3, "quality_kept", wdk))
         .unionByName(stage(4, "dedup_kept", dkept))
         .unionByName(stage(5, "decontaminated", clean))
-        .unionByName(stage(6, "budget_selected", sel))
+        .unionByName(stage6)
         .unionByName(per_lang)
         .orderBy("stage_ord", "lang")
     )

@@ -98,9 +98,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows; routing them through the wide (doc, word) tf exchange instead
     # measured SLOWER (2.2 s vs 1.4 s at sf0.1: an extra wide shuffle
     # dominates the repeated cheap scan)
-    tf = toks.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -123,10 +120,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk").isin(*_QUERY_RANKS))
         .select("word", F.expr(rank_case).alias("query_id"))
     )
-    dfreq = (
-        tf.join(F.broadcast(terms.select("word")), "word")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # postings are pruned to the 6 query terms with a broadcast semi-join
+    # BEFORE the (doc, word) aggregation, so the tf exchange carries only
+    # matching postings instead of the full corpus posting set (guide
+    # §3.2 — reduce the big side before shuffling it; every tf consumer
+    # below joins on the same 6 terms, so the pruned frame is exact)
+    tf = (
+        toks.join(F.broadcast(terms.select("word")), "word")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
     idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (

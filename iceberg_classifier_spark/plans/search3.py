@@ -213,9 +213,15 @@ def colbert_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
     )
-    dtok = toks.distinct().select(
+    # within-doc distinct via array_distinct: the global distinct() on the
+    # exploded (doc_id, word) frame shuffled every posting; per-doc
+    # distinctness is a row-local property, so this explode needs NO
+    # exchange at all (guide §2.4 — remove shuffles outright)
+    dtok = docs.select(
         "doc_id",
-        F.md5(F.col("word").cast("binary")).alias("hd"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " "))
+        ).alias("word"),
     )
     terms = (
         toks.groupBy("word")
@@ -232,12 +238,26 @@ def colbert_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("word").cast("binary")).alias("hq"),
         )
     )
-    sims = (
-        dtok.crossJoin(F.broadcast(terms))
-        .groupBy("doc_id", "qw")
-        .agg(
-            F.max(F.expr(_dot_spark_hex("hd", "hq"))).cast("bigint").alias("best")
+    # the md5 embedding + {_MAXSIM_DIM}-term dot depend only on (word, qw),
+    # never on doc_id — score the VOCABULARY dimension once (|vocab| × 3
+    # rows) and broadcast it, instead of evaluating 16 conv(md5) digit
+    # parses per (doc, word, qw) posting row (guide §1.2 step 1: don't
+    # compute things per big-side row that a small dimension determines)
+    wscore = (
+        dtok.select("word")
+        .distinct()
+        .select("word", F.md5(F.col("word").cast("binary")).alias("hd"))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            "word",
+            "qw",
+            F.expr(_dot_spark_hex("hd", "hq")).alias("s"),
         )
+    )
+    sims = (
+        dtok.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "qw")
+        .agg(F.max("s").cast("bigint").alias("best"))
     )
     scored = sims.groupBy("doc_id").agg(
         F.sum("best").cast("bigint").alias("maxsim"),

@@ -190,8 +190,13 @@ def pretrained_featurizer_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def featurize(batches):
         for pdf in batches:
-            mats = np.stack(
-                pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64))
+            # stack the Arrow-delivered per-row arrays directly — the
+            # previous per-row Python .map(np.asarray) paid one
+            # interpreter call per row for a conversion np.stack + astype
+            # do in bulk (guide §4.2); float32→float64 widening is exact,
+            # so values are bit-identical
+            mats = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False
             )
             n = mats.shape[0]
             g1 = mats.reshape(n, 8, 8)
@@ -225,6 +230,13 @@ def pretrained_featurizer_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.mapInPandas(featurize, schema)
         .withColumn("fa", (F.col("vec_id") % 1600).cast("long"))
         .withColumn("is_val", F.col("vec_id") % 4 == 0)
+        # cached: the featurizer (the expensive frozen stage — a full
+        # Arrow/Python conv pass over every embedding) feeds BOTH the
+        # train-split sufficient statistics and the val-split scoring;
+        # without the cache each branch re-runs the whole Python kernel
+        # (two MapInPandas stages in the before plan). The cached frame
+        # is 22 longs/row — the persist-the-minority shape (guide §4/§5)
+        .cache()
     )
 
     train = feats.filter(~F.col("is_val"))
