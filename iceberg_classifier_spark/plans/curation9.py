@@ -295,10 +295,46 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
     )
+    # stages 3 and 4 share ONE pass over the cached window output: stage 4
+    # is the doc_id = rep slice of stage 3's frame, so both counter rows
+    # come from one conditional aggregate (same explode-the-agg-row trick
+    # as s12 — sibling selects would defeat AQE stage reuse)
+    s34 = wdk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("c3"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("t3"),
+        F.coalesce(F.sum(F.when(F.col("doc_id") == F.col("rep"), 1)), F.lit(0))
+        .cast("bigint")
+        .alias("c4"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") == F.col("rep"), F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("t4"),
+    )
+    s34_rows = s34.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(3).alias("stage_ord"),
+                    F.lit("quality_kept").alias("stage"),
+                    F.lit("*").alias("lang"),
+                    F.col("c3").alias("n_docs"),
+                    F.col("t3").alias("n_tokens"),
+                ),
+                F.struct(
+                    F.lit(4).alias("stage_ord"),
+                    F.lit("dedup_kept").alias("stage"),
+                    F.lit("*").alias("lang"),
+                    F.col("c4").alias("n_docs"),
+                    F.col("t4").alias("n_tokens"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
     return (
         s12_rows
-        .unionByName(stage(3, "quality_kept", wdk))
-        .unionByName(stage(4, "dedup_kept", dkept))
+        .unionByName(s34_rows)
         .unionByName(stage(5, "decontaminated", clean))
         .unionByName(stage6)
         .unionByName(per_lang)
