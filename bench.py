@@ -103,6 +103,13 @@ def main() -> None:
         runs.sort()
         times[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
+        # drop this query's cached blocks before the next query times —
+        # the caller contract __spark_entry__ documents (and sweeps/
+        # measure_warm already follow); without it every cache-bearing
+        # plan leaks DISK/memory blocks into all later queries' runs.
+        # Within one query's 5 runs caches persist as before (min-of-5
+        # semantics unchanged); this only stops CROSS-query pressure.
+        spark.catalog.clearCache()
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     out = {
