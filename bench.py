@@ -84,9 +84,14 @@ def main() -> None:
     next(iter(headline.values())).fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # the warmup query may be cache-bearing: drop its blocks so the first
+    # timed query's run-1 (the cold column) starts from a clean cache, the
+    # same state every later query gets after the per-query clearCache
+    spark.catalog.clearCache()
 
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name, qd in sorted(headline.items()):
         # best-of-5: the first run may pay codegen/JIT compilation for this
         # query's operators, and single runs carry ±20% scheduler noise on
@@ -100,6 +105,11 @@ def main() -> None:
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        # run 1 is this query's COLD time: caches were cleared after the
+        # previous query, so cache-bearing plans pay their full recompute
+        # here (r10 verdict item 2 — the warm min undersells cold cost;
+        # additions-only, min-of-5 semantics untouched)
+        colds[name] = round(runs[0], 3)
         runs.sort()
         times[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
@@ -118,6 +128,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_median": medians,
+        "queries_cold": colds,
         "runs_per_query": 5,
         "method": "min of 5 timed runs per query (the first timed run "
         "absorbs that query's codegen; one global JVM warmup pass runs "

@@ -281,12 +281,29 @@ def curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
         F.grouping_id().alias("gid"),
     )
-    stage6 = sel_groups.where(F.col("gid") == 1).select(
-        F.lit(6).alias("stage_ord"),
-        F.lit("budget_selected").alias("stage"),
-        F.lit("*").alias("lang"),
-        "n_docs",
-        "n_tokens",
+    # rollup over EMPTY input emits zero rows (no grand-total row), so the
+    # stage-6 row must not depend on sel being non-empty (r10 verdict item
+    # 6): anchor it to a literal 1-row frame and left-join the rollup's
+    # total row in — one broadcast of a single row, the rollup pass itself
+    # is unchanged. On a degenerate (empty-train) corpus this emits the
+    # (6, 'budget_selected', '*', 0, 0) row the old global aggregate did.
+    total_row = sel_groups.where(F.col("gid") == 1).select(
+        "n_docs", "n_tokens"
+    )
+    stage6 = (
+        spark.range(1)
+        .join(F.broadcast(total_row), F.lit(True), "left")
+        .select(
+            F.lit(6).alias("stage_ord"),
+            F.lit("budget_selected").alias("stage"),
+            F.lit("*").alias("lang"),
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("bigint")).alias(
+                "n_docs"
+            ),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+        )
     )
     per_lang = sel_groups.where(F.col("gid") == 0).select(
         F.lit(7).alias("stage_ord"),

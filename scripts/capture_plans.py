@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for headline (or named) queries into plans/r10/.
+"""Capture .explain("formatted") for headline (or named) queries into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r10).
 
 Usage: python scripts/capture_plans.py before|after [name ...]
 """
@@ -7,7 +8,12 @@ import os, sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+USAGE = "Usage: python scripts/capture_plans.py before|after [name ...]"
+
 def main():
+    if len(sys.argv) < 2 or sys.argv[1] not in ("before", "after"):
+        print(USAGE, file=sys.stderr)
+        sys.exit(2)
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,7 +24,8 @@ def main():
     spark = get_spark("capture_plans")
     reg = load_all_queries()
     todo = names or sorted(n for n, qd in reg.items() if qd.headline)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     for name in todo:
         df = reg[name].fn(spark, sf_dir)

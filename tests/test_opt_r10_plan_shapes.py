@@ -38,9 +38,15 @@ def _executed_plan(spark, name, sf_dir):
 
 
 def _count_nodes(spark, name, sf_dir, node_name_substr):
+    # traverse the LOGICAL optimizedPlan (the test_plan_guards pattern):
+    # with AQE on, the physical root is AdaptiveSparkPlanExec — a leaf
+    # whose children() is empty, which made the old executedPlan walk
+    # always return 0 (r10 advice). The optimized plan also hides a
+    # cached frame's build lineage behind InMemoryRelation, so the count
+    # is exactly "kernel evaluations the live plan pays".
     df = REGISTRY[name].fn(spark, sf_dir)
     n = 0
-    stack = [df._jdf.queryExecution().executedPlan()]
+    stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
         node = stack.pop()
         if node_name_substr in node.nodeName():
@@ -65,11 +71,19 @@ def test_featurizer_python_kernel_runs_at_most_once(spark, sf_dir):
 
 def test_colbert_has_no_posting_distinct_shuffle(spark, sf_dir):
     plan = _executed_plan(spark, "colbert_maxsim_retrieval", sf_dir)
-    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, word#", plan), (
+    # structural guard (r10 advice): no exchange may hash-partition on
+    # BOTH doc_id and word, in any key order and with any extra keys —
+    # the brittle exact-prefix regex missed reordered/widened variants
+    offending = [
+        keys
+        for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if re.search(r"\bdoc_id#\d+", keys) and re.search(r"\bword#\d+", keys)
+    ]
+    assert not offending, (
         "colbert_maxsim_retrieval: an exchange partitioned on "
-        "(doc_id, word) re-entered the plan — per-doc distinctness is "
-        "row-local (array_distinct); the corpus-wide distinct shuffle "
-        "was removed in r10."
+        f"(doc_id, word) re-entered the plan ({offending}) — per-doc "
+        "distinctness is row-local (array_distinct); the corpus-wide "
+        "distinct shuffle was removed in r10."
     )
     assert "array_distinct" in plan
 
