@@ -105,10 +105,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (A broadcast word→slot dimension was measured SLOWER here — the
     # per-token hash-join probe costs more than codegen'd md5 at this
     # vocabulary size; revisit only when tokens/vocab >> 1e4.)
+    #
+    # r11: CACHED — cells feeds three branches (perdoc via ds, the lr
+    # model, and tot inside lr's broadcast), and their column-pruned
+    # copies of this aggregate no longer canonicalize equal, so AQE
+    # reused nothing: the r10 plan re-ran the tokenize+md5 corpus pass
+    # THREE times (6 parquet scans in
+    # plans/r10/dsir_importance_weights_after.txt). cells is the
+    # ~40 B/(doc,slot) minority (≤256 rows/doc, ~10× smaller than the
+    # token stream it summarizes) — the §5 persist-the-minority case;
+    # at cluster scale persist DISK_ONLY per the growing-frame
+    # discipline.
     cells = (
         toks.select("doc_id", "lang", slot.alias("slot"))
         .groupBy("doc_id", "lang", "slot")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .cache()
     )
     # lang rides along: it is constant per doc (cells carries it already),
     # so grouping on (doc_id, lang) makes the final documents join — a

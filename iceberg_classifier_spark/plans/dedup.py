@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from iceberg_classifier_spark.functions import arrays as A
 from iceberg_classifier_spark.functions import text as T
 from iceberg_classifier_spark.plans.registry import query
-from iceberg_classifier_spark.sources.tables import load, load_parallel
+from iceberg_classifier_spark.sources.tables import (
+    load,
+    load_parallel,
+    parquet_column_bounds,
+)
 
 JACCARD_MIN = 0.05
 # Stop-shingle document-frequency cap: a shingle shared by more than this
@@ -72,6 +76,12 @@ _DET_SAMPLE = "substring(md5(CAST(doc_id AS STRING)), 1, 2) <= '4c'"
 _DET_SAMPLE_DUCK = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '4c'"
 
 
+_PACK_SH = 1 << 31  # n_sh slot width: F.size() is a 32-bit int, so
+# 0 <= n_sh < 2^31 holds BY TYPE and (doc_id, n_sh) packs losslessly into
+# one int64 whenever 0 <= doc_id < 2^32 (then pe <= (2^32-1)*2^31 + 2^31-1
+# = 2^63 - 1, the int64 max)
+
+
 def _shingle_pairs(
     spark: SparkSession, sf_dir: str, sampled: bool = False
 ) -> DataFrame:
@@ -83,6 +93,19 @@ def _shingle_pairs(
     doc's shingle count), then emit the i<j pairs map-side with two nested
     explodes. Two shuffles total (postings, then pair-count groupBy), one
     shingle computation, and no separate size-lookup joins.
+
+    r11 (guide §2.3, shuffle fewer bytes): each posting entry is ONE
+    packed int64 ``doc_id * 2^31 + n_sh`` instead of a (doc_id, n_sh)
+    struct, and the pair-count aggregation groups on the two packed longs
+    instead of the 4-column (doc_a, doc_b, na, nb) key — halving the bytes
+    through BOTH data-sized exchanges (posting lists and pair stream, the
+    op's bulk: 197M pair emissions at sf10) and shrinking the agg's
+    hash-map state. Packing is exact: n_sh < 2^31 by type (F.size is a
+    32-bit int), the int64 sort order of packed entries equals the struct
+    sort order (doc_id-major), and eligibility (0 <= doc_id < 2^32) is
+    read from parquet footer stats at plan time — no extra Spark job; a
+    corpus with wider ids (100 TB crawl keys) falls back to the struct
+    kernel below, same results.
 
     The token array is materialized in its own projection BEFORE shingling:
     element_at over a raw `split(text)` expression makes Catalyst re-split
@@ -105,9 +128,44 @@ def _shingle_pairs(
         d = d.where(F.expr(_DET_SAMPLE))
     toks = d.select("doc_id", T.tokens("text").alias("toks"))
     shing = toks.select("doc_id", T.shingles(F.col("toks"), 3).alias("sh"))
-    # shuffle 8-byte shingle hashes, not ~30-char strings (≈4× fewer shuffle
-    # bytes); a 64-bit collision merging two shingles is ~|vocab|²/2⁶⁴ ≈ 0
-    # and would only matter if both collided shingles hit the same doc pair
+    bounds = parquet_column_bounds(sf_dir, "documents", "doc_id")
+    if bounds is not None and 0 <= bounds[0] and bounds[1] < (1 << 32):
+        # packed kernel: one int64 per posting entry / two per pair row.
+        # shuffle 8-byte shingle hashes, not ~30-char strings; a 64-bit
+        # collision merging two shingles is ~|vocab|²/2⁶⁴ ≈ 0 and would
+        # only matter if both collided shingles hit the same doc pair
+        sh = shing.select(
+            (F.col("doc_id") * F.lit(_PACK_SH) + F.size("sh")).alias("pe"),
+            F.explode("sh").alias("shingle_str"),
+        ).select("pe", F.xxhash64("shingle_str").alias("shingle"))
+        posting = (
+            sh.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("pe")).alias("lst"))
+            .filter(F.size("lst") <= NGRAM_DF_CAP)
+        )
+        # nested explode keeps peak row width at one posting list (no
+        # flattened all-pairs array); packed int64 order is doc_id-major,
+        # so sort_array still guarantees doc_a < doc_b
+        pairs = (
+            posting.select(F.posexplode("lst").alias("i", "pa"), "lst")
+            .select(
+                "pa",
+                F.explode(F.expr("slice(lst, i + 2, size(lst))")).alias("pb"),
+            )
+        )
+        return (
+            pairs.groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select(
+                F.expr(f"pa div {_PACK_SH}").alias("doc_a"),
+                (F.col("pa") % _PACK_SH).alias("na"),
+                F.expr(f"pb div {_PACK_SH}").alias("doc_b"),
+                (F.col("pb") % _PACK_SH).alias("nb"),
+                "inter",
+            )
+        )
+    # unpacked fallback (ids too wide for the int64 pack, or no footer
+    # stats): struct posting entries, 4-column pair-count key
     sh = shing.select(
         "doc_id",
         F.size("sh").cast("long").alias("n_sh"),
@@ -122,8 +180,6 @@ def _shingle_pairs(
         )
         .filter(F.size("lst") <= NGRAM_DF_CAP)
     )
-    # nested explode keeps peak row width at one posting list (no flattened
-    # all-pairs array); sort_array guarantees doc_a < doc_b
     pairs = (
         posting.select(F.posexplode("lst").alias("i", "a"), "lst")
         .select("a", F.explode(F.expr("slice(lst, i + 2, size(lst))")).alias("b"))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from iceberg_classifier_spark.plans.registry import query
-from iceberg_classifier_spark.sources.tables import load
+from iceberg_classifier_spark.sources.tables import load, parquet_column_bounds
 
 _II_TOPK = 10
 _II_MIN_CO = 3  # minimum co-occurrence support
@@ -68,23 +68,30 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-able neighborhood model: co-occurrence counts are exact
     ints, cosines identical double expressions.
 
-    Scale: candidate pairs come ONLY from the user-blocked self-join
-    (pairs sharing a purchaser — the dedup_ngram_jaccard posting-list
-    shape), never an item cross join. r9 (round-8 verdict task 4): a
-    user's pair emission is |basket|² and an uncapped whale basket
-    dominates its partition at crawl scale, so baskets entering the
-    pair join are CAPPED at {_II_USER_CAP} items per user — the CF
-    analogue of NGRAM_DF_CAP, mirrored row-for-row in the oracle. The
-    cap window ranks by item id: that keeps the frame exchange-aligned
-    (the row_number partitions by u, exactly the key the self-join
-    shuffles on, so Catalyst reuses one exchange for all three) where a
-    popularity-ranked cap would prepend two extra full-frame shuffles
-    (join pop on i, re-shuffle by u) to serve a tie-break that only
-    matters inside capped whales. Cosine denominators stay the TRUE
+    Scale: candidate pairs come ONLY from user-blocked baskets (pairs
+    sharing a purchaser — the dedup_ngram_jaccard posting-list shape),
+    never an item cross join. r9 (round-8 verdict task 4): a user's pair
+    emission is |basket|² and an uncapped whale basket dominates its
+    partition at crawl scale, so baskets entering pair emission are
+    CAPPED at {_II_USER_CAP} items per user — the CF analogue of
+    NGRAM_DF_CAP, mirrored row-for-row in the oracle (the oracle's
+    row_number-by-item-id window ≡ the first {_II_USER_CAP} entries of
+    the sorted distinct basket). Cosine denominators stay the TRUE
     uncapped popularities. The support filter prunes before the
     popularity join; top-k is a TakeOrdered merge.
+
+    r11 (guide §2.4, remove shuffles outright): the old plan shuffled
+    the fact-sized (u, i) frame THREE times — a distinct exchange on
+    (u, i), a window exchange on u for the cap, and the self-join that
+    emitted pairs. All three collapse into ONE exchange: group by u,
+    collect the basket as a sorted distinct item array (collect_set ≡
+    the distinct; sort_array + slice ≡ the cap window), and emit the
+    i<j pairs map-side from each array with the posting-list
+    nested-explode trick. Popularity comes from re-exploding the cached
+    basket frame — an 8-byte-per-row shuffle on i instead of a second
+    pass over the fact join.
     """
-    ui = (
+    ui_sets = (
         load(spark, sf_dir, "lineitem")
         .join(
             load(spark, sf_dir, "orders"),
@@ -93,55 +100,60 @@ def itemitem_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
         )
-        .distinct()
+        .groupBy("u")
+        .agg(F.sort_array(F.collect_set("i")).alias("items"))
     )
-    # ui feeds three subtrees (pop + both self-join sides via uic) and
-    # Catalyst does not reuse the exchanges across them (alias-divergent
-    # subtrees), so without a persist the join+distinct lineage runs 3×.
-    # DISK_ONLY per the growing-frame discipline (the r8 broadcast
-    # lesson); sweeps/bench clearCache between queries.
-    ui = ui.persist(StorageLevel.DISK_ONLY)
-    pop = ui.groupBy("i").agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
-    uic = (
-        ui.withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("u").orderBy("i")),
+    # the basket frame feeds pop AND pair emission; DISK_ONLY per the
+    # growing-frame discipline (the r8 broadcast lesson); sweeps/bench
+    # clearCache between queries.
+    ui_sets = ui_sets.persist(StorageLevel.DISK_ONLY)
+    pop = (
+        ui_sets.select(F.explode("items").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_u"))
+    )
+    # map-side i<j pair emission from the capped sorted basket (ascending
+    # item ids, so ia < ib by construction — the _shingle_pairs shape)
+    pairs = (
+        ui_sets.select(F.slice("items", 1, _II_USER_CAP).alias("arr"))
+        .select(F.posexplode("arr").alias("j", "ia"), "arr")
+        .select(
+            "ia",
+            F.explode(F.expr("slice(arr, j + 2, size(arr))")).alias("ib"),
         )
-        .where(F.col("rk") <= _II_USER_CAP)
-        .select("u", "i")
-        .persist(StorageLevel.DISK_ONLY)
     )
-    a = uic.select(F.col("u").alias("ua"), F.col("i").alias("ia"))
-    b = uic.select(F.col("u").alias("ub"), F.col("i").alias("ib"))
-    pairs = a.join(
-        b, (F.col("ua") == F.col("ub")) & (F.col("ia") < F.col("ib"))
-    )
-    # the pair stream is the op's bulk (1.31e9 rows at sf10 — ~40 pairs
-    # per user, linear in users). Counting it through the default
-    # 32-partition groupBy put ~750 MB/partition into the final hash
-    # agg, which spilled (measured 20× same-frame for 10× pairs). Pack
-    # the pair into ONE int64 key (max partkey fetched from the part
-    # dim's column stats — a millisecond scalar job) and repartition
-    # 256-wide on it: Catalyst then plans a single complete-mode
-    # HashAggregate per ~5M-row partition — no partial-agg sort
-    # fallback, no final-agg spill, half the shuffle bytes. Falls back
-    # to the two-column groupBy if the key space could overflow the
-    # packing (partkey² >= 2^63).
-    m = (
-        load(spark, sf_dir, "part")
-        .agg(F.max("p_partkey").cast("bigint"))
-        .collect()[0][0]
-        or 0
-    ) + 1
-    if m * m < (1 << 63):
+    # the pair stream is the op's bulk (1.27e9 rows at sf10 — ~40 pairs
+    # per user, linear in users) and 97% of emitted pairs are UNIQUE
+    # (1.23e9 distinct of 1.27e9, measured), so ANY hash aggregation
+    # must hold ~40 GB of key state — it spilled at every partition
+    # width tried (256/512/1024: 116-167 s at sf10). r11: count runs of
+    # the SORTED packed key instead — count(*) over a pk-partitioned
+    # window plans Exchange → radix Sort → streaming WindowExec that
+    # buffers ONE pk group (≤ max co_u rows) at a time, no hash map at
+    # all: measured 68-77 s vs 146-159 s for the hash agg at sf10
+    # (interleaved, same session), and flat at sf1 where the hash fits
+    # memory. The pack into ONE int64 (max partkey from the part dim's
+    # parquet FOOTER stats — no Spark job) halves the shuffle bytes;
+    # the post-filter dropDuplicates dedupes the few co_u >= MIN_CO
+    # survivor rows and reuses the same exchange. Falls back to the
+    # two-column groupBy if the key space could overflow the packing
+    # (partkey² >= 2^63) or stats are absent.
+    pk_bounds = parquet_column_bounds(sf_dir, "part", "p_partkey")
+    m = (pk_bounds[1] + 1) if pk_bounds and pk_bounds[0] >= 0 else 0
+    if m and m * m < (1 << 63):
         co = (
             pairs.select(
                 (F.col("ia") * m + F.col("ib")).alias("pk")
             )
             .repartition(256, "pk")
-            .groupBy("pk")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("co_u"))
+            .withColumn(
+                "co_u",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("pk"))
+                .cast("bigint"),
+            )
             .where(F.col("co_u") >= _II_MIN_CO)
+            .dropDuplicates(["pk"])
             .select(
                 F.expr(f"pk div {m}").alias("ia"),
                 (F.col("pk") % m).alias("ib"),

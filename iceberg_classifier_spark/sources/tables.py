@@ -94,6 +94,40 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
+def parquet_column_bounds(sf_dir: str, name: str, column: str):
+    """(min, max) of a column from parquet FOOTER statistics — no Spark
+    job, so plan-time eligibility checks (e.g. "do these ids fit an int64
+    pack?") cost ~ms even inside a timed bench run. Returns None when any
+    row group lacks min/max stats or the probe fails; callers must fall
+    back to an always-correct unpacked path."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    try:
+        files = (
+            [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        lo, hi = None, None
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(column)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+    except Exception:  # noqa: BLE001 — stats probe must never break a plan
+        return None
+
+
 def fixture_dir(sf_dir: str, kind: str, table: str) -> tuple[str, bool]:
     """Staging dir under /tmp keyed by the source parquet's (mtime, size)
     fingerprint. Returns ``(path, already_built)``. Driver-regenerated

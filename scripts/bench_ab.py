@@ -72,7 +72,12 @@ def main() -> None:
     passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     acc: dict[str, dict[str, list[float]]] = {}
-    shared = "ALL"
+    # SPARK_GRAFT_AB_NAMES=q1,q2 restricts the A/B to named queries (fast
+    # per-change arbitration); default remains the full headline set
+    names_env = os.environ.get("SPARK_GRAFT_AB_NAMES", "")
+    shared = (
+        json.dumps(sorted(names_env.split(","))) if names_env else "ALL"
+    )
     for i in range(passes):
         for side, repo in (("a", a), ("b", b)):
             got = run_side(repo, shared, runs)
