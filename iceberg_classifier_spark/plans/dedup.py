@@ -153,6 +153,17 @@ def _shingle_pairs(
                 F.explode(F.expr("slice(lst, i + 2, size(lst))")).alias("pb"),
             )
         )
+        # NOTE (r11 measured no-go): the itemitem_cosine_topk sort-
+        # streamed window count was tried here too (count + row_number
+        # over a (pa, pb) window, one sort, no hash map) and measured
+        # SLOWER at sf10 — 43.4 s warm vs 40.6 s for this hash agg
+        # (sf1 5.9 vs 6.0, sf0.1 A/B 1.014 = flat). Only 81% of ngram's
+        # pair emissions are unique keys (160M distinct / 197M at sf10,
+        # ~8 GB state over 32 tasks) vs itemitem's 97% of 1.27e9 (~40 GB)
+        # — at this state size the hash agg's spill is milder than the
+        # cost of materializing two window functions over every emission.
+        # Revisit only if emissions per partition grow another order of
+        # magnitude.
         return (
             pairs.groupBy("pa", "pb")
             .agg(F.count(F.lit(1)).alias("inter"))
